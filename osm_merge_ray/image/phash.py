@@ -1,0 +1,62 @@
+"""64-bit DCT perceptual hash (the public pHash algorithm), pure numpy.
+
+Algorithm (Zauner 2010, "Implementation and Benchmarking of Perceptual
+Image Hash Functions"; same scheme as the ``imagehash`` library):
+grayscale → box-resize to 32x32 → 2D DCT-II → keep the top-left 8x8
+low-frequency block → threshold against the median (excluding the DC
+term) → 64 bits.
+
+Role in the engine: the graft analog of the reference's
+"geometry identical → match regardless of tags" early exit
+(``conflator.py:229-234``): two rows whose decoded pixels hash within
+``phash_hamming_max`` count a hit in the decision table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from osm_merge_ray.image.codec import resize_box
+
+_DCT32 = None
+
+
+def _dct_matrix(n: int = 32) -> np.ndarray:
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(n)[:, None]
+        i = np.arange(n)[None, :]
+        m = np.cos(np.pi / n * (i + 0.5) * k)
+        m[0] *= 1.0 / np.sqrt(2.0)
+        _DCT32 = m * np.sqrt(2.0 / n)
+    return _DCT32
+
+
+def phash64(pixels: np.ndarray) -> int:
+    gray = (
+        0.299 * pixels[..., 0] + 0.587 * pixels[..., 1] + 0.114 * pixels[..., 2]
+    )
+    small = resize_box(gray[..., None].astype(np.uint8), 32, 32)[..., 0].astype(np.float64)
+    m = _dct_matrix(32)
+    d = m @ small @ m.T
+    block = d[:8, :8].copy()
+    flat = block.flatten()
+    med = np.median(flat[1:])  # exclude DC
+    bits = (flat > med).astype(np.uint64)
+    h = np.uint64(0)
+    for b in bits:
+        h = (h << np.uint64(1)) | b
+    return int(h)
+
+
+def hamming64(a, b) -> np.ndarray:
+    """Vectorized popcount of XOR over int64/uint64 arrays (SWAR)."""
+    x = np.asarray(a).astype(np.int64).view(np.uint64) ^ np.asarray(b).astype(np.int64).view(np.uint64)
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & m1)
+        x = (x & m2) + ((x >> np.uint64(2)) & m2)
+        x = (x + (x >> np.uint64(4))) & m4
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)

@@ -1,0 +1,126 @@
+"""Actor-pool image stages: decode / verify / thumbnail / embed.
+
+Multimodal columns are opaque ``large_binary`` payloads with typed
+metadata (w, h, fmt) — the stage contract BASELINE.json's input_hint
+fixes. Each stage is a callable CLASS for ``map_batches(Cls,
+concurrency=N, batch_size=B)``: one-time setup in ``__init__`` (the
+reference instead rebuilt its pyproj Transformer per call —
+conflator.py:477-480), per-batch vectorized work in ``__call__``.
+Batch sizes stay small (default 256) because rows carry kilobytes of
+pixels: batch_size × concurrency bounds heap per worker.
+
+The codec itself is the deterministic stand-in from ``image/codec.py``
+(no libjpeg in this container); a real deployment swaps only the
+``decode``/``encode`` calls. Audio/video decode is stubbed explicitly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from osm_merge_ray.image.codec import decode, encode, is_lossy, psnr, resize_box
+from osm_merge_ray.image.phash import hamming64, phash64
+
+
+class DecodeVerify:
+    """Decode every image; verify dims + phash against the metadata
+    columns; per-row PSNR gate for lossy rows (BASELINE.json: "decoded-
+    pixel allclose (PSNR>=40dB for lossy)").
+
+    Emits the input columns minus ``bytes`` plus
+    ``decode_ok / dims_ok / phash_dist / psnr_db``.
+    """
+
+    def __init__(self, psnr_min: float = 40.0, phash_max_dist: int = 0):
+        self.psnr_min = psnr_min
+        self.phash_max_dist = phash_max_dist
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        blobs = t.column("bytes").to_pylist()
+        w = t.column("w").to_numpy()
+        h = t.column("h").to_numpy()
+        fmt = t.column("fmt").to_pylist()
+        stored = t.column("phash").to_numpy()
+        n = len(blobs)
+        ok = np.zeros(n, dtype=bool)
+        dims_ok = np.zeros(n, dtype=bool)
+        pdist = np.full(n, 64, dtype=np.int64)
+        psnr_db = np.full(n, 0.0)
+        for i, buf in enumerate(blobs):
+            if buf is None:
+                continue
+            try:
+                px = decode(buf)
+            except (NotImplementedError, ValueError, Exception):
+                continue
+            ok[i] = True
+            dims_ok[i] = px.shape[1] == w[i] and px.shape[0] == h[i]
+            pdist[i] = int(hamming64(phash64(px), stored[i]))
+            if is_lossy(fmt[i]):
+                # lossy stand-in is idempotent: re-encode round-trip must
+                # stay within the PSNR gate (>=40 dB; exact here)
+                rt = decode(encode(px, fmt[i]))
+                psnr_db[i] = min(psnr(px, rt), 99.0)
+            else:
+                psnr_db[i] = 99.0
+        out = t.drop_columns(["bytes"])
+        out = out.append_column("decode_ok", pa.array(ok))
+        out = out.append_column("dims_ok", pa.array(dims_ok))
+        out = out.append_column("phash_dist", pa.array(pdist, pa.int64()))
+        out = out.append_column("psnr_db", pa.array(psnr_db, pa.float64()))
+        return out
+
+
+class Thumbnail:
+    """Box-filter thumbnail (real, numpy) → re-encoded binary column."""
+
+    def __init__(self, size: int = 16):
+        self.size = size
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        blobs = t.column("bytes").to_pylist()
+        out = []
+        for buf in blobs:
+            if buf is None:
+                out.append(None)
+                continue
+            px = decode(buf)
+            out.append(encode(resize_box(px, self.size, self.size), "png"))
+        return t.append_column("thumb", pa.array(out, pa.large_binary()))
+
+
+class PixelEmbed:
+    """Cheap deterministic visual embedding: 4x4 box means per channel,
+    L2-normalized (48-dim). The engine's stand-in for a model encoder;
+    a real deployment loads the model here in ``__init__``."""
+
+    def __init__(self, grid: int = 4):
+        self.grid = grid
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        vecs = []
+        for buf in t.column("bytes").to_pylist():
+            if buf is None:
+                vecs.append(None)
+                continue
+            px = decode(buf)
+            small = resize_box(px, self.grid, self.grid).astype(np.float64).reshape(-1)
+            nrm = np.linalg.norm(small)
+            vecs.append((small / (nrm or 1.0)).astype(np.float32))
+        return t.append_column(
+            "pixel_embedding", pa.array([v.tolist() if v is not None else None for v in vecs],
+                                        pa.list_(pa.float32())),
+        )
+
+
+class AudioDecode:
+    """STUB — no audio libs in this container. The Ray-side contract
+    (binary column in, feature columns out, actor-pool stage) is real;
+    the DSP is explicitly not implemented."""
+
+    def __init__(self):
+        raise NotImplementedError(
+            "audio decode requires an audio codec library not present in this "
+            "container; wire a real decoder into this actor's __init__"
+        )

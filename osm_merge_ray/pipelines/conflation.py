@@ -1,0 +1,109 @@
+"""The flagship pipeline: decode-verify → conflate → tile → write.
+
+Engine analog of ``conflator.main`` (conflator.py:1041-1128): load
+primary + secondary, conflate, classify merged/duplicate/new, write
+partitioned output — restructured as one streaming Ray Data plan with
+a single all-to-all exchange, plus an optional checkpointed execution
+mode (``run_checkpointed``) that the reference has no equivalent of.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from osm_merge_ray.config import ConflationConfig
+from osm_merge_ray.geo.mercator import TileGrid
+from osm_merge_ray.image.stages import DecodeVerify
+from osm_merge_ray.stages import conflate as CF
+from osm_merge_ray.stages.tiling import assign_tiles
+from osm_merge_ray.state import checkpoint as CK
+from osm_merge_ray.synth import AOI, synth_dataset
+
+
+def default_grid(cfg: ConflationConfig) -> TileGrid:
+    # 0.1 deg margin: secondary offsets can nudge rows past the AOI edge
+    return TileGrid.from_bbox_lonlat(
+        AOI[0] - 0.1, AOI[1] - 0.1, AOI[2] + 0.1, AOI[3] + 0.1, cfg.tile_meters
+    )
+
+
+def flagship(n_per_side: int = 1000, cfg: ConflationConfig | None = None,
+             decode_images: bool = True, skew_salting: bool = True,
+             seed: int = 42):
+    """Synthesize both sides distributed, optionally decode+verify the
+    image payloads (actor pool), run the conflation join, assign tiles.
+    Returns the lazy decision Dataset."""
+    cfg = cfg or ConflationConfig()
+    p = synth_dataset(n_per_side, "primary", seed=seed, with_bytes=decode_images)
+    s = synth_dataset(n_per_side, "secondary", seed=seed, with_bytes=decode_images)
+    if decode_images:
+        p = p.map_batches(DecodeVerify, batch_format="pyarrow", batch_size=256,
+                          concurrency=(1, 8))
+        s = s.map_batches(DecodeVerify, batch_format="pyarrow", batch_size=256,
+                          concurrency=(1, 8))
+    decisions = CF.conflate_datasets(p, s, cfg, skew_salting=skew_salting)
+    return assign_tiles(decisions, default_grid(cfg))
+
+
+def run_checkpointed(primary_ds, secondary_ds, out_dir: str,
+                     cfg: ConflationConfig | None = None,
+                     resume: bool = True, skew_salting: bool = True) -> dict:
+    """Conflate with per-bucket checkpointing: each shuffle bucket's
+    decision rows are written atomically with a manifest record
+    (state/checkpoint.py); on resume, finished buckets are filtered out
+    of the shuffle input *before* the exchange, so their rows are never
+    shipped or rescored.
+
+    Returns summary metrics. ``out_dir`` must be shared storage on a
+    multi-node cluster.
+    """
+    cfg = cfg or ConflationConfig()
+    grid = default_grid(cfg)
+    done = CK.finished_buckets(out_dir) if resume else set()
+
+    prep = lambda t: CF.prepare(t, cfg)  # noqa: E731
+    p_light = primary_ds.map_batches(prep, batch_format="pyarrow", batch_size=cfg.batch_size)
+    s_light = secondary_ds.map_batches(prep, batch_format="pyarrow", batch_size=cfg.batch_size)
+    salts = CF.plan_salts(p_light.union(s_light), cfg) if skew_salting else {}
+    p_tag = p_light.map_batches(CF.make_tag_primary(cfg, salts), batch_format="pyarrow",
+                                batch_size=cfg.batch_size)
+    s_rep = s_light.map_batches(CF.make_replicate_secondary(cfg, salts),
+                                batch_format="pyarrow", batch_size=cfg.batch_size)
+    both = p_tag.union(s_rep)
+
+    if done:
+        done_arr = np.array(sorted(done), dtype=np.int64)
+
+        def drop_done(t: pa.Table) -> pa.Table:
+            b = t.column("bucket").to_numpy()
+            keep = ~np.isin(b, done_arr)
+            return t.filter(pa.array(keep))
+
+        both = both.map_batches(drop_done, batch_format="pyarrow")
+
+    from osm_merge_ray.stages.tiling import make_assign_tiles
+
+    assign = make_assign_tiles(grid)
+
+    def match_and_write(df: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.time()
+        bucket = int(df["bucket"].iloc[0])
+        out = CF.match_bucket(df, cfg)
+        table = assign(pa.Table.from_pandas(out, preserve_index=False))
+        CK.write_bucket_partition(
+            out_dir, bucket, table, input_rows=len(df), wall_s=time.time() - t0,
+            cells=df["cell"].unique().tolist(),
+        )
+        return pd.DataFrame({"bucket": [bucket], "rows": [table.num_rows]})
+
+    metrics = both.groupby("bucket").map_groups(match_and_write, batch_format="pandas")
+    rows = metrics.to_pandas()
+    return {
+        "buckets_done_now": len(rows),
+        "buckets_skipped": len(done),
+        "rows_emitted": int(rows["rows"].sum()) if len(rows) else 0,
+    }

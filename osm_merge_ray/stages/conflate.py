@@ -1,0 +1,403 @@
+"""The core conflation join, Ray-Data-first.
+
+Reference semantics: ``conflateThread`` (``conflator.py:86-330``) — an
+O(N*M) nested loop of every primary feature against every secondary
+feature with distance + fuzzy-tag scoring and a quirky decision table.
+Engine realization — ONE hash shuffle, everything else map-side:
+
+1. ``prepare``      map_batches: centroid (derive from image_id hash if
+                    absent), grid cell (H3-analog, ``geo/cells.py``),
+                    project to *light* columns — image bytes never
+                    enter the shuffle (SURVEY §7 hard part (d)).
+2. ``plan_salts``   distributed count per cell, driver receives ONLY
+                    cells over the hot threshold → salt fan-out map
+                    (explicit skew handling; BASELINE.json names it).
+3. ``replicate``    secondary rows fan out to their k-ring(1) cells
+                    (and to every salt of a hot cell); primaries stay
+                    in their home cell with one salt. Cell-edge matches
+                    are therefore never missed
+                    (docs/calculations.md:120-127).
+4. ``groupby(bucket).map_groups(match_bucket)`` — the single all-to-all
+                    exchange, keyed by hash(cell, salt) folded into
+                    ``num_buckets`` groups; the matcher re-groups by
+                    exact (cell, salt) with a sort + searchsorted and
+                    scores candidates fully vectorized (numpy distance
+                    cross-products, batched DP caption ratios, SWAR
+                    phash hamming).
+
+Decision table (engine-canonical, deterministic re-statement of
+``conflator.py:188-325``):
+
+* candidates = secondaries within ``distance_m`` of the primary
+  centroid, capped at the ``max_candidates`` *nearest* (the reference
+  caps at 5 in scan order, conflator.py:262-267 — documented
+  divergence: ours is deterministic).
+* hits per candidate (analyze-key whitelist analog, conflator.py:359):
+    - caption: fuzz ratio > ``fuzz_threshold`` AND length difference
+      <= ``len_diff_max``                      (conflator.py:596-598)
+    - ref:     both captions are "FR|FS <token>" refs and the second
+      token matches uppercased                 (conflator.py:605-615)
+    - phash:   hamming <= ``phash_hamming_max`` — the graft analog of
+      the identical-geometry match             (conflator.py:229-234)
+* best = lexicographic max by (hits desc, dist asc, secondary id asc)
+                                               (conflator.py:286-298)
+* decision: no candidate → ``new`` (version=1 analog,
+  conflator.py:318-325); best hits >= ``min_hits_accept`` and dist <=
+  ``dup_distance_m`` → ``duplicate`` (flag, never delete —
+  conflatePOI.py:135); else ``merged`` — primary values win, the
+  displaced secondary caption is kept as ``old_caption``
+  (conflator.py:626).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from osm_merge_ray.config import ConflationConfig
+from osm_merge_ray.geo import cells as C
+from osm_merge_ray.geo.distance import haversine_cross_m
+from osm_merge_ray.image.phash import hamming64
+from osm_merge_ray.text.fuzz import batch_indel_ratio
+from osm_merge_ray.util import hash64_str, splitmix64, uniform01
+
+LIGHT_COLS = ["image_id", "caption", "phash", "lon", "lat", "cell"]
+
+_REF_PAT = re.compile(r"^\s*(?:FR|FS|F[SR]R?)\s+(\S+)", re.IGNORECASE)
+
+
+def derive_lonlat(image_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic centroid from image_id (FIXTURES.md F1: positions
+    'derived deterministically from image_id hash')."""
+    from osm_merge_ray.synth import AOI
+
+    h = hash64_str(image_id)
+    lon = AOI[0] + uniform01(h, salt=101) * (AOI[2] - AOI[0])
+    lat = AOI[1] + uniform01(h, salt=202) * (AOI[3] - AOI[1])
+    return lon, lat
+
+
+def prepare(batch: pa.Table, cfg: ConflationConfig) -> pa.Table:
+    """Light projection + cell assignment. Arrow in/out, vectorized."""
+    names = batch.column_names
+    if "lon" in names and "lat" in names:
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+    else:
+        lon, lat = derive_lonlat(batch.column("image_id").to_numpy(zero_copy_only=False))
+    cell = C.lonlat_to_cell(lon, lat, cfg.cell_res)
+    return pa.table(
+        {
+            "image_id": batch.column("image_id"),
+            "caption": batch.column("caption"),
+            "phash": batch.column("phash"),
+            "lon": pa.array(lon, pa.float64()),
+            "lat": pa.array(lat, pa.float64()),
+            "cell": pa.array(cell, pa.int64()),
+        }
+    )
+
+
+def plan_salts(light_ds, cfg: ConflationConfig) -> dict[int, int]:
+    """Distributed per-cell row count → {hot_cell_id: n_salts}.
+
+    Pre-aggregates inside ``map_batches`` (one partial row per distinct
+    cell per batch) before the small ``groupby`` — the driver never
+    sees per-row data, and only cells whose total exceeds
+    ``hot_cell_rows`` come back (tiny by construction).
+    """
+    def partial_counts(t: pa.Table) -> pa.Table:
+        cell = t.column("cell").to_numpy()
+        u, c = np.unique(cell, return_counts=True)
+        return pa.table({"cell": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        light_ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="total"))
+    )
+    hot = totals.filter(
+        lambda row: row["total"] > cfg.hot_cell_rows
+    ).take_all()
+    return {
+        int(r["cell"]): int(min(64, -(-r["total"] // cfg.hot_cell_rows)))
+        for r in hot
+    }
+
+
+def _salt_of(image_id: np.ndarray, cell: np.ndarray, salts: dict[int, int]) -> np.ndarray:
+    out = np.zeros(len(cell), dtype=np.int64)
+    if not salts:
+        return out
+    h = splitmix64(hash64_str(image_id))
+    for c, n in salts.items():
+        m = cell == c
+        if m.any():
+            out[m] = (h[m] % np.uint64(n)).astype(np.int64)
+    return out
+
+
+def make_replicate_secondary(cfg: ConflationConfig, salts: dict[int, int]):
+    """Secondary rows fan out to k-ring(1) targets × salts of hot cells."""
+
+    def rep(t: pa.Table) -> pa.Table:
+        cell = t.column("cell").to_numpy()
+        ring = C.k_ring(cell, include_self=True)  # (n, 9)
+        n, r = ring.shape
+        idx = np.repeat(np.arange(n), r)
+        tgt = ring.reshape(-1)
+        base = t.take(idx)
+        out = base.set_column(
+            base.schema.get_field_index("cell"), "cell", pa.array(tgt, pa.int64())
+        )
+        # hot-cell salt fan-out: duplicate rows targeting a hot cell once per salt
+        if salts:
+            tcell = tgt
+            salt = np.zeros(len(tcell), dtype=np.int64)
+            extra_idx: list[np.ndarray] = []
+            extra_salt: list[np.ndarray] = []
+            for c, k in salts.items():
+                m = np.where(tcell == c)[0]
+                if len(m) and k > 1:
+                    for s in range(1, k):
+                        extra_idx.append(m)
+                        extra_salt.append(np.full(len(m), s, dtype=np.int64))
+            if extra_idx:
+                ei = np.concatenate(extra_idx)
+                es = np.concatenate(extra_salt)
+                out = pa.concat_tables([out, out.take(ei)])
+                salt = np.concatenate([salt, es])
+        else:
+            salt = np.zeros(len(tgt), dtype=np.int64)
+        out = out.append_column("salt", pa.array(salt, pa.int64()))
+        out = out.append_column(
+            "side", pa.array(np.ones(len(out), dtype=np.int8), pa.int8())
+        )
+        return _with_bucket(out, cfg)
+
+    return rep
+
+
+def make_tag_primary(cfg: ConflationConfig, salts: dict[int, int]):
+    def tag(t: pa.Table) -> pa.Table:
+        cell = t.column("cell").to_numpy()
+        ids = t.column("image_id").to_numpy(zero_copy_only=False)
+        salt = _salt_of(ids, cell, salts)
+        out = t.append_column("salt", pa.array(salt, pa.int64()))
+        out = out.append_column(
+            "side", pa.array(np.zeros(len(out), dtype=np.int8), pa.int8())
+        )
+        return _with_bucket(out, cfg)
+
+    return tag
+
+
+def _with_bucket(t: pa.Table, cfg: ConflationConfig) -> pa.Table:
+    cell = t.column("cell").to_numpy()
+    salt = t.column("salt").to_numpy()
+    b = C.bucket_of(cell, cfg.num_buckets, salt=salt.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    return t.append_column("bucket", pa.array(b, pa.int64()))
+
+
+def _ref_token(captions: np.ndarray) -> np.ndarray:
+    """Second-token of FR/FS-style refs, uppercased; '' when not a ref.
+    Mirrors the conflator.py:605-615 whitespace-split[1] comparison."""
+    out = np.empty(len(captions), dtype=object)
+    for i, s in enumerate(captions):
+        m = _REF_PAT.match(s or "")
+        out[i] = m.group(1).upper() if m else ""
+    return out
+
+
+def match_bucket(df: pd.DataFrame, cfg: ConflationConfig) -> pd.DataFrame:
+    """Score one shuffle bucket: all (cell, salt) groups it contains.
+
+    Candidate pairs are generated per exact cell group (tiny, numpy
+    cross-distance), then scored in ONE vectorized pass for the whole
+    bucket (batched caption DP + SWAR hamming) — no per-pair Python in
+    the hot loop.
+    """
+    prim = df[df["side"] == 0]
+    sec = df[df["side"] == 1]
+    n_p = len(prim)
+    if n_p == 0:
+        return _empty_decisions()
+
+    p_lon = prim["lon"].to_numpy()
+    p_lat = prim["lat"].to_numpy()
+    p_cell = prim["cell"].to_numpy()
+    p_salt = prim["salt"].to_numpy()
+    s_lon = sec["lon"].to_numpy()
+    s_lat = sec["lat"].to_numpy()
+    s_cell = sec["cell"].to_numpy()
+    s_salt = sec["salt"].to_numpy()
+
+    # group both sides by (cell, salt) via sort + searchsorted. The key is a
+    # 64-bit mix rather than exact bit-packing (cell already uses the high
+    # bits); a mix collision merely merges two unrelated cells into one
+    # group — harmless for correctness since the distance gate still
+    # applies and every true candidate is co-replicated by the k-ring.
+    def keyed(cell, salt):
+        return splitmix64(
+            cell.astype(np.int64).view(np.uint64)
+            + splitmix64(salt.astype(np.uint64))
+        ).view(np.int64)
+
+    pk = keyed(p_cell, p_salt)
+    sk = keyed(s_cell, s_salt)
+    p_ord = np.argsort(pk, kind="stable")
+    s_ord = np.argsort(sk, kind="stable")
+    pk_s = pk[p_ord]
+    sk_s = sk[s_ord]
+
+    pi_list: list[np.ndarray] = []
+    si_list: list[np.ndarray] = []
+    d_list: list[np.ndarray] = []
+    groups = np.unique(pk_s)
+    p_bounds = np.searchsorted(pk_s, groups), np.searchsorted(pk_s, groups, side="right")
+    s_lo = np.searchsorted(sk_s, groups)
+    s_hi = np.searchsorted(sk_s, groups, side="right")
+    for g in range(len(groups)):
+        p_idx = p_ord[p_bounds[0][g]:p_bounds[1][g]]
+        s_idx = s_ord[s_lo[g]:s_hi[g]]
+        if len(s_idx) == 0:
+            continue
+        d = haversine_cross_m(p_lon[p_idx], p_lat[p_idx], s_lon[s_idx], s_lat[s_idx])
+        within = d <= cfg.distance_m
+        if not within.any():
+            continue
+        # cap at max_candidates nearest per primary (deterministic)
+        if len(s_idx) > cfg.max_candidates:
+            order = np.argsort(d, axis=1, kind="stable")[:, : cfg.max_candidates]
+            keep = np.zeros_like(within)
+            np.put_along_axis(keep, order, True, axis=1)
+            within &= keep
+        rr, cc = np.nonzero(within)
+        pi_list.append(p_idx[rr])
+        si_list.append(s_idx[cc])
+        d_list.append(d[rr, cc])
+
+    if pi_list:
+        pi = np.concatenate(pi_list)
+        si = np.concatenate(si_list)
+        dist = np.concatenate(d_list)
+    else:
+        pi = np.empty(0, dtype=np.int64)
+        si = np.empty(0, dtype=np.int64)
+        dist = np.empty(0, dtype=np.float64)
+
+    # ---- vectorized scoring over all candidate pairs of the bucket ----
+    p_cap_all = prim["caption"].to_numpy()
+    s_cap_all = sec["caption"].to_numpy()
+    cap_p = p_cap_all[pi]
+    cap_s = s_cap_all[si]
+    ratio = batch_indel_ratio(cap_p, cap_s)
+    lens_p = np.fromiter((len(x) for x in cap_p), dtype=np.int64, count=len(cap_p))
+    lens_s = np.fromiter((len(x) for x in cap_s), dtype=np.int64, count=len(cap_s))
+    caption_hit = (ratio > cfg.fuzz_threshold) & (np.abs(lens_p - lens_s) <= cfg.len_diff_max)
+    ref_p = _ref_token(cap_p)
+    ref_s = _ref_token(cap_s)
+    ref_hit = (ref_p != "") & (ref_p == ref_s) & ~caption_hit
+    ham = hamming64(prim["phash"].to_numpy()[pi], sec["phash"].to_numpy()[si]) if len(pi) else np.empty(0, dtype=np.int64)
+    phash_hit = ham <= cfg.phash_hamming_max
+    hits = caption_hit.astype(np.int64) + ref_hit.astype(np.int64) + phash_hit.astype(np.int64)
+
+    # ---- best candidate per primary: (hits desc, dist asc, sid asc) ----
+    s_ids_all = sec["image_id"].to_numpy()
+    dist_mm = np.round(dist * 1000.0).astype(np.int64)
+    if len(pi):
+        order = np.lexsort((s_ids_all[si], dist_mm, -hits, pi))
+        pi_o = pi[order]
+        first = np.ones(len(pi_o), dtype=bool)
+        first[1:] = pi_o[1:] != pi_o[:-1]
+        best = order[first]
+        best_pi = pi[best]
+    else:
+        best = np.empty(0, dtype=np.int64)
+        best_pi = np.empty(0, dtype=np.int64)
+
+    p_ids_all = prim["image_id"].to_numpy()
+    matched_id = np.full(n_p, None, dtype=object)
+    out_hits = np.zeros(n_p, dtype=np.int64)
+    out_dist = np.full(n_p, -1, dtype=np.int64)
+    out_old = np.full(n_p, None, dtype=object)
+    decision = np.full(n_p, "new", dtype=object)
+    if len(best):
+        matched_id[best_pi] = s_ids_all[si[best]]
+        out_hits[best_pi] = hits[best]
+        out_dist[best_pi] = dist_mm[best]
+        old = s_cap_all[si[best]]
+        differs = old != p_cap_all[best_pi]
+        out_old[best_pi] = np.where(differs, old, None)
+        dup = (hits[best] >= cfg.min_hits_accept) & (dist_mm[best] <= cfg.dup_distance_m * 1000.0)
+        decision[best_pi] = np.where(dup, "duplicate", "merged")
+
+    out = pd.DataFrame(
+        {
+            "image_id": p_ids_all,
+            "matched_id": matched_id,
+            "decision": decision,
+            "hits": out_hits,
+            "dist_mm": out_dist,
+            "caption": p_cap_all,
+            "old_caption": out_old,
+            "lon": p_lon,
+            "lat": p_lat,
+            "cell": p_cell,
+        }
+    )
+    # pin nullable text columns to pandas "string" so an all-null block
+    # still unions with string blocks at the Arrow level
+    for col in ("image_id", "matched_id", "decision", "caption", "old_caption"):
+        out[col] = out[col].astype("string")
+    return out
+
+
+def _empty_decisions() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "image_id": pd.Series(dtype="string"),
+            "matched_id": pd.Series(dtype="string"),
+            "decision": pd.Series(dtype="string"),
+            "hits": pd.Series(dtype=np.int64),
+            "dist_mm": pd.Series(dtype=np.int64),
+            "caption": pd.Series(dtype="string"),
+            "old_caption": pd.Series(dtype="string"),
+            "lon": pd.Series(dtype=np.float64),
+            "lat": pd.Series(dtype=np.float64),
+            "cell": pd.Series(dtype=np.int64),
+        }
+    )
+
+
+def conflate_datasets(primary_ds, secondary_ds, cfg: ConflationConfig | None = None,
+                      skew_salting: bool = True):
+    """End-to-end conflation join over two Ray Datasets of image rows.
+
+    Returns a Dataset of per-primary decision rows (streaming; the one
+    all-to-all exchange is the bucket groupby).
+    """
+    cfg = cfg or ConflationConfig()
+    prep = lambda t: prepare(t, cfg)  # noqa: E731
+    p_light = primary_ds.map_batches(prep, batch_format="pyarrow", batch_size=cfg.batch_size)
+    s_light = secondary_ds.map_batches(prep, batch_format="pyarrow", batch_size=cfg.batch_size)
+
+    salts: dict[int, int] = {}
+    if skew_salting:
+        salts = plan_salts(p_light.union(s_light), cfg)
+
+    p_tag = p_light.map_batches(
+        make_tag_primary(cfg, salts), batch_format="pyarrow", batch_size=cfg.batch_size
+    )
+    s_rep = s_light.map_batches(
+        make_replicate_secondary(cfg, salts), batch_format="pyarrow", batch_size=cfg.batch_size
+    )
+    both = p_tag.union(s_rep)
+    return both.groupby("bucket").map_groups(
+        lambda df: match_bucket(df, cfg), batch_format="pandas"
+    )

@@ -1,0 +1,86 @@
+"""Per-partition checkpoint manifest → kill-and-resume without recompute.
+
+BASELINE.json north_rule: "resumable from checkpoint with per-partition
+lineage + metrics". The reference has no checkpointing at all (a failed
+``conflateData`` rerun restarts from zero; its only idempotence is the
+file-tree fan-out of contrib/update.sh). Engine design:
+
+* work is partitioned by shuffle **bucket** (hash of (cell, salt) —
+  stages/conflate.py); each bucket's decision rows are written to
+  ``out_dir/bucket=<b>/part-*.parquet`` ATOMICALLY (tmp dir + rename);
+* alongside, ``out_dir/_manifest/bucket=<b>.json`` records lineage
+  (bucket id, distinct cells, row count, input row count) + metrics
+  (wall seconds) — written only after the data rename succeeds;
+* resume = read the manifest dir, broadcast the finished-bucket set,
+  and filter those buckets out of the shuffle input before the
+  groupby: finished cells are never rescored.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def finished_buckets(out_dir: str) -> set[int]:
+    d = manifest_dir(out_dir)
+    if not os.path.isdir(d):
+        return set()
+    out = set()
+    for f in os.listdir(d):
+        if f.startswith("bucket=") and f.endswith(".json"):
+            try:
+                with open(os.path.join(d, f)) as fh:
+                    out.add(int(json.load(fh)["bucket"]))
+            except (ValueError, KeyError, json.JSONDecodeError):
+                continue  # torn write → bucket not finished
+    return out
+
+
+def write_bucket_partition(out_dir: str, bucket: int, table: pa.Table,
+                           input_rows: int, wall_s: float, cells: list[int]) -> None:
+    """Atomic partition write + manifest record (idempotent per bucket)."""
+    part_dir = os.path.join(out_dir, f"bucket={bucket}")
+    tmp_dir = part_dir + ".tmp"
+    os.makedirs(tmp_dir, exist_ok=True)
+    pq.write_table(table, os.path.join(tmp_dir, "part-0.parquet"))
+    if os.path.isdir(part_dir):  # stale partial from a killed run
+        import shutil
+
+        shutil.rmtree(part_dir)
+    os.rename(tmp_dir, part_dir)
+    os.makedirs(manifest_dir(out_dir), exist_ok=True)
+    rec = {
+        "bucket": int(bucket),
+        "rows": table.num_rows,
+        "input_rows": int(input_rows),
+        "n_cells": len(cells),
+        "cell_min": min(cells) if cells else None,
+        "cell_max": max(cells) if cells else None,
+        "wall_s": round(wall_s, 4),
+        "ts": time.time(),
+    }
+    tmp = os.path.join(manifest_dir(out_dir), f".bucket={bucket}.json.tmp")
+    dst = os.path.join(manifest_dir(out_dir), f"bucket={bucket}.json")
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh)
+    os.replace(tmp, dst)
+
+
+def read_output(out_dir: str) -> pa.Table:
+    """Read back all finished partitions (driver-side, for tests)."""
+    parts = []
+    for d in sorted(os.listdir(out_dir)):
+        if d.startswith("bucket=") and not d.endswith(".tmp"):
+            for f in sorted(os.listdir(os.path.join(out_dir, d))):
+                if f.endswith(".parquet"):
+                    parts.append(pq.read_table(os.path.join(out_dir, d, f)))
+    return pa.concat_tables(parts) if parts else pa.table({})

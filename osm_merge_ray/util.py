@@ -1,0 +1,48 @@
+"""Deterministic hashing / RNG helpers (vectorized, dependency-free).
+
+All randomness in the engine and its synthetic fixtures flows through
+splitmix64 so results are reproducible across processes and machines
+(Python's ``hash`` is salted per process and must never be used).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+_MASK64 = _U64(0xFFFFFFFFFFFFFFFF)
+
+
+def splitmix64(x: np.ndarray | int) -> np.ndarray | int:
+    """The public splitmix64 finalizer (Steele et al., JPDC 2014).
+
+    Vectorized over uint64 arrays; scalar ints also accepted.
+    """
+    scalar = np.isscalar(x)
+    z = np.asarray(x, dtype=_U64)
+    with np.errstate(over="ignore"):
+        z = (z + _U64(0x9E3779B97F4A7C15)) & _MASK64
+        z = ((z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)) & _MASK64
+        z = ((z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)) & _MASK64
+        z = z ^ (z >> _U64(31))
+    return int(z) if scalar else z
+
+
+def hash64_str(values) -> np.ndarray:
+    """Deterministic 64-bit FNV-1a hash of an array-like of strings."""
+    out = np.empty(len(values), dtype=np.uint64)
+    fnv_offset = 0xCBF29CE484222325
+    fnv_prime = 0x100000001B3
+    mask = 0xFFFFFFFFFFFFFFFF
+    for i, v in enumerate(values):
+        h = fnv_offset
+        for b in str(v).encode("utf-8"):
+            h = ((h ^ b) * fnv_prime) & mask
+        out[i] = h
+    return out
+
+
+def uniform01(x: np.ndarray, salt: int = 0) -> np.ndarray:
+    """Deterministic uniform [0,1) doubles from uint64 keys."""
+    h = splitmix64(np.asarray(x, dtype=_U64) ^ _U64(salt & 0xFFFFFFFFFFFFFFFF))
+    return (h >> _U64(11)).astype(np.float64) / float(1 << 53)

@@ -1,0 +1,141 @@
+"""End-to-end conflation tests: engine (cell-sharded, vectorized) vs the
+brute-force O(N*M) oracle, plus tiling, decode-verify and checkpoint
+resume."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from osm_merge_ray.config import ConflationConfig
+from osm_merge_ray.geo.mercator import TileGrid
+from osm_merge_ray.image.stages import DecodeVerify
+from osm_merge_ray.pipelines.conflation import flagship, run_checkpointed
+from osm_merge_ray.stages.conflate import conflate_datasets
+from osm_merge_ray.state import checkpoint as CK
+from osm_merge_ray.synth import synth_table
+
+from tests.oracle import conflate_oracle
+
+N = 600
+CFG = ConflationConfig(cell_res=15, num_buckets=16, hot_cell_rows=200)
+
+CMP_COLS = ["image_id", "matched_id", "decision", "hits", "dist_mm", "caption", "old_caption"]
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    out = df[CMP_COLS].copy()
+    for c in ("image_id", "matched_id", "decision", "caption", "old_caption"):
+        out[c] = out[c].astype(object).where(pd.notna(out[c]), None)
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def sides():
+    tp = synth_table(N, "primary", with_bytes=False)
+    ts = synth_table(N, "secondary", with_bytes=False)
+    return tp, ts
+
+
+@pytest.fixture(scope="module")
+def oracle_out(sides):
+    tp, ts = sides
+    return _norm(conflate_oracle(tp.to_pandas(), ts.to_pandas(), CFG))
+
+
+def test_engine_matches_bruteforce_oracle(ray_session, sides, oracle_out):
+    tp, ts = sides
+    got = conflate_datasets(rd.from_arrow(tp), rd.from_arrow(ts), CFG,
+                            skew_salting=False).to_pandas()
+    assert len(got) == N
+    pd.testing.assert_frame_equal(_norm(got), oracle_out)
+
+
+def test_hot_cell_salting_is_semantically_invisible(ray_session, sides, oracle_out):
+    """Skew splitting must not change any decision (hot_cell_rows=5
+    forces heavy salting on the planted dense clusters)."""
+    tp, ts = sides
+    cfg = ConflationConfig(cell_res=15, num_buckets=16, hot_cell_rows=5)
+    got = conflate_datasets(rd.from_arrow(tp), rd.from_arrow(ts), cfg,
+                            skew_salting=True).to_pandas()
+    pd.testing.assert_frame_equal(_norm(got), oracle_out)
+
+
+def test_planted_categories_come_out_right(ray_session, sides):
+    tp, ts = sides
+    got = conflate_datasets(rd.from_arrow(tp), rd.from_arrow(ts), CFG,
+                            skew_salting=False).to_pandas()
+    got["i"] = got["image_id"].str[1:].astype(int)
+    cat = got.set_index("i")
+    # exact duplicates (cat 0,1): matched to same index, duplicate
+    sub = cat[cat.index % 10 <= 1]
+    assert (sub["decision"] == "duplicate").mean() > 0.95
+    # near-dups (2-5): merged with hits >= 2 to the planted partner
+    sub = cat[(cat.index % 10 >= 2) & (cat.index % 10 <= 5)]
+    matched = sub["matched_id"].dropna().str[1:].astype(int)
+    assert (matched == matched.index).mean() > 0.95
+    assert (sub["hits"] >= 2).mean() > 0.9
+    # uniques (7-9): new
+    sub = cat[cat.index % 10 >= 7]
+    assert (sub["decision"] == "new").mean() > 0.95
+
+
+def test_tile_assignment_matches_direct_projection(ray_session, sides):
+    tp, ts = sides
+    from osm_merge_ray.pipelines.conflation import default_grid
+    from osm_merge_ray.stages.tiling import assign_tiles
+
+    cfg = CFG
+    grid = default_grid(cfg)
+    out = assign_tiles(
+        conflate_datasets(rd.from_arrow(tp), rd.from_arrow(ts), cfg, skew_salting=False),
+        grid,
+    ).to_pandas()
+    exp = grid.tile_of_lonlat(out["lon"].to_numpy(), out["lat"].to_numpy())
+    assert np.array_equal(out["tile_id"].to_numpy(), exp)
+    assert out["tile_id"].nunique() > 10  # spread across the grid
+
+
+def test_decode_verify_stage_direct():
+    t = synth_table(64, "primary", with_bytes=True)
+    out = DecodeVerify()(t)
+    assert out.column("decode_ok").to_pylist() == [True] * 64
+    assert out.column("dims_ok").to_pylist() == [True] * 64
+    assert max(out.column("phash_dist").to_pylist()) == 0
+    assert min(out.column("psnr_db").to_pylist()) >= 40.0
+    assert "bytes" not in out.column_names
+
+
+def test_flagship_smoke(ray_session):
+    out = flagship(n_per_side=200, cfg=ConflationConfig(num_buckets=8)).to_pandas()
+    assert len(out) == 200
+    assert set(out["decision"].unique()) <= {"new", "merged", "duplicate"}
+    assert "tile_id" in out.columns
+
+
+def test_checkpoint_resume_equals_fresh_run(ray_session, sides, tmp_path):
+    tp, ts = sides
+    cfg = ConflationConfig(cell_res=15, num_buckets=16, hot_cell_rows=200)
+    fresh_dir = str(tmp_path / "fresh")
+    m1 = run_checkpointed(rd.from_arrow(tp), rd.from_arrow(ts), fresh_dir, cfg)
+    assert m1["rows_emitted"] == N
+    fresh = CK.read_output(fresh_dir).to_pandas()
+
+    # simulate a killed job: drop a third of the finished partitions
+    resume_dir = str(tmp_path / "resumed")
+    shutil.copytree(fresh_dir, resume_dir)
+    buckets = sorted(CK.finished_buckets(resume_dir))
+    for b in buckets[:: 3]:
+        shutil.rmtree(os.path.join(resume_dir, f"bucket={b}"))
+        os.remove(os.path.join(CK.manifest_dir(resume_dir), f"bucket={b}.json"))
+    kept = len(CK.finished_buckets(resume_dir))
+    assert kept < len(buckets)
+
+    m2 = run_checkpointed(rd.from_arrow(tp), rd.from_arrow(ts), resume_dir, cfg)
+    assert m2["buckets_skipped"] == kept
+    resumed = CK.read_output(resume_dir).to_pandas()
+    pd.testing.assert_frame_equal(_norm(fresh), _norm(resumed))
