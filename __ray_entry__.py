@@ -1,44 +1,52 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the osm_merge_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here
+(or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship conflation pipeline (synthetic image+caption
+  tables per BASELINE.json input_hint; sf0.001-scale) → decision rows.
+* ``queries()`` — one callable per implemented operator family
+  (SURVEY.md §2 + the training-data operators), each ``(sf_dir) →``
+  Dataset / DataFrame / Table.
+* ``oracle_sql()`` — DuckDB-equivalent SQL for every query whose
+  semantics are SQL-expressible; the remaining entries (LSH/IVF
+  internals, image decoding, the image-table conflation itself) are
+  rows-only here and oracle-verified in pytest instead
+  (tests/test_conflation.py: brute-force O(N*M) oracle).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+# Ray actor workers must be able to import the package regardless of the
+# driver's cwd; PYTHONPATH propagates to workers spawned after init too.
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthesize primary/secondary image tables distributed,
+    decode+verify payloads (actor pool), conflate via the cell shuffle,
+    assign tiles. Returns the decision Dataset."""
+    from osm_merge_ray.config import ConflationConfig
+    from osm_merge_ray.pipelines.conflation import flagship
+
+    return flagship(n_per_side=1000, cfg=ConflationConfig(num_buckets=32))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from osm_merge_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from osm_merge_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,143 @@
+"""Benchmark harness.
+
+``python bench.py``            one JSON line with headline + per-query seconds
+``python bench.py --scaling``  same pipeline at 8 and 32 CPUs in fresh
+                               processes → throughputs + scaling efficiency
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32),
+     GRAFT_BENCH_N (conflation rows per side; default scales with sf).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _bench_queries():
+    """(name, thunk) pairs for the per-query timings."""
+    from osm_merge_ray.pipelines import queries as Q
+
+    def consume(res):
+        if hasattr(res, "materialize"):
+            res.materialize()
+        return res
+
+    names = [
+        "q1_pricing_summary", "events_window", "events_sessionize",
+        "spatial_distance_join", "spatial_conflate",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "knn_cosine_topk", "text_quality_score",
+    ]
+    return [(n, lambda n=n: consume(Q.QUERIES[n](SF_DIR))) for n in names]
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    rd.DataContext.get_current().enable_operator_progress_bars = False
+
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from osm_merge_ray.config import ConflationConfig
+    from osm_merge_ray.pipelines.conflation import conflate_parquet
+    from osm_merge_ray.synth import synth_dataset
+
+    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    n_side = int(os.environ.get("GRAFT_BENCH_N", str(n_docs * 10)))
+
+    # one-time input generation (cached on disk, shared by the scaling
+    # runs so both levels read the identical input); untimed
+    data_dir = f"/tmp/graft_bench/n{n_side}"
+    for side in ("primary", "secondary"):
+        d = f"{data_dir}/{side}"
+        if not os.path.isdir(d) or not os.listdir(d):
+            os.makedirs(d, exist_ok=True)
+            synth_dataset(n_side, side, with_bytes=True).write_parquet(d)
+    # warm the page cache so the timed run measures compute+shuffle
+    import ray.data as _rd
+
+    _rd.read_parquet(f"{data_dir}/primary").count()
+
+    timings: dict[str, float] = {}
+
+    # headline: read → decode/verify (actor pool) → cell-shuffle conflate
+    # → tile assign → partitioned parquet write
+    out_dir = f"/tmp/graft_bench/out_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    cfg = ConflationConfig(num_buckets=max(64, NUM_CPUS * 4))
+    conflate_parquet(f"{data_dir}/primary", f"{data_dir}/secondary", cfg=cfg,
+                     decode_images=True, out_dir=out_dir)
+    headline = time.time() - t0
+    n_rows = pq.read_table(out_dir, columns=["decision"]).num_rows
+    timings["flagship_conflation"] = round(headline, 3)
+
+    for name, thunk in _bench_queries():
+        t0 = time.time()
+        thunk()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = sum(timings.values())
+    result = {
+        "metric": "conflation throughput (matched feature-pairs/sec + tiles/sec) over synthetic image+caption tables + operator suite seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "num_cpus": NUM_CPUS,
+        "flagship_rows": int(n_rows),
+        "flagship_rows_per_sec": round(n_rows / headline, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling():
+    lo, hi = 8, 32
+    out = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        env.pop("GRAFT_SCALING", None)
+        p = subprocess.run([sys.executable, os.path.join(_REPO, "bench.py")],
+                           env=env, capture_output=True, text=True, check=True)
+        out[n] = json.loads(p.stdout.strip().splitlines()[-1])
+    t_lo = out[lo]["queries"]["flagship_conflation"]
+    t_hi = out[hi]["queries"]["flagship_conflation"]
+    speedup = t_lo / t_hi
+    eff = speedup / (hi / lo)
+    print(json.dumps({
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "rows_per_sec_8": out[lo]["flagship_rows_per_sec"],
+        "rows_per_sec_32": out[hi]["flagship_rows_per_sec"],
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(eff, 3),
+        "total_sec_8": out[lo]["value"],
+        "total_sec_32": out[hi]["value"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

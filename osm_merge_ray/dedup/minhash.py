@@ -1,0 +1,173 @@
+"""MinHash + LSH near-duplicate detection (Broder 1997; banding per
+Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" ch. 3).
+
+Pipeline shape (all Ray-Data-native, one shuffle on band buckets):
+
+1. ``map_batches``: word-shingle each doc, hash shingles (splitmix64 of
+   FNV), ``num_perm`` minhashes via the universal-hash trick
+   ``h_i(x) = splitmix64(x ^ seed_i)`` (vectorized: one (n_shingle,
+   num_perm) min-reduce per doc), fold into ``bands`` rows
+   ``(band_id, band_hash, doc_id)``.
+2. ``groupby(band_id, band_hash)``: docs sharing any band bucket are
+   candidate pairs (emitted per group, smallest-id-first).
+3. verify: exact shingle-set Jaccard >= threshold (recompute shingles
+   from the pair's texts — regenerated, not shipped).
+
+At 10^12 scale step 3 joins back to text by doc_id fragment-locally;
+here docs are small enough to carry the shingle hashes through.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from osm_merge_ray.util import splitmix64
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Distinct 64-bit hashes of word k-grams."""
+    words = text.split(" ")
+    if len(words) < k:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        h = _FNV_OFFSET
+        with np.errstate(over="ignore"):
+            for b in g.encode("utf-8"):
+                h = (h ^ np.uint64(b)) * _FNV_PRIME
+        out[i] = h
+    return np.unique(out)
+
+
+class MinHasher:
+    """Actor-pool stage: seeds prepared once; emits one row per band."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, k: int = 3,
+                 id_column: str = "doc_id", text_column: str = "text"):
+        assert num_perm % bands == 0
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.k = k
+        self.id_column = id_column
+        self.text_column = text_column
+        self.seeds = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = shingle_hashes(text, self.k)
+        if len(sh) == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        # h_i(x) = splitmix64(x ^ seed_i): (n_shingles, num_perm)
+        m = splitmix64(sh[:, None] ^ self.seeds[None, :])
+        return m.min(axis=0)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_column).to_pylist()
+        texts = t.column(self.text_column).to_pylist()
+        band_id = []
+        band_hash = []
+        doc_id = []
+        for did, txt in zip(ids, texts):
+            sig = self.signature(txt or "")
+            folded = sig.reshape(self.bands, self.rows_per_band)
+            with np.errstate(over="ignore"):
+                bh = folded[:, 0].copy()
+                for j in range(1, self.rows_per_band):
+                    bh = splitmix64(bh ^ folded[:, j])
+            band_id.extend(range(self.bands))
+            band_hash.extend(bh.astype(np.int64).tolist())
+            doc_id.extend([did] * self.bands)
+        return pa.table(
+            {
+                "band_id": pa.array(band_id, pa.int32()),
+                "band_hash": pa.array(band_hash, pa.int64()),
+                self.id_column: pa.array(doc_id),
+            }
+        )
+
+
+def _bucket_pairs(df: pd.DataFrame, id_column: str) -> pd.DataFrame:
+    """Vectorized pair emission for one hash bucket of band rows:
+    same-(band_id, band_hash) pairs, deduped within the bucket."""
+    from osm_merge_ray.ops import same_key_pairs
+
+    key = splitmix64(
+        df["band_hash"].to_numpy().view(np.uint64)
+        ^ splitmix64(df["band_id"].to_numpy().astype(np.uint64))
+    ).view(np.int64)
+    ids = df[id_column].to_numpy()
+    ia, ib = same_key_pairs(key, key)
+    keep = ids[ia] < ids[ib]
+    ia, ib = ia[keep], ib[keep]
+    if len(ia) == 0:
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64)})
+    packed = np.unique((ids[ia].astype(np.int64) << np.int64(31)) | ids[ib].astype(np.int64))
+    return pd.DataFrame({
+        "id_a": (packed >> np.int64(31)),
+        "id_b": packed & np.int64((1 << 31) - 1),
+    })
+
+
+def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
+                      id_column: str = "doc_id", text_column: str = "text",
+                      num_buckets: int = 64):
+    """Candidate pairs from LSH band buckets (distinct, sorted).
+
+    One shuffle keyed by hash(band_id, band_hash) folded into
+    ``num_buckets`` groups; pair dedup across buckets is a bucketed
+    drop_duplicates combine (ops.grouped_reduce)."""
+    from osm_merge_ray.ops import grouped_reduce
+
+    banded = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k,
+                               "id_column": id_column, "text_column": text_column},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 8),
+    )
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        key = splitmix64(
+            t.column("band_hash").to_numpy().view(np.uint64)
+            ^ splitmix64(t.column("band_id").to_numpy().astype(np.uint64))
+        )
+        b = (key % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    pairs = (
+        banded.map_batches(with_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(lambda df: _bucket_pairs(df, id_column), batch_format="pandas")
+    )
+    return grouped_reduce(
+        pairs, ["id_a", "id_b"],
+        lambda df: df.drop_duplicates(["id_a", "id_b"]),
+    )
+
+
+def verify_jaccard(pairs_df: pd.DataFrame, texts: dict, k: int = 3,
+                   threshold: float = 0.5) -> pd.DataFrame:
+    """Exact shingle Jaccard for candidate pairs (driver/test helper)."""
+    keep = []
+    jac = []
+    for a, b in zip(pairs_df["id_a"], pairs_df["id_b"]):
+        sa = shingle_hashes(texts[a], k)
+        sb = shingle_hashes(texts[b], k)
+        inter = len(np.intersect1d(sa, sb))
+        union = len(sa) + len(sb) - inter
+        j = inter / union if union else 1.0
+        jac.append(j)
+        keep.append(j >= threshold)
+    out = pairs_df.copy()
+    out["jaccard"] = jac
+    out["is_dup"] = keep
+    return out

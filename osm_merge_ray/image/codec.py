@@ -61,10 +61,7 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
         payload = zlib.compress(np.ascontiguousarray(pixels).tobytes(), 6)
         magic = _MAGIC_PNG
     elif fmt == "jpeg":
-        q = np.clip(
-            (pixels.astype(np.int32) + _Q_STEP // 2) // _Q_STEP * _Q_STEP, 0, 255
-        ).astype(np.uint8)
-        payload = zlib.compress(np.ascontiguousarray(q).tobytes(), 6)
+        payload = zlib.compress(np.ascontiguousarray(quantize(pixels)).tobytes(), 6)
         magic = _MAGIC_JPG
     else:
         raise NotImplementedError(
@@ -87,6 +84,15 @@ def decode(buf: bytes) -> np.ndarray:
 
 def is_lossy(fmt: str) -> bool:
     return fmt == "jpeg"
+
+
+def quantize(pixels: np.ndarray) -> np.ndarray:
+    """The lossy codec's quantizer (round-to-nearest, step 4) applied
+    directly — equal to decode(encode(pixels, "jpeg")) without the zlib
+    round trip."""
+    return np.clip(
+        (pixels.astype(np.int32) + _Q_STEP // 2) // _Q_STEP * _Q_STEP, 0, 255
+    ).astype(np.uint8)
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

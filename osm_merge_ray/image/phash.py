@@ -32,21 +32,36 @@ def _dct_matrix(n: int = 32) -> np.ndarray:
     return _DCT32
 
 
-def phash64(pixels: np.ndarray) -> int:
+def _gray32(pixels: np.ndarray) -> np.ndarray:
     gray = (
         0.299 * pixels[..., 0] + 0.587 * pixels[..., 1] + 0.114 * pixels[..., 2]
     )
-    small = resize_box(gray[..., None].astype(np.uint8), 32, 32)[..., 0].astype(np.float64)
+    return resize_box(gray[..., None].astype(np.uint8), 32, 32)[..., 0].astype(np.float64)
+
+
+_POW2 = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+
+
+def phash64_batch(images: list[np.ndarray]) -> np.ndarray:
+    """Batched pHash: per-image gray/resize, then ONE einsum DCT over the
+    whole (n, 32, 32) stack — the per-row Python cost is just the
+    decode+resize, not the transform."""
+    n = len(images)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    stack = np.empty((n, 32, 32))
+    for i, px in enumerate(images):
+        stack[i] = _gray32(px)
     m = _dct_matrix(32)
-    d = m @ small @ m.T
-    block = d[:8, :8].copy()
-    flat = block.flatten()
-    med = np.median(flat[1:])  # exclude DC
-    bits = (flat > med).astype(np.uint64)
-    h = np.uint64(0)
-    for b in bits:
-        h = (h << np.uint64(1)) | b
-    return int(h)
+    d = np.einsum("ij,njk,lk->nil", m, stack, m, optimize=True)
+    flat = d[:, :8, :8].reshape(n, 64)
+    med = np.median(flat[:, 1:], axis=1)
+    bits = flat > med[:, None]
+    return (bits.astype(np.uint64) @ _POW2).view(np.int64)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    return int(np.uint64(phash64_batch([pixels]).view(np.uint64)[0]))
 
 
 def hamming64(a, b) -> np.ndarray:

@@ -1,0 +1,112 @@
+"""Shared vectorized building blocks for keyed pair enumeration.
+
+The engine's joins (conflation candidates, gram/band bucket pairs)
+all reduce to "enumerate (i, j) with key_a[i] == key_b[j]" inside a
+shuffle bucket. Doing that with a Python loop over distinct keys costs
+~20 µs per key — ruinous with 10^5 keys per bucket — so this module
+does it with sort + searchsorted + repeat/cumsum only (O(n log n)
+numpy, no per-key Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_EMPTY = np.empty(0, dtype=np.int64)
+
+
+def same_key_pairs(ka: np.ndarray, kb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All index pairs (i, j) with ``ka[i] == kb[j]``, fully vectorized.
+
+    Returns (ia, jb) into the original arrays; pairs are grouped by i
+    (ascending) and, within i, ordered by kb's stable sort order.
+    """
+    ka = np.asarray(ka)
+    kb = np.asarray(kb)
+    if len(ka) == 0 or len(kb) == 0:
+        return _EMPTY, _EMPTY
+    ob = np.argsort(kb, kind="stable")
+    kbs = kb[ob]
+    lo = np.searchsorted(kbs, ka)
+    hi = np.searchsorted(kbs, ka, side="right")
+    cnt = hi - lo
+    total = int(cnt.sum())
+    if total == 0:
+        return _EMPTY, _EMPTY
+    ia = np.repeat(np.arange(len(ka), dtype=np.int64), cnt)
+    starts = np.repeat(lo, cnt)
+    offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    within = np.arange(total, dtype=np.int64) - np.repeat(offs, cnt)
+    return ia, ob[starts + within]
+
+
+def rank_within_groups(group_ids_sorted: np.ndarray) -> np.ndarray:
+    """Position of each element within its (already contiguous) group."""
+    n = len(group_ids_sorted)
+    if n == 0:
+        return _EMPTY
+    is_start = np.r_[True, group_ids_sorted[1:] != group_ids_sorted[:-1]]
+    grp_start = np.flatnonzero(is_start)
+    sizes = np.diff(np.r_[grp_start, n])
+    return np.arange(n, dtype=np.int64) - np.repeat(grp_start, sizes)
+
+
+def first_in_groups(group_ids_sorted: np.ndarray) -> np.ndarray:
+    """Boolean mask marking the first element of each contiguous group."""
+    n = len(group_ids_sorted)
+    if n == 0:
+        return np.empty(0, dtype=bool)
+    out = np.ones(n, dtype=bool)
+    out[1:] = group_ids_sorted[1:] != group_ids_sorted[:-1]
+    return out
+
+
+def grouped_reduce(ds, key_cols: list[str], reduce_fn, num_buckets: int = 64):
+    """High-cardinality grouped reduction without a high-cardinality
+    native groupby: hash the key columns into ``num_buckets`` shuffle
+    buckets, then apply a vectorized pandas reduction per bucket.
+
+    Ray's sort-based aggregate pays a per-distinct-group cost that blows
+    up at 10^4+ groups; this keeps the shuffle at ``num_buckets`` groups
+    and does the real grouping with a C-speed pandas groupby inside.
+    ``reduce_fn(df) -> df`` must be a pure combiner (rows of one key all
+    land in the same bucket, so one call sees the whole group).
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from osm_merge_ray.util import splitmix64
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        h = np.zeros(len(t), dtype=np.uint64)
+        for c in key_cols:
+            col = t.column(c)
+            if pa.types.is_integer(col.type):
+                v = col.to_numpy().astype(np.int64).view(np.uint64)
+            else:
+                from osm_merge_ray.util import hash64_str
+
+                v = hash64_str(col.to_pylist())
+            h = splitmix64(h ^ splitmix64(v))
+        b = (h % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("_rbucket", pa.array(b, pa.int64()))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return reduce_fn(df.drop(columns=["_rbucket"]))
+
+    return (
+        ds.map_batches(with_bucket, batch_format="pyarrow")
+        .groupby("_rbucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def pack_pair(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pack two non-negative < 2^31 ids into one int64 (for native
+    distinct/unique instead of a groupby-head dedup)."""
+    return (np.asarray(a, dtype=np.int64) << np.int64(31)) | np.asarray(b, dtype=np.int64)
+
+
+def unpack_pair(p: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    p = np.asarray(p, dtype=np.int64)
+    return p >> np.int64(31), p & np.int64((1 << 31) - 1)

@@ -49,6 +49,34 @@ def flagship(n_per_side: int = 1000, cfg: ConflationConfig | None = None,
     return assign_tiles(decisions, default_grid(cfg))
 
 
+def conflate_parquet(primary_path: str, secondary_path: str,
+                     cfg: ConflationConfig | None = None,
+                     decode_images: bool = True, out_dir: str | None = None,
+                     skew_salting: bool = True):
+    """The production-shaped flagship: parquet (Lance-shaped) tables in,
+    optional actor-pool decode+verify, conflate, tile, partitioned
+    parquet out. Returns the lazy Dataset (or the written-row count
+    when ``out_dir`` is given)."""
+    import ray.data as rd
+
+    cfg = cfg or ConflationConfig()
+    p = rd.read_parquet(primary_path)
+    s = rd.read_parquet(secondary_path)
+    if decode_images:
+        p = p.map_batches(DecodeVerify, batch_format="pyarrow", batch_size=256,
+                          concurrency=(1, 8))
+        s = s.map_batches(DecodeVerify, batch_format="pyarrow", batch_size=256,
+                          concurrency=(1, 8))
+    out = assign_tiles(
+        CF.conflate_datasets(p, s, cfg, skew_salting=skew_salting),
+        default_grid(cfg),
+    )
+    if out_dir is not None:
+        out.write_parquet(out_dir)
+        return out
+    return out
+
+
 def run_checkpointed(primary_ds, secondary_ds, out_dir: str,
                      cfg: ConflationConfig | None = None,
                      resume: bool = True, skew_salting: bool = True) -> dict:
@@ -68,6 +96,9 @@ def run_checkpointed(primary_ds, secondary_ds, out_dir: str,
     prep = lambda t: CF.prepare(t, cfg)  # noqa: E731
     p_light = primary_ds.map_batches(prep, batch_format="pyarrow", batch_size=cfg.batch_size)
     s_light = secondary_ds.map_batches(prep, batch_format="pyarrow", batch_size=cfg.batch_size)
+    if skew_salting:
+        p_light = p_light.materialize()  # see conflate_datasets: one upstream pass
+        s_light = s_light.materialize()
     salts = CF.plan_salts(p_light.union(s_light), cfg) if skew_salting else {}
     p_tag = p_light.map_batches(CF.make_tag_primary(cfg, salts), batch_format="pyarrow",
                                 batch_size=cfg.batch_size)

@@ -1,0 +1,970 @@
+"""Driver-verifiable query suite: every operator family exposed as a
+``(sf_dir) -> Dataset/DataFrame`` callable plus (where expressible) an
+exactly-equivalent DuckDB SQL oracle.
+
+Float-parity discipline (the driver hashes VALUES): every query that
+must match SQL bit-for-bit restricts itself to IEEE-exactly-specified
+ops (+, -, *, /, sqrt, floor) applied in the same textual order as the
+SQL, integer arithmetic, or quantized outputs. No trig / no library
+sums on the comparison path. Similarities are rounded to 6 dp before
+ranking with an id tie-break.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# shared exact-parity constants (mirrored literally in the SQL strings)
+# ---------------------------------------------------------------------------
+HASH_A = 2654435761          # Knuth multiplicative constant
+HASH_B = 1315423911
+MOD = 4294967296.0           # 2^32
+CELL_DEG = 0.25              # exact binary fraction → exact division
+KX = 85263.0                 # m per deg lon at the AOI latitude (fixed)
+KY = 111195.0                # m per deg lat
+DIST_M = 20000.0
+D2_MAX = DIST_M * DIST_M     # 4e8 m^2
+CAP_LEN = 30                 # caption = first 30 chars of text
+CAP_SIM_MIN = 60.0
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    # cap the block count: all-to-all ops (sort/groupby) pay a fixed
+    # per-block cost, and the sf tables are small enough that the
+    # default splitter produces dozens of tiny blocks
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns,
+                           override_num_blocks=8)
+
+
+def _derive_lonlat(doc_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact-arithmetic synthetic centroid (bit-identical to the SQL)."""
+    i = doc_id.astype(np.int64)
+    h1 = (i * HASH_A) % np.int64(MOD)
+    h2 = ((i + HASH_B) * HASH_A) % np.int64(MOD)
+    lon = -113.0 + h1.astype(np.float64) / MOD * 9.0
+    lat = 37.0 + h2.astype(np.float64) / MOD * 7.0
+    return lon, lat
+
+
+_DERIVE_SQL = (
+    "-113.0 + (({id} * 2654435761) % 4294967296) / 4294967296.0 * 9.0",
+    "37.0 + ((({id} + 1315423911) * 2654435761) % 4294967296) / 4294967296.0 * 7.0",
+)
+
+
+# ---------------------------------------------------------------------------
+# spatial family (engine: cell shuffle + per-cell numpy; oracle: SQL join)
+# ---------------------------------------------------------------------------
+
+def _with_cells(t: pa.Table) -> pa.Table:
+    doc_id = t.column("doc_id").to_numpy()
+    lon, lat = _derive_lonlat(doc_id)
+    cx = np.floor((lon + 180.0) / CELL_DEG).astype(np.int64)
+    cy = np.floor((lat + 90.0) / CELL_DEG).astype(np.int64)
+    out = t.append_column("lon", pa.array(lon, pa.float64()))
+    out = out.append_column("lat", pa.array(lat, pa.float64()))
+    out = out.append_column("cx", pa.array(cx, pa.int64()))
+    out = out.append_column("cy", pa.array(cy, pa.int64()))
+    return out
+
+
+def spatial_cell_index(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return ds.map_batches(_with_cells, batch_format="pyarrow")
+
+
+SQL_CELL_INDEX = f"""
+SELECT doc_id,
+       {_DERIVE_SQL[0].format(id='doc_id')} AS lon,
+       {_DERIVE_SQL[1].format(id='doc_id')} AS lat,
+       CAST(floor(({_DERIVE_SQL[0].format(id='doc_id')} + 180.0) / 0.25) AS BIGINT) AS cx,
+       CAST(floor(({_DERIVE_SQL[1].format(id='doc_id')} + 90.0) / 0.25) AS BIGINT) AS cy
+FROM documents
+"""
+
+
+def _pack(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+    return cx * np.int64(4096) + cy  # cx<=1440, cy<=720 → exact, collision-free
+
+
+def _pair_groups(a: pd.DataFrame, b: pd.DataFrame, emit):
+    """Group A rows with replicated B rows by exact packed cell, run
+    ``emit(a_slice_indices, b_slice_indices)`` per cell."""
+    ka = _pack(a["cx"].to_numpy(), a["cy"].to_numpy())
+    kb = _pack(b["cx"].to_numpy(), b["cy"].to_numpy())
+    oa = np.argsort(ka, kind="stable")
+    ob = np.argsort(kb, kind="stable")
+    kas, kbs = ka[oa], kb[ob]
+    cells = np.unique(kas)
+    alo = np.searchsorted(kas, cells)
+    ahi = np.searchsorted(kas, cells, side="right")
+    blo = np.searchsorted(kbs, cells)
+    bhi = np.searchsorted(kbs, cells, side="right")
+    for g in range(len(cells)):
+        ai = oa[alo[g]:ahi[g]]
+        bi = ob[blo[g]:bhi[g]]
+        if len(bi):
+            emit(ai, bi)
+
+
+def _spatial_join_pipeline(sf_dir: str, extra_cols: list[str], group_fn):
+    """Shared plumbing: derive/cells → replicate odd side to 3x3 ring →
+    one bucket groupby → ``group_fn`` per bucket."""
+    import ray.data as rd
+
+    from osm_merge_ray.util import splitmix64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"] + extra_cols)
+    ds = ds.map_batches(_with_cells, batch_format="pyarrow")
+
+    def split_tag(t: pa.Table) -> pa.Table:
+        doc_id = t.column("doc_id").to_numpy()
+        even = doc_id % 2 == 0
+        a = t.filter(pa.array(even)).append_column(
+            "side", pa.array(np.zeros(int(even.sum()), dtype=np.int8))
+        )
+        b = t.filter(pa.array(~even))
+        # replicate odd side to its 3x3 neighborhood
+        reps = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                bb = b
+                cx = bb.column("cx").to_numpy() + dx
+                cy = bb.column("cy").to_numpy() + dy
+                bb = bb.set_column(bb.schema.get_field_index("cx"), "cx", pa.array(cx, pa.int64()))
+                bb = bb.set_column(bb.schema.get_field_index("cy"), "cy", pa.array(cy, pa.int64()))
+                reps.append(bb.append_column(
+                    "side", pa.array(np.ones(len(bb), dtype=np.int8))
+                ))
+        out = pa.concat_tables([a] + reps)
+        key = _pack(out.column("cx").to_numpy(), out.column("cy").to_numpy())
+        bucket = (splitmix64(key.view(np.uint64)) % np.uint64(64)).astype(np.int64)
+        return out.append_column("bucket", pa.array(bucket, pa.int64()))
+
+    tagged = ds.map_batches(split_tag, batch_format="pyarrow")
+    return tagged.groupby("bucket").map_groups(group_fn, batch_format="pandas")
+
+
+def spatial_distance_join(sf_dir: str):
+    """All (even doc, odd doc) pairs within 20 km planar distance."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 0]
+        b = df[df["side"] == 1]
+        ia, ib, d2s = [], [], []
+        a_lon, a_lat = a["lon"].to_numpy(), a["lat"].to_numpy()
+        b_lon, b_lat = b["lon"].to_numpy(), b["lat"].to_numpy()
+        a_id, b_id = a["doc_id"].to_numpy(), b["doc_id"].to_numpy()
+
+        def emit(ai, bi):
+            dx = (a_lon[ai][:, None] - b_lon[bi][None, :]) * KX
+            dy = (a_lat[ai][:, None] - b_lat[bi][None, :]) * KY
+            d2 = dx * dx + dy * dy
+            rr, cc = np.nonzero(d2 <= D2_MAX)
+            ia.extend(a_id[ai][rr].tolist())
+            ib.extend(b_id[bi][cc].tolist())
+            d2s.extend(d2[rr, cc].tolist())
+
+        _pair_groups(a, b, emit)
+        return pd.DataFrame({
+            "id_a": pd.array(ia, dtype=np.int64),
+            "id_b": pd.array(ib, dtype=np.int64),
+            "d2": pd.array(d2s, dtype=np.float64),
+        })
+
+    return _spatial_join_pipeline(sf_dir, [], per_bucket)
+
+
+SQL_DISTANCE_JOIN = f"""
+WITH pts AS (
+  SELECT doc_id,
+         {_DERIVE_SQL[0].format(id='doc_id')} AS lon,
+         {_DERIVE_SQL[1].format(id='doc_id')} AS lat
+  FROM documents
+), c AS (
+  SELECT doc_id, lon, lat,
+         CAST(floor((lon + 180.0) / 0.25) AS BIGINT) AS cx,
+         CAST(floor((lat + 90.0) / 0.25) AS BIGINT) AS cy
+  FROM pts
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ((a.lon - b.lon) * 85263.0) * ((a.lon - b.lon) * 85263.0)
+     + ((a.lat - b.lat) * 111195.0) * ((a.lat - b.lat) * 111195.0) AS d2
+FROM c a JOIN c b
+  ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+ AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  AND ((a.lon - b.lon) * 85263.0) * ((a.lon - b.lon) * 85263.0)
+    + ((a.lat - b.lat) * 111195.0) * ((a.lat - b.lat) * 111195.0) <= 400000000.0
+"""
+
+
+def spatial_conflate(sf_dir: str):
+    """SQL-checkable restatement of the conflation decision table over
+    derived points: caption = first 30 chars (Levenshtein-ratio scorer,
+    the DuckDB-expressible variant of fuzz matching), second key = lang
+    equality, best-by-(hits, distance, id), new/merged/duplicate."""
+    from osm_merge_ray.text.fuzz import batch_levenshtein
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 0]
+        b = df[df["side"] == 1]
+        a_lon, a_lat = a["lon"].to_numpy(), a["lat"].to_numpy()
+        b_lon, b_lat = b["lon"].to_numpy(), b["lat"].to_numpy()
+        a_id, b_id = a["doc_id"].to_numpy(), b["doc_id"].to_numpy()
+        a_txt = a["text"].str.slice(0, CAP_LEN).to_numpy()
+        b_txt = b["text"].str.slice(0, CAP_LEN).to_numpy()
+        a_lang, b_lang = a["lang"].to_numpy(), b["lang"].to_numpy()
+
+        pi, si, d2s = [], [], []
+
+        def emit(ai, bi):
+            dx = (a_lon[ai][:, None] - b_lon[bi][None, :]) * KX
+            dy = (a_lat[ai][:, None] - b_lat[bi][None, :]) * KY
+            d2 = dx * dx + dy * dy
+            rr, cc = np.nonzero(d2 <= D2_MAX)
+            pi.extend(ai[rr].tolist())
+            si.extend(bi[cc].tolist())
+            d2s.extend(d2[rr, cc].tolist())
+
+        _pair_groups(a, b, emit)
+        pi_a = np.asarray(pi, dtype=np.int64)
+        si_a = np.asarray(si, dtype=np.int64)
+        d2_a = np.asarray(d2s, dtype=np.float64)
+
+        n_p = len(a_id)
+        matched = np.full(n_p, -1, dtype=np.int64)
+        hits_out = np.zeros(n_p, dtype=np.int64)
+        d2_out = np.full(n_p, -1.0, dtype=np.float64)
+        if len(pi_a):
+            lev = batch_levenshtein(a_txt[pi_a], b_txt[si_a], maxlen=CAP_LEN)
+            la = np.fromiter((len(s) for s in a_txt[pi_a]), np.int64, len(pi_a))
+            lb = np.fromiter((len(s) for s in b_txt[si_a]), np.int64, len(pi_a))
+            sim = 100.0 * (1.0 - lev / np.maximum(np.maximum(la, lb), 1).astype(np.float64))
+            cap_hit = (sim > CAP_SIM_MIN) & (np.abs(la - lb) <= 3)
+            lang_hit = a_lang[pi_a] == b_lang[si_a]
+            hits = cap_hit.astype(np.int64) + lang_hit.astype(np.int64)
+            order = np.lexsort((b_id[si_a], d2_a, -hits, pi_a))
+            po = pi_a[order]
+            first = np.ones(len(po), dtype=bool)
+            first[1:] = po[1:] != po[:-1]
+            best = order[first]
+            matched[pi_a[best]] = b_id[si_a[best]]
+            hits_out[pi_a[best]] = hits[best]
+            d2_out[pi_a[best]] = d2_a[best]
+        decision = np.where(
+            matched < 0, "new", np.where(hits_out >= 2, "duplicate", "merged")
+        )
+        return pd.DataFrame({
+            "doc_id": a_id,
+            "matched_id": matched,
+            "decision": pd.array(decision, dtype="string"),
+            "hits": hits_out,
+            "d2": d2_out,
+        })
+
+    return _spatial_join_pipeline(sf_dir, ["text", "lang"], per_bucket)
+
+
+SQL_CONFLATE = f"""
+WITH pts AS (
+  SELECT doc_id, lang, substr(text, 1, 30) AS cap,
+         {_DERIVE_SQL[0].format(id='doc_id')} AS lon,
+         {_DERIVE_SQL[1].format(id='doc_id')} AS lat
+  FROM documents
+), c AS (
+  SELECT *, CAST(floor((lon + 180.0) / 0.25) AS BIGINT) AS cx,
+            CAST(floor((lat + 90.0) / 0.25) AS BIGINT) AS cy
+  FROM pts
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ((a.lon - b.lon) * 85263.0) * ((a.lon - b.lon) * 85263.0)
+       + ((a.lat - b.lat) * 111195.0) * ((a.lat - b.lat) * 111195.0) AS d2,
+         (CASE WHEN 100.0 * (1.0 - levenshtein(a.cap, b.cap)
+                 / CAST(greatest(length(a.cap), length(b.cap), 1) AS DOUBLE)) > 60.0
+                AND abs(length(a.cap) - length(b.cap)) <= 3
+               THEN 1 ELSE 0 END)
+       + (CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END) AS hits
+  FROM c a JOIN c b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+    AND ((a.lon - b.lon) * 85263.0) * ((a.lon - b.lon) * 85263.0)
+      + ((a.lat - b.lat) * 111195.0) * ((a.lat - b.lat) * 111195.0) <= 400000000.0
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY hits DESC, d2 ASC, id_b ASC) AS rn
+  FROM cand
+)
+SELECT p.doc_id,
+       COALESCE(b.id_b, -1) AS matched_id,
+       CASE WHEN b.id_b IS NULL THEN 'new'
+            WHEN b.hits >= 2 THEN 'duplicate'
+            ELSE 'merged' END AS decision,
+       COALESCE(b.hits, 0) AS hits,
+       COALESCE(b.d2, -1.0) AS d2
+FROM documents p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON p.doc_id = b.id_a
+WHERE p.doc_id % 2 = 0
+"""
+
+
+# quarter-degree exact tile grid (driver-checkable analog of the
+# EPSG:3857 tiling, which is pytest-verified instead — trig is not
+# bit-stable across engines)
+def spatial_tile_assign(sf_dir: str):
+    def tiles(t: pa.Table) -> pa.Table:
+        doc_id = t.column("doc_id").to_numpy()
+        lon, lat = _derive_lonlat(doc_id)
+        col = np.floor((lon + 113.0) / 0.25).astype(np.int64)
+        row = np.floor((lat - 37.0) / 0.25).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(doc_id),
+            "tile_col": pa.array(col, pa.int64()),
+            "tile_row": pa.array(row, pa.int64()),
+            "tile_id": pa.array(row * 64 + col, pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        tiles, batch_format="pyarrow"
+    )
+
+
+SQL_TILE_ASSIGN = f"""
+WITH pts AS (
+  SELECT doc_id,
+         {_DERIVE_SQL[0].format(id='doc_id')} AS lon,
+         {_DERIVE_SQL[1].format(id='doc_id')} AS lat
+  FROM documents
+)
+SELECT doc_id,
+       CAST(floor((lon + 113.0) / 0.25) AS BIGINT) AS tile_col,
+       CAST(floor((lat - 37.0) / 0.25) AS BIGINT) AS tile_row,
+       CAST(floor((lat - 37.0) / 0.25) AS BIGINT) * 64
+         + CAST(floor((lon + 113.0) / 0.25) AS BIGINT) AS tile_id
+FROM pts
+"""
+
+
+# three convex quads; point-in-polygon by cross-product signs (exact ops)
+_QUADS = [
+    (1, (-112.0, 38.0), (-109.0, 38.0), (-109.0, 41.0), (-112.0, 41.0)),
+    (2, (-108.5, 37.5), (-105.0, 38.5), (-105.5, 42.0), (-108.0, 41.0)),
+    (3, (-113.0, 41.5), (-110.0, 42.0), (-110.5, 44.0), (-112.5, 43.5)),
+]
+
+
+def spatial_point_in_polygon(sf_dir: str):
+    def pip(t: pa.Table) -> pa.Table:
+        doc_id = t.column("doc_id").to_numpy()
+        lon, lat = _derive_lonlat(doc_id)
+        region = np.zeros(len(doc_id), dtype=np.int64)
+        for rid, p1, p2, p3, p4 in reversed(_QUADS):  # priority: lowest id wins
+            inside = np.ones(len(doc_id), dtype=bool)
+            verts = [p1, p2, p3, p4]
+            for (x1, y1), (x2, y2) in zip(verts, verts[1:] + verts[:1]):
+                cross = (x2 - x1) * (lat - y1) - (y2 - y1) * (lon - x1)
+                inside &= cross >= 0.0
+            region = np.where(inside, rid, region)
+        return pa.table({
+            "doc_id": pa.array(doc_id),
+            "region_id": pa.array(region, pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        pip, batch_format="pyarrow"
+    )
+
+
+def _pip_sql_cond(quad) -> str:
+    _, p1, p2, p3, p4 = quad
+    verts = [p1, p2, p3, p4]
+    conds = []
+    for (x1, y1), (x2, y2) in zip(verts, verts[1:] + verts[:1]):
+        conds.append(
+            f"(({x2} - {x1}) * (lat - {y1}) - ({y2} - {y1}) * (lon - {x1})) >= 0.0"
+        )
+    return " AND ".join(conds)
+
+
+SQL_POINT_IN_POLYGON = f"""
+WITH pts AS (
+  SELECT doc_id,
+         {_DERIVE_SQL[0].format(id='doc_id')} AS lon,
+         {_DERIVE_SQL[1].format(id='doc_id')} AS lat
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN {_pip_sql_cond(_QUADS[0])} THEN 1
+            WHEN {_pip_sql_cond(_QUADS[1])} THEN 2
+            WHEN {_pip_sql_cond(_QUADS[2])} THEN 3
+            ELSE 0 END AS region_id
+FROM pts
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def dedup_exact_q(sf_dir: str):
+    from osm_merge_ray.dedup.exact import dedup_exact
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_exact(ds, column="text", id_column="doc_id")
+    return out.select_columns(["keep_id", "n_copies"])
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+def dedup_jaccard_q(sf_dir: str, threshold: float = 0.2):
+    from osm_merge_ray.dedup.jaccard import jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = jaccard_pairs(ds, k=3, threshold=threshold)
+    return out.select_columns(["id_a", "id_b", "inter", "na", "nb", "jaccard"])
+
+
+SQL_DEDUP_JACCARD = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+  FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+), n AS (
+  SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id
+), j AS (
+  SELECT g1.doc_id AS id_a, g2.doc_id AS id_b, count(*) AS inter
+  FROM g g1 JOIN g g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+  GROUP BY 1, 2
+)
+SELECT j.id_a, j.id_b, j.inter, na.ng AS na, nb.ng AS nb,
+       CAST(j.inter AS DOUBLE) / (na.ng + nb.ng - j.inter) AS jaccard
+FROM j JOIN n na ON j.id_a = na.doc_id JOIN n nb ON j.id_b = nb.doc_id
+WHERE CAST(j.inter AS DOUBLE) / (na.ng + nb.ng - j.inter) >= 0.2
+"""
+
+
+def dedup_minhash_q(sf_dir: str):
+    """MinHash-LSH candidate pairs — rows-only check (hash functions are
+    engine-internal); verified against exact Jaccard in pytest."""
+    from osm_merge_ray.dedup.minhash import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds).select_columns(["id_a", "id_b"])
+
+
+def dedup_simhash_q(sf_dir: str):
+    from osm_merge_ray.dedup.simhash import simhash_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=16).select_columns(["id_a", "id_b", "hamming"])
+
+
+def dedup_embedding_q(sf_dir: str, threshold: float = 0.35):
+    """Embedding-cosine near-dup pairs (double-precision, quantized)."""
+    import ray
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    all_rows = ds.take_all()
+    ids = np.array([r["vec_id"] for r in all_rows], dtype=np.int64)
+    mat = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in all_rows])
+    ref = ray.put((ids, mat))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        b_ids, b_mat = ray.get(ref)
+        ids_a = t.column("vec_id").to_numpy()
+        m = np.vstack([np.asarray(x, dtype=np.float64) for x in t.column("embedding").to_pylist()])
+        dots = m @ b_mat.T
+        na = np.sqrt((m * m).sum(axis=1))
+        nb = np.sqrt((b_mat * b_mat).sum(axis=1))
+        sim = np.round(dots / (na[:, None] * nb[None, :]), 6)
+        rr, cc = np.nonzero((sim >= threshold) & (ids_a[:, None] < b_ids[None, :]))
+        return pa.table({
+            "id_a": pa.array(ids_a[rr], pa.int64()),
+            "id_b": pa.array(b_ids[cc], pa.int64()),
+            "sim": pa.array(sim[rr, cc], pa.float64()),
+        })
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+), z AS (
+  -- unnest in the SELECT list zips the two lists positionally
+  SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM p
+), u AS (
+  SELECT id_a, id_b,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sx,
+         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sy
+  FROM z GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(dot / (sqrt(sx) * sqrt(sy)), 6) AS sim
+FROM u WHERE round(dot / (sqrt(sx) * sqrt(sy)), 6) >= 0.35
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def text_token_count_q(sf_dir: str):
+    from osm_merge_ray.text.analysis import token_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(token_stats, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens", "n_chars_calc", "avg_token_len"]
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+         / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) AS avg_token_len
+FROM documents
+"""
+
+
+def text_quality_q(sf_dir: str):
+    from osm_merge_ray.text.analysis import quality_score
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(quality_score, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens", "stopword_count", "stopword_ratio", "quality_keep"]
+    )
+
+
+SQL_QUALITY = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(string_split(text, ' '),
+            w -> w IN ('the','a','and','of','to','in','is','on','for','with'))) AS BIGINT)
+         AS stopword_count,
+       CAST(len(list_filter(string_split(text, ' '),
+            w -> w IN ('the','a','and','of','to','in','is','on','for','with'))) AS DOUBLE)
+         / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) AS stopword_ratio,
+       len(string_split(text, ' ')) >= 5 AND len(string_split(text, ' ')) <= 100000
+         AS quality_keep
+FROM documents
+"""
+
+
+def text_langid_q(sf_dir: str):
+    from osm_merge_ray.text.analysis import LangId
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    out = ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+    return out.select_columns(["doc_id", "lang", "lang_pred"])
+
+
+def text_fingerprint_q(sf_dir: str):
+    from osm_merge_ray.text.analysis import Fingerprint
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(Fingerprint, batch_format="pandas", concurrency=(1, 4))
+    return out.select_columns(["doc_id", "fingerprint", "fingerprint_size"])
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def _load_queries(sf_dir: str, n: int = 10):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(n)
+    qm = np.vstack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    return qm, df["vec_id"].to_numpy()
+
+
+def knn_topk_q(sf_dir: str, k: int = 5):
+    from osm_merge_ray.sim.knn import brute_force_topk
+
+    qm, qids = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, qm, qids, k=k)
+    return out.select_columns(["query_id", "neighbor_id", "sim", "rank"])
+
+
+SQL_KNN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 10
+), p AS (
+  SELECT q.qid, e.vec_id AS nid, e.embedding AS ee, q.qe
+  FROM q JOIN embeddings e ON e.vec_id != q.qid
+), z AS (
+  SELECT qid, nid, unnest(ee) AS x, unnest(qe) AS y FROM p
+), u AS (
+  SELECT qid, nid,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sx,
+         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sy
+  FROM z GROUP BY 1, 2
+), s AS (
+  SELECT qid, nid, round(dot / (sqrt(sx) * sqrt(sy)), 6) AS sim FROM u
+)
+SELECT qid AS query_id, nid AS neighbor_id, sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid ASC) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
+def knn_ivf_q(sf_dir: str, k: int = 5):
+    """IVF approximate top-k — rows-only (recall vs brute force is
+    asserted in pytest, not SQL-expressible)."""
+    from osm_merge_ray.sim.knn import ivf_topk
+
+    qm, qids = _load_queries(sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, qm, qids, k=k, n_centroids=8, nprobe=3)
+    return out.select_columns(["query_id", "neighbor_id", "sim", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# relational / streaming-shaped
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped aggregate with exact integer partial aggregation
+    inside map_batches before the (tiny) groupby — the canonical
+    pre-aggregate pattern."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = np.floor(t.column("l_quantity").to_numpy() * 100.0 + 0.5).astype(np.int64)
+        price = np.floor(t.column("l_extendedprice").to_numpy() * 100.0 + 0.5).astype(np.int64)
+        disc = np.floor(t.column("l_discount").to_numpy() * 100.0 + 0.5).astype(np.int64)
+        disc_price = price * (100 - disc)
+        df = pd.DataFrame({
+            "l_returnflag": t.column("l_returnflag").to_pylist(),
+            "l_linestatus": t.column("l_linestatus").to_pylist(),
+            "qty": qty, "price": price, "disc_price": disc_price,
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty_e2=("qty", "sum"), sum_price_e2=("price", "sum"),
+            sum_disc_price_e4=("disc_price", "sum"), n_rows=("qty", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty_e2", alias_name="sum_qty_e2"),
+            Sum("sum_price_e2", alias_name="sum_price_e2"),
+            Sum("sum_disc_price_e4", alias_name="sum_disc_price_e4"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS sum_qty_e2,
+       sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_price_e2,
+       sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))) AS sum_disc_price_e4,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def top_orders_by_revenue(sf_dir: str, k: int = 10):
+    """Revenue per order (exact integer cents), broadcast-joined to the
+    orders dim, global top-k with deterministic tie-break."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_orderpriority"])
+    lookup = dict(zip(orders.column("o_orderkey").to_pylist(),
+                      orders.column("o_orderpriority").to_pylist()))
+    ref = ray.put(lookup)
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = np.floor(t.column("l_extendedprice").to_numpy() * 100.0 + 0.5).astype(np.int64)
+        disc = np.floor(t.column("l_discount").to_numpy() * 100.0 + 0.5).astype(np.int64)
+        rev = price * (100 - disc)
+        df = pd.DataFrame({"l_orderkey": t.column("l_orderkey").to_numpy(), "rev": rev})
+        g = df.groupby("l_orderkey", as_index=False)["rev"].sum()
+        return pa.Table.from_pandas(g.rename(columns={"rev": "revenue_e4"}), preserve_index=False)
+
+    from osm_merge_ray.ops import grouped_reduce
+
+    per_order = grouped_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_orderkey"],
+        lambda df: df.groupby("l_orderkey", as_index=False)["revenue_e4"].sum(),
+    )
+    top = per_order.sort(["revenue_e4", "l_orderkey"], descending=[True, False]).limit(k)
+
+    def attach(t: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        keys = t.column("l_orderkey").to_pylist()
+        pri = [lk.get(kk) for kk in keys]
+        return t.append_column("o_orderpriority", pa.array(pri, pa.string()))
+
+    return top.map_batches(attach, batch_format="pyarrow").select_columns(
+        ["l_orderkey", "revenue_e4", "o_orderpriority"]
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT l_orderkey,
+       sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))) AS revenue_e4,
+       any_value(o.o_orderpriority) AS o_orderpriority
+FROM lineitem JOIN orders o ON l_orderkey = o.o_orderkey
+GROUP BY l_orderkey
+ORDER BY revenue_e4 DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def nation_revenue(sf_dir: str):
+    """orders ⋈ customer ⋈ nation via two broadcast lookups (small
+    sides shipped once with ray.put, no shuffle join)."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    c2n = dict(zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()))
+    n2name = dict(zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()))
+    ref = ray.put((c2n, n2name))
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def attach(t: pa.Table) -> pa.Table:
+        c2n_, n2name_ = ray.get(ref)
+        cust_keys = t.column("o_custkey").to_pylist()
+        names = [n2name_.get(c2n_.get(ck)) for ck in cust_keys]
+        price_e2 = np.floor(t.column("o_totalprice").to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pa.table({
+            "n_name": pa.array(names, pa.string()),
+            "price_e2": pa.array(price_e2, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(attach, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("price_e2", alias_name="revenue_e2"), Count(alias_name="n_orders"))
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT n.n_name,
+       sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS revenue_e2,
+       count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+def events_window(sf_dir: str):
+    """Tumbling 1-hour windows per event_type (exact integer epoch)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy().astype("datetime64[us]").view(np.int64)
+        win = ts // 3_600_000_000
+        val = np.floor(t.column("value").to_numpy() * 1e6 + 0.5).astype(np.int64)
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pylist(),
+            "window_id": win, "value_e6": val,
+        })
+        g = df.groupby(["event_type", "window_id"], as_index=False).agg(
+            sum_value_e6=("value_e6", "sum"), n_events=("value_e6", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from osm_merge_ray.ops import grouped_reduce
+
+    return grouped_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "window_id"],
+        lambda df: df.groupby(["event_type", "window_id"], as_index=False).agg(
+            sum_value_e6=("sum_value_e6", "sum"), n_events=("n_events", "sum")
+        ),
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT event_type,
+       CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS window_id,
+       sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS sum_value_e6,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_sessionize(sf_dir: str):
+    """Session windows (30-min inactivity gap) per user — the
+    stream-shaped op: sort-within-partition + stateful scan in
+    map_groups."""
+    from osm_merge_ray.ops import first_in_groups, grouped_reduce
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a user are in this bucket; vectorized over users
+        ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        uid = df["user_id"].to_numpy()
+        order = np.lexsort((ts, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        starts = first_in_groups(uid_s)
+        new_session = starts.copy()
+        new_session[1:] |= (ts_s[1:] - ts_s[:-1]) > SESSION_GAP_US
+        g = pd.DataFrame({"user_id": uid_s, "s": new_session.astype(np.int64)})
+        out = g.groupby("user_id", as_index=False).agg(
+            n_sessions=("s", "sum"), n_events=("s", "size")
+        )
+        return out
+
+    return grouped_reduce(ds, ["user_id"], sessions)
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH x AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events
+), d AS (
+  SELECT user_id,
+         CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+                OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM x
+)
+SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+FROM d GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# image / conflation (rows-only: non-SQL-expressible)
+# ---------------------------------------------------------------------------
+
+def conflate_images_q(sf_dir: str):
+    """The flagship conflation over the synthetic image+caption tables
+    (pytest-verified against the brute-force oracle; rows-only here)."""
+    import ray.data as rd
+
+    from osm_merge_ray.config import ConflationConfig
+    from osm_merge_ray.stages.conflate import conflate_datasets
+    from osm_merge_ray.synth import synth_table
+
+    tp = synth_table(400, "primary", with_bytes=False)
+    ts = synth_table(400, "secondary", with_bytes=False)
+    cfg = ConflationConfig(num_buckets=16)
+    out = conflate_datasets(rd.from_arrow(tp), rd.from_arrow(ts), cfg,
+                            skew_salting=False)
+    return out.select_columns(["image_id", "matched_id", "decision", "hits", "dist_mm"])
+
+
+def image_decode_stats_q(sf_dir: str):
+    """Actor-pool decode/verify over synthetic image payloads → per-format
+    verification counters (rows-only)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min, Sum
+
+    from osm_merge_ray.image.stages import DecodeVerify
+    from osm_merge_ray.synth import synth_table
+
+    t = synth_table(300, "primary", with_bytes=True)
+    ds = rd.from_arrow(t).map_batches(DecodeVerify, batch_format="pyarrow",
+                                      batch_size=64, concurrency=(1, 4))
+
+    def flags(t2: pa.Table) -> pa.Table:
+        return pa.table({
+            "fmt": t2.column("fmt"),
+            "ok": t2.column("decode_ok").cast(pa.int64()),
+            "dims": t2.column("dims_ok").cast(pa.int64()),
+            "phash_exact": pa.array(
+                (t2.column("phash_dist").to_numpy() == 0).astype(np.int64)),
+            "psnr_db": t2.column("psnr_db"),
+        })
+
+    return (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby("fmt")
+        .aggregate(Count(alias_name="n"), Sum("ok", alias_name="n_ok"),
+                   Sum("dims", alias_name="n_dims_ok"),
+                   Sum("phash_exact", alias_name="n_phash_exact"),
+                   Min("psnr_db", alias_name="min_psnr_db"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "spatial_cell_index": spatial_cell_index,
+    "spatial_distance_join": spatial_distance_join,
+    "spatial_conflate": spatial_conflate,
+    "spatial_tile_assign": spatial_tile_assign,
+    "spatial_point_in_polygon": spatial_point_in_polygon,
+    "dedup_exact": dedup_exact_q,
+    "dedup_ngram_jaccard": dedup_jaccard_q,
+    "dedup_minhash_lsh": dedup_minhash_q,
+    "dedup_simhash": dedup_simhash_q,
+    "dedup_embedding_cosine": dedup_embedding_q,
+    "text_token_count": text_token_count_q,
+    "text_quality_score": text_quality_q,
+    "text_langid": text_langid_q,
+    "text_fingerprint": text_fingerprint_q,
+    "knn_cosine_topk": knn_topk_q,
+    "knn_ivf": knn_ivf_q,
+    "q1_pricing_summary": q1_pricing_summary,
+    "top_orders_by_revenue": top_orders_by_revenue,
+    "nation_revenue": nation_revenue,
+    "events_window": events_window,
+    "events_sessionize": events_sessionize,
+    "conflate_images": conflate_images_q,
+    "image_decode_stats": image_decode_stats_q,
+}
+
+ORACLE_SQL = {
+    "spatial_cell_index": SQL_CELL_INDEX,
+    "spatial_distance_join": SQL_DISTANCE_JOIN,
+    "spatial_conflate": SQL_CONFLATE,
+    "spatial_tile_assign": SQL_TILE_ASSIGN,
+    "spatial_point_in_polygon": SQL_POINT_IN_POLYGON,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
+    "text_token_count": SQL_TOKEN_COUNT,
+    "text_quality_score": SQL_QUALITY,
+    "knn_cosine_topk": SQL_KNN_TOPK,
+    "q1_pricing_summary": SQL_Q1,
+    "top_orders_by_revenue": SQL_TOP_ORDERS,
+    "nation_revenue": SQL_NATION_REVENUE,
+    "events_window": SQL_EVENTS_WINDOW,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+}

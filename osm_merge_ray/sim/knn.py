@@ -1,0 +1,149 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* ``brute_force_topk`` — baseline: the (small) query matrix is
+  broadcast once via ``ray.put``; each ``map_batches`` task computes a
+  numpy matmul of its batch against it and emits per-batch partial
+  top-k; a final tiny groupby keeps the global top-k per query. Exact.
+* ``ivf_topk`` — scale path: k-means-ish coarse quantizer (trained on
+  a driver-side sample), each row assigned to its nearest centroid
+  inside ``map_batches``; queries probe only ``nprobe`` nearest lists.
+  Approximate; recall measured against brute force in tests.
+
+Similarities are quantized (``round(sim, 6)``) before ranking with a
+deterministic id tie-break, so results are stable across execution
+plans and reproducible against a SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(col) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix."""
+    arr = col.combine_chunks() if hasattr(col, "combine_chunks") else col
+    return np.vstack([np.asarray(x, dtype=np.float64) for x in arr.to_pylist()])
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n == 0, 1.0, n)
+
+
+def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
+                     id_column: str = "vec_id", vec_column: str = "embedding",
+                     exclude_self: bool = True):
+    """Exact cosine top-k for each query vector. Returns a Dataset of
+    (query_id, neighbor_id, sim, rank)."""
+    import ray
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put((qn, np.asarray(query_ids)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qm, qids = ray.get(q_ref)
+        m = _normalize(_as_matrix(t.column(vec_column)))
+        ids = t.column(id_column).to_numpy()
+        sims = np.round(m @ qm.T, 6)  # (n, nq), quantized for determinism
+        out_q, out_n, out_s = [], [], []
+        for j in range(sims.shape[1]):
+            s = sims[:, j]
+            mask = np.ones(len(ids), dtype=bool)
+            if exclude_self:
+                mask &= ids != qids[j]
+            idx = np.where(mask)[0]
+            if len(idx) == 0:
+                continue
+            top = idx[np.lexsort((ids[idx], -s[idx]))][:k]
+            out_q.extend([qids[j]] * len(top))
+            out_n.extend(ids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        df = df.copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
+                    seed: int = 42) -> np.ndarray:
+    """Plain Lloyd k-means on the unit sphere (deterministic init by
+    seeded choice). Driver-side on a sample — the classic IVF recipe."""
+    rng = np.random.default_rng(seed)
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    init = rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)
+    c = x[np.sort(init)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(len(c)):
+            m = assign == j
+            if m.any():
+                v = x[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    c[j] = v / n
+    return c
+
+
+def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
+             n_centroids: int = 16, nprobe: int = 4, sample_size: int = 2048,
+             id_column: str = "vec_id", vec_column: str = "embedding",
+             exclude_self: bool = True):
+    """IVF-style approximate top-k: rows in non-probed lists are skipped
+    inside each map task (at cluster scale the list id becomes the
+    partition key so non-probed lists are never read)."""
+    import ray
+
+    sample = np.vstack([
+        np.asarray(r[vec_column], dtype=np.float64)
+        for r in ds.limit(sample_size).take_all()
+    ])
+    cents = train_centroids(sample, n_centroids)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    state = ray.put((qn, np.asarray(query_ids), cents, probe))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qm, qids, c, pr = ray.get(state)
+        m = _normalize(_as_matrix(t.column(vec_column)))
+        ids = t.column(id_column).to_numpy()
+        lists = np.argmax(m @ c.T, axis=1)
+        sims = np.round(m @ qm.T, 6)
+        out_q, out_n, out_s = [], [], []
+        for j in range(qm.shape[0]):
+            mask = np.isin(lists, pr[j])
+            if exclude_self:
+                mask &= ids != qids[j]
+            idx = np.where(mask)[0]
+            if len(idx) == 0:
+                continue
+            s = sims[:, j]
+            top = idx[np.lexsort((ids[idx], -s[idx]))][:k]
+            out_q.extend([qids[j]] * len(top))
+            out_n.extend(ids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        df = df.copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")

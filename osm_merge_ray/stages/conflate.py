@@ -59,7 +59,7 @@ import pyarrow as pa
 
 from osm_merge_ray.config import ConflationConfig
 from osm_merge_ray.geo import cells as C
-from osm_merge_ray.geo.distance import haversine_cross_m
+from osm_merge_ray.geo.distance import haversine_m
 from osm_merge_ray.image.phash import hamming64
 from osm_merge_ray.text.fuzz import batch_indel_ratio
 from osm_merge_ray.util import hash64_str, splitmix64, uniform01
@@ -237,10 +237,10 @@ def match_bucket(df: pd.DataFrame, cfg: ConflationConfig) -> pd.DataFrame:
     s_cell = sec["cell"].to_numpy()
     s_salt = sec["salt"].to_numpy()
 
-    # group both sides by (cell, salt) via sort + searchsorted. The key is a
-    # 64-bit mix rather than exact bit-packing (cell already uses the high
-    # bits); a mix collision merely merges two unrelated cells into one
-    # group — harmless for correctness since the distance gate still
+    # group both sides by (cell, salt) via a 64-bit mixed key — no exact
+    # bit-packing needed (cell already uses the high bits); a mix
+    # collision merely merges two unrelated cells into one candidate
+    # group, harmless for correctness since the distance gate still
     # applies and every true candidate is co-replicated by the k-ring.
     def keyed(cell, salt):
         return splitmix64(
@@ -248,48 +248,22 @@ def match_bucket(df: pd.DataFrame, cfg: ConflationConfig) -> pd.DataFrame:
             + splitmix64(salt.astype(np.uint64))
         ).view(np.int64)
 
-    pk = keyed(p_cell, p_salt)
-    sk = keyed(s_cell, s_salt)
-    p_ord = np.argsort(pk, kind="stable")
-    s_ord = np.argsort(sk, kind="stable")
-    pk_s = pk[p_ord]
-    sk_s = sk[s_ord]
+    from osm_merge_ray.ops import rank_within_groups, same_key_pairs
 
-    pi_list: list[np.ndarray] = []
-    si_list: list[np.ndarray] = []
-    d_list: list[np.ndarray] = []
-    groups = np.unique(pk_s)
-    p_bounds = np.searchsorted(pk_s, groups), np.searchsorted(pk_s, groups, side="right")
-    s_lo = np.searchsorted(sk_s, groups)
-    s_hi = np.searchsorted(sk_s, groups, side="right")
-    for g in range(len(groups)):
-        p_idx = p_ord[p_bounds[0][g]:p_bounds[1][g]]
-        s_idx = s_ord[s_lo[g]:s_hi[g]]
-        if len(s_idx) == 0:
-            continue
-        d = haversine_cross_m(p_lon[p_idx], p_lat[p_idx], s_lon[s_idx], s_lat[s_idx])
-        within = d <= cfg.distance_m
-        if not within.any():
-            continue
-        # cap at max_candidates nearest per primary (deterministic)
-        if len(s_idx) > cfg.max_candidates:
-            order = np.argsort(d, axis=1, kind="stable")[:, : cfg.max_candidates]
-            keep = np.zeros_like(within)
-            np.put_along_axis(keep, order, True, axis=1)
-            within &= keep
-        rr, cc = np.nonzero(within)
-        pi_list.append(p_idx[rr])
-        si_list.append(s_idx[cc])
-        d_list.append(d[rr, cc])
-
-    if pi_list:
-        pi = np.concatenate(pi_list)
-        si = np.concatenate(si_list)
-        dist = np.concatenate(d_list)
+    # fully vectorized same-cell pair enumeration (no per-cell Python)
+    pi, si = same_key_pairs(keyed(p_cell, p_salt), keyed(s_cell, s_salt))
+    if len(pi):
+        dist = haversine_m(p_lon[pi], p_lat[pi], s_lon[si], s_lat[si])
+        gate = dist <= cfg.distance_m
+        pi, si, dist = pi[gate], si[gate], dist[gate]
     else:
-        pi = np.empty(0, dtype=np.int64)
-        si = np.empty(0, dtype=np.int64)
         dist = np.empty(0, dtype=np.float64)
+    if len(pi):
+        # cap at the max_candidates nearest per primary (deterministic)
+        order = np.lexsort((si, dist, pi))
+        pos = rank_within_groups(pi[order])
+        keep = order[pos < cfg.max_candidates]
+        pi, si, dist = pi[keep], si[keep], dist[keep]
 
     # ---- vectorized scoring over all candidate pairs of the bucket ----
     p_cap_all = prim["caption"].to_numpy()
@@ -308,14 +282,13 @@ def match_bucket(df: pd.DataFrame, cfg: ConflationConfig) -> pd.DataFrame:
     hits = caption_hit.astype(np.int64) + ref_hit.astype(np.int64) + phash_hit.astype(np.int64)
 
     # ---- best candidate per primary: (hits desc, dist asc, sid asc) ----
+    from osm_merge_ray.ops import first_in_groups
+
     s_ids_all = sec["image_id"].to_numpy()
     dist_mm = np.round(dist * 1000.0).astype(np.int64)
     if len(pi):
         order = np.lexsort((s_ids_all[si], dist_mm, -hits, pi))
-        pi_o = pi[order]
-        first = np.ones(len(pi_o), dtype=bool)
-        first[1:] = pi_o[1:] != pi_o[:-1]
-        best = order[first]
+        best = order[first_in_groups(pi[order])]
         best_pi = pi[best]
     else:
         best = np.empty(0, dtype=np.int64)
@@ -389,6 +362,12 @@ def conflate_datasets(primary_ds, secondary_ds, cfg: ConflationConfig | None = N
 
     salts: dict[int, int] = {}
     if skew_salting:
+        # the salt-planning count pass consumes the pipeline; materialize
+        # the LIGHT projection (no image bytes) so the heavy upstream
+        # (read/decode) executes once, not twice. Light rows are ~100 B —
+        # at 10^9 rows this is the same order as the shuffle itself.
+        p_light = p_light.materialize()
+        s_light = s_light.materialize()
         salts = plan_salts(p_light.union(s_light), cfg)
 
     p_tag = p_light.map_batches(

@@ -155,17 +155,20 @@ def make_batch(indices: np.ndarray, side: str, seed: int = 42, with_bytes: bool 
     prefix = "S" if is_sec else "P"
     image_id = np.array([f"{prefix}{int(i):09d}" for i in indices], dtype=object)
 
-    blobs: list[bytes | None] = []
-    hashes = np.empty(n, dtype=np.int64)
-    from osm_merge_ray.image.codec import decode
+    from osm_merge_ray.image.codec import quantize
+    from osm_merge_ray.image.phash import phash64_batch
 
+    blobs: list[bytes | None] = []
+    stored_px: list[np.ndarray] = []
     for k in range(n):
         px = synth_pixels(int(img_seed[k]), int(w[k]), int(h[k]))
-        buf = encode(px, str(fmt[k]))
-        # phash of the *stored* image (post-lossy-encode), as a real
-        # ingest pipeline would compute it
-        hashes[k] = np.int64(np.uint64(phash64(decode(buf))).astype(np.int64))
-        blobs.append(buf if with_bytes else None)
+        # phash is of the *stored* image (post-lossy-encode), as a real
+        # ingest pipeline would compute it; the lossy stand-in's decode
+        # equals its quantizer
+        stored = quantize(px) if str(fmt[k]) == "jpeg" else px
+        stored_px.append(stored)
+        blobs.append(encode(px, str(fmt[k])) if with_bytes else None)
+    hashes = phash64_batch(stored_px)
 
     return pa.table(
         {

@@ -1,0 +1,160 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All are stateless vectorized ``map_batches`` transforms over a
+``documents``-shaped table (``doc_id:int64, text:string, ...``):
+token counting, quality scoring, language id, and rolling-hash
+document fingerprinting (winnowing). Tokenization is deliberately the
+simplest SQL-reproducible rule — split on single spaces — so the
+driver's DuckDB oracle can express the same computation exactly;
+``token_count_bpe`` adds a BPE-ish regex count for realism.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# a GPT-2-style pretokenizer regex (public pattern family)
+_BPE_RE = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+#: tiny per-language stopword lists for the n-gram/stopword language
+#: heuristic (public-knowledge function words)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+
+def token_stats(t: pa.Table) -> pa.Table:
+    """tokens (space-split), chars, avg token len — all Arrow kernels."""
+    text = t.column("text")
+    toks = pc.split_pattern(text, " ")
+    n_tokens = pc.list_value_length(toks).cast(pa.int64())
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    avg_len = pc.divide(
+        pc.cast(pc.subtract(n_chars, pc.subtract(n_tokens, 1)), pa.float64()),
+        pc.cast(pc.max_element_wise(n_tokens, pa.scalar(1, pa.int64())), pa.float64()),
+    )
+    out = t.append_column("n_tokens", n_tokens)
+    out = out.append_column("n_chars_calc", n_chars)
+    out = out.append_column("avg_token_len", avg_len)
+    return out
+
+
+def token_count_bpe(t: pa.Table) -> pa.Table:
+    """BPE-ish token count via the compiled pretokenizer regex."""
+    text = t.column("text").to_pylist()
+    n = np.fromiter((len(_BPE_RE.findall(s or "")) for s in text), dtype=np.int64, count=len(text))
+    return t.append_column("n_bpe_tokens", pa.array(n, pa.int64()))
+
+
+def quality_score(t: pa.Table) -> pa.Table:
+    """Length / punctuation / stopword heuristics (Gopher-style rules,
+    Rae et al. 2021 — public). Emits the raw ratios plus a 0/1 keep flag.
+    Defined SQL-reproducibly: stopword hits = count of space-split
+    tokens that are exact stopwords."""
+    text = t.column("text")
+    toks = pc.split_pattern(text, " ")
+    n_tokens = pc.list_value_length(toks).cast(pa.int64())
+    flat = pc.list_flatten(toks)
+    is_stop = pc.is_in(flat, value_set=pa.array(list(STOPWORDS)))
+    # per-row stopword count: sum segments of the flattened list
+    offs = np.asarray(pc.list_value_length(toks)).astype(np.int64)
+    stop_np = np.asarray(is_stop.cast(pa.int8())).astype(np.int64)
+    idx = np.repeat(np.arange(len(offs)), offs)
+    stop_cnt = np.bincount(idx, weights=stop_np, minlength=len(offs)).astype(np.int64)
+    nt = np.asarray(n_tokens)
+    stop_ratio = stop_cnt / np.maximum(nt, 1)
+    keep = (nt >= 5) & (stop_ratio >= 0.0) & (nt <= 100000)
+    out = t.append_column("n_tokens", n_tokens)
+    out = out.append_column("stopword_count", pa.array(stop_cnt, pa.int64()))
+    out = out.append_column("stopword_ratio", pa.array(stop_ratio, pa.float64()))
+    out = out.append_column("quality_keep", pa.array(keep))
+    return out
+
+
+class LangId:
+    """Stopword-marker language ID (actor-pool stage: marker sets are
+    prepared once per actor). Predicts argmax language by marker-hit
+    count with a deterministic tie-break (alphabetical), 'und' when no
+    marker hits."""
+
+    def __init__(self):
+        self.langs = sorted(LANG_MARKERS)
+        self.sets = {k: frozenset(v) for k, v in LANG_MARKERS.items()}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ")
+        scores = {
+            lang: toks.map(lambda ws, s=self.sets[lang]: sum(w in s for w in ws))
+            for lang in self.langs
+        }
+        sc = pd.DataFrame(scores)
+        best = sc.idxmax(axis=1)
+        nohit = sc.max(axis=1) == 0
+        df = df.copy()
+        df["lang_pred"] = best.mask(nohit, "und").to_numpy()
+        return df
+
+
+class Fingerprint:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD 2003):
+    Karp-Rabin rolling hashes over character k-grams, keep the min hash
+    in each sliding window → a small sketch; also emits a single 64-bit
+    doc fingerprint (xor-fold). Stateful constants per actor."""
+
+    def __init__(self, k: int = 8, window: int = 16):
+        self.k = k
+        self.window = window
+        self.base = np.uint64(1000003)
+        self.basek = self.base ** np.uint64(k - 1)
+
+    def _gram_hashes(self, s: str) -> np.ndarray:
+        b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.uint64)
+        k = self.k
+        if len(b) < k:
+            return np.zeros(0, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            h = np.zeros(len(b) - k + 1, dtype=np.uint64)
+            acc = np.uint64(0)
+            for i in range(k):
+                acc = acc * self.base + b[i]
+            h[0] = acc
+            for i in range(1, len(h)):
+                acc = (acc - b[i - 1] * self.basek) * self.base + b[i + k - 1]
+                h[i] = acc
+        return h
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        fps = np.zeros(len(df), dtype=np.int64)
+        sizes = np.zeros(len(df), dtype=np.int64)
+        for i, s in enumerate(df["text"].tolist()):
+            h = self._gram_hashes(s or "")
+            if len(h) == 0:
+                continue
+            w = self.window
+            if len(h) <= w:
+                sel = np.array([h.min()])
+            else:
+                # sliding-window minima via stride trick
+                from numpy.lib.stride_tricks import sliding_window_view
+
+                sel = np.unique(sliding_window_view(h, w).min(axis=1))
+            acc = np.uint64(0)
+            with np.errstate(over="ignore"):
+                for v in sel:
+                    acc ^= v * np.uint64(0x9E3779B97F4A7C15)
+            fps[i] = np.int64(acc.astype(np.int64))
+            sizes[i] = len(sel)
+        df = df.copy()
+        df["fingerprint"] = fps
+        df["fingerprint_size"] = sizes
+        return df

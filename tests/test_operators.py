@@ -1,0 +1,188 @@
+"""Tests for the training-data operators: dedup, similarity search,
+text analysis — including LSH recall against the exact oracle and a
+DuckDB parity gate over the sf0.001 tables (a fast local replica of the
+driver's correctness check)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(ray_session):
+    base = [
+        "the quick brown fox jumps over the lazy dog every single day",
+        "a completely different sentence about ray data streaming engines",
+        "big table scans merge sort join aggregate window partition bucket",
+        "spark flink ray dask beam arrow parquet orc avro formats galore",
+    ]
+    rows = []
+    for i in range(40):
+        b = base[i % 4]
+        if i < 8:
+            txt = b  # exact dups of base
+        elif i < 12:
+            txt = b.replace("the", "that") if "the" in b else b + " indeed"
+        else:
+            txt = f"unique document number {i} with words " + " ".join(
+                f"w{i}x{j}" for j in range(10)
+            )
+        rows.append({"doc_id": i, "text": txt})
+    return pd.DataFrame(rows)
+
+
+def test_dedup_exact(docs_with_dups):
+    from osm_merge_ray.dedup.exact import dedup_exact
+
+    out = dedup_exact(rd.from_pandas(docs_with_dups), "text", "doc_id").to_pandas()
+    # each of the 4 base texts appears twice in 0..7 → 4 groups of size 2
+    assert (out["n_copies"] == 2).sum() == 4
+    dup_keepers = out[out["n_copies"] == 2]["keep_id"].sort_values().tolist()
+    assert dup_keepers == [0, 1, 2, 3]
+    assert out["n_copies"].sum() == len(docs_with_dups)
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(docs_with_dups):
+    from osm_merge_ray.dedup.jaccard import jaccard_pairs
+    from osm_merge_ray.dedup.minhash import minhash_lsh_pairs, verify_jaccard
+
+    ds = rd.from_pandas(docs_with_dups)
+    exact = jaccard_pairs(ds, k=3, threshold=0.5).to_pandas()
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    assert len(exact_pairs) >= 4  # the planted exact dups at least
+
+    cand = minhash_lsh_pairs(rd.from_pandas(docs_with_dups)).to_pandas()
+    cand_pairs = set(zip(cand["id_a"], cand["id_b"]))
+    # LSH recall at J>=0.5 with 16 bands x 4 rows: P(miss) = (1-J^4)^16 <= 6% at J=0.5
+    recall = len(exact_pairs & cand_pairs) / len(exact_pairs)
+    assert recall >= 0.8
+    # precision after exact verification: candidates verified to J>=0.5 ⊆ exact
+    texts = dict(zip(docs_with_dups["doc_id"], docs_with_dups["text"]))
+    ver = verify_jaccard(cand, texts, k=3, threshold=0.5)
+    assert set(zip(ver[ver["is_dup"]]["id_a"], ver[ver["is_dup"]]["id_b"])) <= exact_pairs
+
+
+def test_simhash_pairs(docs_with_dups):
+    from osm_merge_ray.dedup.simhash import simhash_pairs, simhash64
+
+    # identical texts → identical fingerprints → hamming 0 pairs present
+    out = simhash_pairs(rd.from_pandas(docs_with_dups), max_hamming=3).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 4) in pairs and (1, 5) in pairs  # exact dup plants
+    h = simhash64(["hello world foo bar", "hello world foo bar", "zzz qqq"])
+    assert h[0] == h[1] != h[2]
+
+
+def test_knn_brute_force_matches_numpy_oracle(ray_session):
+    import pyarrow.parquet as pq
+
+    from osm_merge_ray.sim.knn import brute_force_topk
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    ids = t.column("vec_id").to_numpy()
+    qm, qids = mat[:5], ids[:5]
+    got = brute_force_topk(rd.from_arrow(t), qm, qids, k=3).to_pandas()
+
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    sims = np.round(mn @ qn.T, 6)
+    for j, qid in enumerate(qids):
+        s = sims[:, j].copy()
+        mask = ids != qid
+        idx = np.where(mask)[0]
+        top = idx[np.lexsort((ids[idx], -s[idx]))][:3]
+        sub = got[got["query_id"] == qid].sort_values("rank")
+        assert sub["neighbor_id"].tolist() == ids[top].tolist()
+
+
+def test_knn_ivf_recall(ray_session):
+    import pyarrow.parquet as pq
+
+    from osm_merge_ray.sim.knn import brute_force_topk, ivf_topk
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    ids = t.column("vec_id").to_numpy()
+    qm, qids = mat[:5], ids[:5]
+    exact = brute_force_topk(rd.from_arrow(t), qm, qids, k=5).to_pandas()
+    approx = ivf_topk(rd.from_arrow(t), qm, qids, k=5, n_centroids=8, nprobe=4).to_pandas()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    assert len(e & a) / len(e) >= 0.5  # nprobe=4/8 lists → decent recall
+
+
+def test_text_stats_hand_computed(ray_session):
+    from osm_merge_ray.text.analysis import quality_score, token_stats
+
+    t = pa.table({"doc_id": [1, 2], "text": ["the cat sat on a mat", "xyz"]})
+    out = token_stats(t)
+    assert out.column("n_tokens").to_pylist() == [6, 1]
+    assert out.column("n_chars_calc").to_pylist() == [20, 3]
+    q = quality_score(t)
+    assert q.column("stopword_count").to_pylist() == [3, 0]  # the, on, a
+    assert q.column("quality_keep").to_pylist() == [True, False]
+
+
+def test_langid_and_fingerprint_deterministic():
+    from osm_merge_ray.text.analysis import Fingerprint, LangId
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["the cat is on the mat and it is fine",
+                 "el gato de la casa y que bien",
+                 "zz yy xx ww"],
+    })
+    out = LangId()(df)
+    assert out["lang_pred"].tolist() == ["en", "es", "und"]
+    f1 = Fingerprint()(df)["fingerprint"].tolist()
+    f2 = Fingerprint()(df)["fingerprint"].tolist()
+    assert f1 == f2 and len(set(f1)) == 3
+
+
+# ---------------------------------------------------------------------------
+# DuckDB parity gate at sf0.001 (fast replica of the driver's check)
+# ---------------------------------------------------------------------------
+
+PARITY_QUERIES = [
+    "spatial_cell_index", "spatial_distance_join", "spatial_conflate",
+    "spatial_tile_assign", "spatial_point_in_polygon",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "text_token_count", "text_quality_score", "knn_cosine_topk",
+    "q1_pricing_summary", "top_orders_by_revenue", "nation_revenue",
+    "events_window", "events_sessionize",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object or str(df[c].dtype) == "string":
+            df[c] = df[c].astype(object).where(pd.notna(df[c]), None).astype(str)
+        elif str(df[c].dtype).startswith(("int", "Int", "uint")):
+            df[c] = df[c].astype(np.int64)
+        elif str(df[c].dtype) in ("bool", "boolean"):
+            df[c] = df[c].astype(bool)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", PARITY_QUERIES)
+def test_sql_oracle_parity(ray_session, name):
+    import duckdb
+
+    from osm_merge_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+    con = duckdb.connect()
+    for tbl in ("region nation customer supplier part orders lineitem "
+                "events documents embeddings").split():
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{SF}/{tbl}.parquet')")
+    res = QUERIES[name](SF)
+    got = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    exp = con.execute(ORACLE_SQL[name]).df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False,
+                                  check_exact=True)
