@@ -88,7 +88,7 @@ def lonlat_to_cell(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
     ix = np.floor((lon + 180.0) / s).astype(np.int64)
     iy = np.floor((lat + 90.0) / s).astype(np.int64)
     nx = np.int64(1 << res)
-    ny = np.int64(max(1 << (res - 1), 1))
+    ny = np.int64(1 << max(res - 1, 0))
     ix = np.mod(ix, nx)
     iy = np.clip(iy, 0, ny - 1)
     return xy_to_cell(ix, iy, res)
@@ -124,10 +124,13 @@ def k_ring(cell: np.ndarray, include_self: bool = True) -> np.ndarray:
     each primary row lives in exactly one cell).
     """
     cell = np.atleast_1d(np.asarray(cell, dtype=np.int64))
+    if len(cell) == 0:
+        n_out = 9 if include_self else 8
+        return np.empty((0, n_out), dtype=np.int64)
     ix, iy, res = cell_to_xy(cell)
-    r = int(res[0]) if len(res) else 0
+    r = int(res[0])
     nx = np.int64(1 << r)
-    ny = np.int64(max(1 << (r - 1), 1))
+    ny = np.int64(1 << max(r - 1, 0))
     dx = _RING1[:, 0][None, :]
     dy = _RING1[:, 1][None, :]
     jx = np.mod(ix[:, None] + dx, nx)

@@ -65,8 +65,11 @@ class DecodeVerify:
             decoded_idx.append(i)
             if is_lossy(fmt[i]):
                 # re-encode round trip == the quantizer (idempotent lossy
-                # stand-in); PSNR gate computed without a zlib cycle
-                psnr_db[i] = min(psnr(px, quantize(px)), 99.0)
+                # stand-in); PSNR gate computed without a zlib cycle, with
+                # an equality fast path (stored lossy pixels re-quantize
+                # to themselves)
+                q = quantize(px)
+                psnr_db[i] = 99.0 if np.array_equal(px, q) else min(psnr(px, q), 99.0)
             else:
                 psnr_db[i] = 99.0
         if decoded:

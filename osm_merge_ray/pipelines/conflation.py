@@ -37,43 +37,54 @@ def flagship(n_per_side: int = 1000, cfg: ConflationConfig | None = None,
     """Synthesize both sides distributed, optionally decode+verify the
     image payloads (actor pool), run the conflation join, assign tiles.
     Returns the lazy decision Dataset."""
+    import os
+
     cfg = cfg or ConflationConfig()
     p = synth_dataset(n_per_side, "primary", seed=seed, with_bytes=decode_images)
     s = synth_dataset(n_per_side, "secondary", seed=seed, with_bytes=decode_images)
+    union = CF.tag_side(p, 0).union(CF.tag_side(s, 1))
     if decode_images:
-        p = p.map_batches(DecodeVerify, batch_format="pyarrow", batch_size=256,
-                          concurrency=(1, 8))
-        s = s.map_batches(DecodeVerify, batch_format="pyarrow", batch_size=256,
-                          concurrency=(1, 8))
-    decisions = CF.conflate_datasets(p, s, cfg, skew_salting=skew_salting)
+        union = union.map_batches(DecodeVerify, batch_format="pyarrow",
+                                  batch_size=256,
+                                  concurrency=(1, max(4, os.cpu_count() or 8)))
+    decisions = CF.conflate_union(union, cfg, skew_salting=skew_salting)
     return assign_tiles(decisions, default_grid(cfg))
 
 
 def conflate_parquet(primary_path: str, secondary_path: str,
                      cfg: ConflationConfig | None = None,
                      decode_images: bool = True, out_dir: str | None = None,
-                     skew_salting: bool = True):
+                     skew_salting: bool = True,
+                     decode_concurrency: tuple[int, int] | None = None):
     """The production-shaped flagship: parquet (Lance-shaped) tables in,
-    optional actor-pool decode+verify, conflate, tile, partitioned
-    parquet out. Returns the lazy Dataset (or the written-row count
-    when ``out_dir`` is given)."""
+    ONE side-tagged union → one actor-pool decode+verify sized to the
+    node → conflate → tile → partitioned parquet out."""
+    import os
+
     import ray.data as rd
 
     cfg = cfg or ConflationConfig()
-    p = rd.read_parquet(primary_path)
-    s = rd.read_parquet(secondary_path)
+    ncpu = os.cpu_count() or 8
+    # block sizing: ~2 blocks per CPU per side keeps per-block scheduling
+    # overhead negligible while leaving the pool fully fed
+    nblocks = max(2 * ncpu, 16)
+    union = CF.tag_side(rd.read_parquet(primary_path, override_num_blocks=nblocks), 0).union(
+        CF.tag_side(rd.read_parquet(secondary_path, override_num_blocks=nblocks), 1)
+    )
     if decode_images:
-        p = p.map_batches(DecodeVerify, batch_format="pyarrow", batch_size=256,
-                          concurrency=(1, 8))
-        s = s.map_batches(DecodeVerify, batch_format="pyarrow", batch_size=256,
-                          concurrency=(1, 8))
+        if decode_concurrency is None:
+            # autoscaling pool: a FIXED pool sized to the whole node can
+            # deadlock at startup (actors wait on CPUs held by the read
+            # stage); min 4 gets throughput immediately, max = node width
+            decode_concurrency = (4, max(4, ncpu))
+        union = union.map_batches(DecodeVerify, batch_format="pyarrow",
+                                  batch_size=512, concurrency=decode_concurrency)
     out = assign_tiles(
-        CF.conflate_datasets(p, s, cfg, skew_salting=skew_salting),
+        CF.conflate_union(union, cfg, skew_salting=skew_salting),
         default_grid(cfg),
     )
     if out_dir is not None:
         out.write_parquet(out_dir)
-        return out
     return out
 
 
@@ -94,16 +105,15 @@ def run_checkpointed(primary_ds, secondary_ds, out_dir: str,
     done = CK.finished_buckets(out_dir) if resume else set()
 
     prep = lambda t: CF.prepare(t, cfg)  # noqa: E731
-    p_light = primary_ds.map_batches(prep, batch_format="pyarrow", batch_size=cfg.batch_size)
-    s_light = secondary_ds.map_batches(prep, batch_format="pyarrow", batch_size=cfg.batch_size)
+    union = CF.tag_side(primary_ds, 0).union(CF.tag_side(secondary_ds, 1))
+    light = union.map_batches(prep, batch_format="pyarrow", batch_size=cfg.batch_size)
     if skew_salting:
-        p_light = p_light.materialize()  # see conflate_datasets: one upstream pass
-        s_light = s_light.materialize()
-    salts = CF.plan_salts(p_light.union(s_light), cfg) if skew_salting else {}
-    p_tag = p_light.map_batches(CF.make_tag_primary(cfg, salts), batch_format="pyarrow",
-                                batch_size=cfg.batch_size)
-    s_rep = s_light.map_batches(CF.make_replicate_secondary(cfg, salts),
-                                batch_format="pyarrow", batch_size=cfg.batch_size)
+        light = light.materialize()  # one upstream pass feeds count + shuffle
+    salts = CF.plan_salts(light, cfg) if skew_salting else {}
+    p_tag = light.map_batches(CF.make_tag_primary(cfg, salts), batch_format="pyarrow",
+                              batch_size=cfg.batch_size)
+    s_rep = light.map_batches(CF.make_replicate_secondary(cfg, salts),
+                              batch_format="pyarrow", batch_size=cfg.batch_size)
     both = p_tag.union(s_rep)
 
     if done:

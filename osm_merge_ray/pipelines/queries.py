@@ -350,6 +350,77 @@ FROM pts
 """
 
 
+def spatial_polygon_overlap(sf_dir: str):
+    """Rectangle-footprint overlap join (the SQL-checkable form of the
+    building-dedup join J6; the general convex-polygon operator is
+    ``stages/overlap.polygon_overlap_pairs``, pytest-verified). Exact
+    min/max arithmetic → bit-identical areas vs the oracle."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 0]
+        b = df[df["side"] == 1]
+
+        def rects(sub):
+            i = sub["doc_id"].to_numpy().astype(np.int64)
+            h3 = ((i + 77) * HASH_A) % np.int64(MOD)
+            h4 = ((i + 777) * HASH_A) % np.int64(MOD)
+            wx = 0.02 + h3.astype(np.float64) / MOD * 0.1
+            wy = 0.02 + h4.astype(np.float64) / MOD * 0.1
+            lon = sub["lon"].to_numpy()
+            lat = sub["lat"].to_numpy()
+            return lon - wx, lat - wy, lon + wx, lat + wy
+
+        ax0, ay0, ax1, ay1 = rects(a)
+        bx0, by0, bx1, by1 = rects(b)
+        a_id = a["doc_id"].to_numpy()
+        b_id = b["doc_id"].to_numpy()
+        ia, ib, areas = [], [], []
+
+        def emit(ai, bi):
+            ox = np.minimum(ax1[ai][:, None], bx1[bi][None, :]) - np.maximum(ax0[ai][:, None], bx0[bi][None, :])
+            oy = np.minimum(ay1[ai][:, None], by1[bi][None, :]) - np.maximum(ay0[ai][:, None], by0[bi][None, :])
+            hit = (ox > 0.0) & (oy > 0.0)
+            rr, cc = np.nonzero(hit)
+            ia.extend(a_id[ai][rr].tolist())
+            ib.extend(b_id[bi][cc].tolist())
+            areas.extend((ox[rr, cc] * oy[rr, cc]).tolist())
+
+        _pair_groups(a, b, emit)
+        return pd.DataFrame({
+            "id_a": pd.array(ia, dtype=np.int64),
+            "id_b": pd.array(ib, dtype=np.int64),
+            "overlap_area": pd.array(areas, dtype=np.float64),
+        })
+
+    return _spatial_join_pipeline(sf_dir, [], per_bucket)
+
+
+SQL_POLYGON_OVERLAP = f"""
+WITH pts AS (
+  SELECT doc_id,
+         {_DERIVE_SQL[0].format(id='doc_id')} AS lon,
+         {_DERIVE_SQL[1].format(id='doc_id')} AS lat,
+         0.02 + (((doc_id + 77) * 2654435761) % 4294967296) / 4294967296.0 * 0.1 AS wx,
+         0.02 + (((doc_id + 777) * 2654435761) % 4294967296) / 4294967296.0 * 0.1 AS wy
+  FROM documents
+), c AS (
+  SELECT doc_id, lon - wx AS x0, lat - wy AS y0, lon + wx AS x1, lat + wy AS y1,
+         CAST(floor((lon + 180.0) / 0.25) AS BIGINT) AS cx,
+         CAST(floor((lat + 90.0) / 0.25) AS BIGINT) AS cy
+  FROM pts
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       (least(a.x1, b.x1) - greatest(a.x0, b.x0))
+     * (least(a.y1, b.y1) - greatest(a.y0, b.y0)) AS overlap_area
+FROM c a JOIN c b
+  ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+ AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  AND least(a.x1, b.x1) - greatest(a.x0, b.x0) > 0.0
+  AND least(a.y1, b.y1) - greatest(a.y0, b.y0) > 0.0
+"""
+
+
 # three convex quads; point-in-polygon by cross-product signs (exact ops)
 _QUADS = [
     (1, (-112.0, 38.0), (-109.0, 38.0), (-109.0, 41.0), (-112.0, 41.0)),
@@ -930,6 +1001,7 @@ QUERIES = {
     "spatial_conflate": spatial_conflate,
     "spatial_tile_assign": spatial_tile_assign,
     "spatial_point_in_polygon": spatial_point_in_polygon,
+    "spatial_polygon_overlap": spatial_polygon_overlap,
     "dedup_exact": dedup_exact_q,
     "dedup_ngram_jaccard": dedup_jaccard_q,
     "dedup_minhash_lsh": dedup_minhash_q,
@@ -956,6 +1028,7 @@ ORACLE_SQL = {
     "spatial_conflate": SQL_CONFLATE,
     "spatial_tile_assign": SQL_TILE_ASSIGN,
     "spatial_point_in_polygon": SQL_POINT_IN_POLYGON,
+    "spatial_polygon_overlap": SQL_POLYGON_OVERLAP,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,

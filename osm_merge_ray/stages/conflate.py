@@ -56,6 +56,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from osm_merge_ray.config import ConflationConfig
 from osm_merge_ray.geo import cells as C
@@ -81,7 +82,8 @@ def derive_lonlat(image_id: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def prepare(batch: pa.Table, cfg: ConflationConfig) -> pa.Table:
-    """Light projection + cell assignment. Arrow in/out, vectorized."""
+    """Light projection + cell assignment. Arrow in/out, vectorized.
+    Passes a ``side`` column through when present (union-tagged input)."""
     names = batch.column_names
     if "lon" in names and "lat" in names:
         lon = batch.column("lon").to_numpy(zero_copy_only=False)
@@ -89,16 +91,17 @@ def prepare(batch: pa.Table, cfg: ConflationConfig) -> pa.Table:
     else:
         lon, lat = derive_lonlat(batch.column("image_id").to_numpy(zero_copy_only=False))
     cell = C.lonlat_to_cell(lon, lat, cfg.cell_res)
-    return pa.table(
-        {
-            "image_id": batch.column("image_id"),
-            "caption": batch.column("caption"),
-            "phash": batch.column("phash"),
-            "lon": pa.array(lon, pa.float64()),
-            "lat": pa.array(lat, pa.float64()),
-            "cell": pa.array(cell, pa.int64()),
-        }
-    )
+    cols = {
+        "image_id": batch.column("image_id"),
+        "caption": batch.column("caption"),
+        "phash": batch.column("phash"),
+        "lon": pa.array(lon, pa.float64()),
+        "lat": pa.array(lat, pa.float64()),
+        "cell": pa.array(cell, pa.int64()),
+    }
+    if "side" in names:
+        cols["side"] = batch.column("side").cast(pa.int8())
+    return pa.table(cols)
 
 
 def plan_salts(light_ds, cfg: ConflationConfig) -> dict[int, int]:
@@ -143,9 +146,12 @@ def _salt_of(image_id: np.ndarray, cell: np.ndarray, salts: dict[int, int]) -> n
 
 
 def make_replicate_secondary(cfg: ConflationConfig, salts: dict[int, int]):
-    """Secondary rows fan out to k-ring(1) targets × salts of hot cells."""
+    """Secondary rows fan out to k-ring(1) targets × salts of hot cells.
+    Accepts the side-tagged union (filters side==1 itself)."""
 
     def rep(t: pa.Table) -> pa.Table:
+        if "side" in t.column_names:
+            t = t.filter(pc.equal(t.column("side"), 1)).drop_columns(["side"])
         cell = t.column("cell").to_numpy()
         ring = C.k_ring(cell, include_self=True)  # (n, 9)
         n, r = ring.shape
@@ -185,6 +191,8 @@ def make_replicate_secondary(cfg: ConflationConfig, salts: dict[int, int]):
 
 def make_tag_primary(cfg: ConflationConfig, salts: dict[int, int]):
     def tag(t: pa.Table) -> pa.Table:
+        if "side" in t.column_names:
+            t = t.filter(pc.equal(t.column("side"), 0)).drop_columns(["side"])
         cell = t.column("cell").to_numpy()
         ids = t.column("image_id").to_numpy(zero_copy_only=False)
         salt = _salt_of(ids, cell, salts)
@@ -348,6 +356,43 @@ def _empty_decisions() -> pd.DataFrame:
     )
 
 
+def tag_side(ds, side: int):
+    """Append the ``side`` column (0=primary, 1=secondary)."""
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "side", pa.array(np.full(len(t), side, dtype=np.int8), pa.int8())
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def conflate_union(union_ds, cfg: ConflationConfig | None = None,
+                   skew_salting: bool = True):
+    """Core conflation over ONE side-tagged union Dataset — a single
+    upstream pass feeds salt planning, primary tagging and secondary
+    replication (the light projection is materialized once when salting
+    is on; light rows are ~100 B, the same order as the shuffle)."""
+    cfg = cfg or ConflationConfig()
+    prep = lambda t: prepare(t, cfg)  # noqa: E731
+    light = union_ds.map_batches(prep, batch_format="pyarrow", batch_size=cfg.batch_size)
+
+    salts: dict[int, int] = {}
+    if skew_salting:
+        light = light.materialize()
+        salts = plan_salts(light, cfg)
+
+    p_tag = light.map_batches(
+        make_tag_primary(cfg, salts), batch_format="pyarrow", batch_size=cfg.batch_size
+    )
+    s_rep = light.map_batches(
+        make_replicate_secondary(cfg, salts), batch_format="pyarrow", batch_size=cfg.batch_size
+    )
+    both = p_tag.union(s_rep)
+    return both.groupby("bucket").map_groups(
+        lambda df: match_bucket(df, cfg), batch_format="pandas"
+    )
+
+
 def conflate_datasets(primary_ds, secondary_ds, cfg: ConflationConfig | None = None,
                       skew_salting: bool = True):
     """End-to-end conflation join over two Ray Datasets of image rows.
@@ -355,28 +400,7 @@ def conflate_datasets(primary_ds, secondary_ds, cfg: ConflationConfig | None = N
     Returns a Dataset of per-primary decision rows (streaming; the one
     all-to-all exchange is the bucket groupby).
     """
-    cfg = cfg or ConflationConfig()
-    prep = lambda t: prepare(t, cfg)  # noqa: E731
-    p_light = primary_ds.map_batches(prep, batch_format="pyarrow", batch_size=cfg.batch_size)
-    s_light = secondary_ds.map_batches(prep, batch_format="pyarrow", batch_size=cfg.batch_size)
-
-    salts: dict[int, int] = {}
-    if skew_salting:
-        # the salt-planning count pass consumes the pipeline; materialize
-        # the LIGHT projection (no image bytes) so the heavy upstream
-        # (read/decode) executes once, not twice. Light rows are ~100 B —
-        # at 10^9 rows this is the same order as the shuffle itself.
-        p_light = p_light.materialize()
-        s_light = s_light.materialize()
-        salts = plan_salts(p_light.union(s_light), cfg)
-
-    p_tag = p_light.map_batches(
-        make_tag_primary(cfg, salts), batch_format="pyarrow", batch_size=cfg.batch_size
-    )
-    s_rep = s_light.map_batches(
-        make_replicate_secondary(cfg, salts), batch_format="pyarrow", batch_size=cfg.batch_size
-    )
-    both = p_tag.union(s_rep)
-    return both.groupby("bucket").map_groups(
-        lambda df: match_bucket(df, cfg), batch_format="pandas"
+    return conflate_union(
+        tag_side(primary_ds, 0).union(tag_side(secondary_ds, 1)),
+        cfg, skew_salting=skew_salting,
     )

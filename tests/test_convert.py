@@ -1,0 +1,237 @@
+"""Converter (M1-M6) and source (S1/S2/S7/S8) parity tests — expected
+values hand-derived from the reference semantics cited in
+stages/convert.py and sources/osm_xml.py."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from osm_merge_ray.sources.geojson import (features_to_table, parse_geojson_bytes,
+                                           table_to_features, write_geojson)
+from osm_merge_ray.sources.osm_xml import parse_osm_bytes, render_osm_xml
+from osm_merge_ray.stages.convert import (convert_mvum, convert_nps,
+                                          convert_roadcore, convert_trails,
+                                          convert_usgs, filter_tags, get_ref,
+                                          highway_class_filter, make_converter)
+
+
+def test_mvum_converter():
+    props = {
+        "ID": "502.1a",
+        "NAME": "baja north cr rd",
+        "OPERATIONALMAINTLEVEL": "2 - HIGH CLEARANCE VEHICLES",
+        "SURFACETYPE": "NAT - NATIVE MATERIAL",
+        "SEASONAL": "yearlong",
+        "PRIMARY_MAINTAINER": "FS - FOREST SERVICE",
+    }
+    out = convert_mvum(props)
+    assert out["ref:usfs"] == "FR 502.1A"          # mvum.py:122-125 upper()
+    assert out["name"] == "Baja North Creek Road"  # title + Cr→Creek + Rd→Road
+    assert out["smoothness"] == "very_bad"         # level 2
+    assert out["4wd_only"] == "yes"                # level 2 implies 4wd
+    assert out["surface"] == "dirt"                # NAT
+    assert out["seasonal"] == "no"                 # yearlong → no
+    assert out["operator"] == "Forest Service"
+    assert out["highway"] == "unclassified"        # default, mvum.py:219-221
+
+
+def test_mvum_five_digit_ref_fixup():
+    out = convert_mvum({"ID": "12345", "SBS_SYMBOL_NAME": "Gravel Road"})
+    assert out["ref:usfs"] == "FR 345"             # region prefix dropped
+    assert out["note"] == "Validate this changed ref!"
+    assert out["surface"] == "gravel"
+
+
+def test_trails_nps_branch():
+    props = {
+        "MAINTAINER": "NPS",
+        "TRLNAME": "Rim Trail",
+        "TRLALTNAME": "Unknown",
+        "TRLUSE": "Hiker/Pedestrian|Bicycle|Pack and Saddle",
+        "TRLSURFACE": "Native",
+        "SEASONAL": "summer",
+    }
+    out = convert_trails(props)
+    assert out["highway"] == "path" and out["foot"] == "designated"
+    assert out["operator"] == "NPS"
+    assert out["name"] == "Rim Trail"
+    assert "alt_name" not in out                   # Unknown dropped
+    assert out["bicycle"] == "yes"
+    assert out["horse"] == "yes"                   # "Saddle" substring rule
+    assert out["surface"] == "ground"              # Native → ground
+    assert out["seasonal"] == "yes"
+
+
+def test_trails_usfs_branch():
+    props = {
+        "TRAIL_NO": "123.5a",
+        "TRAIL_NAME": "lost lake trail",
+        "HIKER_PEDESTRIAN_MANAGED": "Y",
+        "BICYCLE_RESTRICTED": "Y",
+        "SNOWMOBILE_ACCPT": "Y",
+    }
+    out = convert_trails(props)
+    assert out["ref:usfs"] == "FR 123.5A"
+    assert out["name"] == "Lost Lake Trail"
+    assert out["foot"] == "designated"             # _MANAGED
+    assert out["bicycle"] == "no"                  # _RESTRICTED
+    assert out["snowmobile"] == "yes"              # _ACCPT
+
+
+def test_usgs_converter_branches():
+    trail = convert_usgs({"sourceorig": "USFS", "trailnumbe": "77",
+                          "bicycle": "Y", "snowshoe": "Y"})
+    assert trail["highway"] == "path" and trail["source"] == "USFS"
+    assert trail["ref:usfs"] == "77" and trail["bicycle"] == "designated"
+    assert trail["piste:type"] == "hike"
+
+    hwy = convert_usgs({"name": "USFS Rd 123"}, state="WY")
+    assert hwy["ref:usfs"] == "FR 123"
+    hwy2 = convert_usgs({"name": "Co Rd 9", "us_route": "40"}, state="WY")
+    assert hwy2["ref"] == "CR 9" and hwy2["name"] == "County Road 9"
+    hwy3 = convert_usgs({"name": "elk mnt rd", "state_rout": "130"}, state="WY")
+    assert hwy3["ref"] == "WY 130"
+    assert hwy3["name"] == "Elk Mountain Road"     # abbreviation expansion
+
+
+def test_nps_and_roadcore():
+    out = convert_nps({"MAPSOURCE": "park", "TRLNAME": "rim trail",
+                       "TRLSURFACE": "GRAVEL", "SEASONAL": "YES"})
+    assert out == {"source": "park", "name": "Rim Trail",
+                   "surface": "gravel", "seasonal": "yes"}
+    rc = convert_roadcore({"ID": "105", "NAME": "spring cr",
+                           "OPER_MAINT": "3 - SUITABLE", "SURFACE_TY": "AGG"})
+    assert rc["ref:usfs"] == "FR 105"
+    assert rc["name"] == "Spring Creek Road"
+    assert rc["smoothness"] == "good"
+    assert rc["surface"] == "gravel"
+
+
+def test_filter_tags_janitor():
+    tags = {
+        "name": "Forest Service Road 123.1a",
+        "highway": "track",
+        "tiger:cfcc": "A41",
+        "_FIELDNAME": "junk",
+        "surface": "dirt",
+    }
+    out = filter_tags(tags)
+    assert "tiger:cfcc" not in out and "_FIELDNAME" not in out
+    assert out["ref:usfs"] == "FR 123.1A"          # name pattern → ref
+    assert out["highway"] == "track" and out["surface"] == "dirt"
+    # FS-prefixed ref moves to ref:usfs (osmhighways.py:117-121)
+    out2 = filter_tags({"ref": "FS 505", "highway": "track"})
+    assert out2["ref:usfs"] == "FS 505" and "ref" not in out2
+    out3 = filter_tags({"name": "County Road 77", "highway": "track"})
+    assert out3["ref"] == "CR 77"
+
+
+def test_get_ref():
+    assert get_ref("Forest Service Road 123.1a") == "123.1a"
+    assert get_ref("Road 123 1a") == "123.1a"      # spaces → dots
+    assert get_ref("No Numbers Here") == "No Numbers Here"
+    assert get_ref(None) is None
+
+
+def test_geojson_roundtrip(tmp_path):
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature",
+             "geometry": {"type": "LineString", "coordinates": [[0.0, 1.0], [2.0, 3.0]]},
+             "properties": {"name": "A", "highway": "track"}},
+            {"type": "Feature",
+             "geometry": {"type": "Point", "coordinates": [5.0, 6.0]},
+             "properties": {"amenity": "bench"}},
+        ],
+    }
+    t = parse_geojson_bytes(json.dumps(fc).encode())
+    assert t.num_rows == 2
+    back = table_to_features(t)
+    assert back[0]["geometry"]["coordinates"] == [[0.0, 1.0], [2.0, 3.0]]
+    assert back[1]["properties"] == {"amenity": "bench"}
+    n = write_geojson(t, str(tmp_path / "out.geojson"))
+    assert n == 2
+    again = json.load(open(tmp_path / "out.geojson"))
+    assert again["features"][0]["properties"]["name"] == "A"
+
+
+def test_converter_batch_and_highway_filter():
+    t = features_to_table([
+        {"geometry": {"type": "LineString", "coordinates": [[0, 0], [1, 1]]},
+         "properties": {"ID": "9", "NAME": "elk rd"}},
+    ])
+    out = make_converter("mvum")(t)
+    props = json.loads(out.column("props_json")[0].as_py())
+    assert props["ref:usfs"] == "FR 9" and props["highway"] == "unclassified"
+    kept = highway_class_filter(out)
+    assert kept.num_rows == 1
+    t2 = features_to_table([
+        {"geometry": {"type": "Point", "coordinates": [0, 0]},
+         "properties": {"highway": "service"}},
+    ])
+    assert highway_class_filter(t2).num_rows == 0  # service not in keep-list
+
+
+OSM_XML = b"""<?xml version='1.0' encoding='UTF-8'?>
+<osm version="0.6">
+  <node id="1" version="2" lat="40.0" lon="-105.0" timestamp="2020-01-01T00:00:00Z"/>
+  <node id="2" version="1" lat="40.001" lon="-105.001">
+    <tag k="amenity" v="bench"/>
+    <tag k="tiger:reviewed" v="no"/>
+  </node>
+  <node id="3" version="1" lat="40.002" lon="-105.002"/>
+  <way id="10" version="4" timestamp="2021-05-05T00:00:00Z">
+    <nd ref="1"/><nd ref="3"/>
+    <tag k="highway" v="track"/>
+    <tag k="name" v="Elk Road"/>
+    <tag k="tiger:cfcc" v="A41"/>
+  </way>
+</osm>
+"""
+
+
+def test_osm_xml_reader_semantics():
+    t = parse_osm_bytes(OSM_XML)
+    # untagged nodes 1,3 cached but not emitted (conflator.py:687-688)
+    assert t.num_rows == 2
+    by_id = {r["osm_id"]: r for r in t.to_pylist()}
+    node = by_id[2]
+    assert node["geom_type"] == "Point"
+    assert json.loads(node["props_json"]) == {"amenity": "bench"}  # tiger:* dropped
+    way = by_id[10]
+    assert way["geom_type"] == "LineString"
+    assert json.loads(way["refs_json"]) == [1, 3]
+    coords = json.loads(way["coords_json"])
+    assert coords == [[-105.0, 40.0], [-105.002, 40.002]]  # deref via node cache
+    tags = json.loads(way["props_json"])
+    assert tags["highway"] == "track" and "tiger:cfcc" not in tags
+
+
+def test_osm_xml_writer_semantics():
+    t = parse_osm_bytes(OSM_XML)
+    xml, rejected = render_osm_xml(t, bump_version=True)
+    assert rejected == 0
+    assert 'id="10" version="5"' in xml            # version +1 (writeOSM)
+    assert 'id="2" version="2"' in xml
+    assert '<nd ref="1"/>' in xml
+    # reparse: stable roundtrip (tagged node + way re-emitted)
+    t2 = parse_osm_bytes(xml.encode())
+    assert t2.num_rows == 2
+
+    # negative id → version 1 (new feature, conflator.py:318-325/:961)
+    new = pa.table({
+        "osm_id": pa.array([-5], pa.int64()),
+        "version": pa.array([7], pa.int32()),
+        "geom_type": pa.array(["Point"], pa.string()),
+        "coords_json": pa.array(["[1.0, 2.0]"], pa.string()),
+        "props_json": pa.array([json.dumps({"informal": "yes"})], pa.string()),
+        "refs_json": pa.array(["[]"], pa.string()),
+    })
+    xml2, _ = render_osm_xml(new)
+    assert 'id="-5" version="1"' in xml2
+    # way without refs is rejected, not written (conflator.py:946-952)
+    noref = new.set_column(2, "geom_type", pa.array(["LineString"], pa.string()))
+    xml3, rej = render_osm_xml(noref)
+    assert rej == 1 and "<way" not in xml3

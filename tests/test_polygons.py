@@ -1,0 +1,89 @@
+"""Polygon clipping kernels + the building-overlap join (J6)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from osm_merge_ray.config import ConflationConfig
+from osm_merge_ray.geo.polygons import (convex_clip, ensure_ccw,
+                                        intersection_area, shoelace_area)
+from osm_merge_ray.sources.geojson import features_to_table
+from osm_merge_ray.stages.overlap import new_buildings, polygon_overlap_pairs
+
+
+def _rect(x0, y0, x1, y1):
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=float)
+
+
+def test_clip_rectangles_exact():
+    a = _rect(0, 0, 2, 2)
+    b = _rect(1, 1, 3, 3)
+    assert abs(intersection_area(a, b) - 1.0) < 1e-12
+    assert intersection_area(a, _rect(5, 5, 6, 6)) == 0.0
+    assert abs(intersection_area(a, a) - 4.0) < 1e-12
+    # containment
+    assert abs(intersection_area(a, _rect(0.5, 0.5, 1.5, 1.5)) - 1.0) < 1e-12
+
+
+def test_clip_triangle_square():
+    tri = np.array([[0, 0], [2, 0], [0, 2]], dtype=float)
+    sq = _rect(0, 0, 1, 1)
+    # intersection is the unit square minus the top-right half-triangle
+    # above x+y=2 — fully inside here, so area = 1.0 - 0 = 1.0? No:
+    # x+y<=2 everywhere on the unit square, so intersection = square.
+    assert abs(intersection_area(tri, sq) - 1.0) < 1e-12
+    # square [0.5,1.5]^2 clipped by x+y<=2 loses the corner triangle
+    # with legs 1 → area 1 - 0.5 = 0.5
+    sq2 = _rect(0.5, 0.5, 1.5, 1.5)
+    assert abs(intersection_area(tri, sq2) - 0.5) < 1e-12
+    # fully outside the hypotenuse → degenerate intersection
+    assert intersection_area(tri, _rect(1.0, 1.0, 2.0, 2.0)) < 1e-12
+
+
+def test_shoelace_and_ccw():
+    r = _rect(0, 0, 3, 2)
+    assert abs(shoelace_area(r) - 6.0) < 1e-12
+    cw = r[::-1]
+    assert shoelace_area(cw) == -6.0
+    assert shoelace_area(ensure_ccw(cw)) == 6.0
+    assert len(convex_clip(r, _rect(10, 10, 11, 11))) == 0
+
+
+@pytest.fixture(scope="module")
+def building_sets(ray_session):
+    """30 primary footprints; secondaries: first 10 overlap (shifted by
+    half a width), next 10 disjoint (far), last 10 missing."""
+    rng = np.random.default_rng(5)
+    prim, sec = [], []
+    for i in range(30):
+        lon = -106.0 + rng.uniform(0, 0.5)
+        lat = 39.0 + rng.uniform(0, 0.5)
+        w = 0.0002
+        ring = [[lon, lat], [lon + w, lat], [lon + w, lat + w], [lon, lat + w]]
+        prim.append({"geometry": {"type": "Polygon", "coordinates": ring},
+                     "properties": {"building": "yes"}})
+        if i < 10:
+            ring2 = [[p[0] + w / 2, p[1] + w / 2] for p in ring]
+            sec.append({"geometry": {"type": "Polygon", "coordinates": ring2},
+                        "properties": {"building": "yes"}})
+        elif i < 20:
+            ring3 = [[p[0] + 0.1, p[1] + 0.1] for p in ring]
+            sec.append({"geometry": {"type": "Polygon", "coordinates": ring3},
+                        "properties": {"building": "yes"}})
+    return features_to_table(prim), features_to_table(sec, start_id=1000)
+
+
+def test_polygon_overlap_join_and_anti_join(building_sets):
+    tp, ts = building_sets
+    cfg = ConflationConfig(cell_res=12, num_buckets=8)
+    pairs = polygon_overlap_pairs(rd.from_arrow(tp), rd.from_arrow(ts), cfg).to_pandas()
+    # exactly the 10 planted overlaps, each with area ~ (w/2)^2
+    assert sorted(pairs["id_a"]) == list(range(10))
+    assert (pairs["id_b"] - pairs["id_a"] == 1000).all()
+    assert np.allclose(pairs["overlap_area"], (0.0002 / 2) ** 2, rtol=1e-9)
+    survivors = new_buildings(
+        rd.from_arrow(tp), rd.from_arrow(pa.Table.from_pandas(pairs))
+    ).to_pandas()
+    assert sorted(survivors["feature_id"]) == list(range(10, 30))
