@@ -1,0 +1,151 @@
+"""Command-line entry points — the engine's analog of the reference's
+CLI surface (pyproject.toml:107-112: ``osm-merge``, ``mvum``,
+``trails``, ``usgs``, ``nps``, plus ``tm-splitter`` and
+``geojson2poly``). A user of the reference drives the same workflows
+here:
+
+    python -m osm_merge_ray.cli convert --type mvum  -i in.geojson -o out.geojson
+    python -m osm_merge_ray.cli conflate-lines -p primary.geojson -s osm.geojson -o out/
+    python -m osm_merge_ray.cli conflate-images -p primary/ -s secondary/ -o out/ [--resume]
+    python -m osm_merge_ray.cli tm-split --grid --bbox lonmin latmin lonmax latmax -o grid.geojson
+    python -m osm_merge_ray.cli poly -i boundary.geojson -o clip.poly
+
+CLI scripts OWN their Ray session (guarded init); library code never
+calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_convert(args) -> int:
+    from osm_merge_ray.sources.geojson import read_geojson, write_geojson
+    from osm_merge_ray.stages.convert import make_converter
+
+    _ray()
+    ds = read_geojson(args.infile)
+    kwargs = {"state": args.state} if args.type == "usgs" else {}
+    out = ds.map_batches(make_converter(args.type, **kwargs), batch_format="pyarrow")
+    n = write_geojson(out, args.outfile)
+    print(f"wrote {n} features to {args.outfile}")
+    return 0
+
+
+def cmd_conflate_lines(args) -> int:
+    from osm_merge_ray.config import ConflationConfig
+    from osm_merge_ray.sources.geojson import read_geojson
+    from osm_merge_ray.stages.lines import conflate_lines
+
+    _ray()
+    cfg = ConflationConfig(distance_m=args.threshold, cell_res=args.cell_res)
+    out = conflate_lines(read_geojson(args.primary), read_geojson(args.secondary), cfg)
+    out.write_parquet(args.outdir)
+    print(f"wrote decisions to {args.outdir}")
+    return 0
+
+
+def cmd_conflate_images(args) -> int:
+    from osm_merge_ray.config import ConflationConfig
+    from osm_merge_ray.pipelines.conflation import run_checkpointed
+
+    _ray()
+    import ray.data as rd
+
+    cfg = ConflationConfig()
+    m = run_checkpointed(
+        rd.read_parquet(args.primary), rd.read_parquet(args.secondary),
+        args.outdir, cfg, resume=args.resume,
+    )
+    print(json.dumps(m))
+    return 0
+
+
+def cmd_tm_split(args) -> int:
+    from osm_merge_ray.geo.mercator import TileGrid, inv_merc_lat, inv_merc_lon
+
+    grid = TileGrid.from_bbox_lonlat(*args.bbox, size_m=args.meters)
+    feats = []
+    for tid in range(grid.ncols * grid.nrows):
+        x0, y0, x1, y1 = grid.tile_bbox_3857(tid)
+        lons = [float(inv_merc_lon(v)) for v in (x0, x1)]
+        lats = [float(inv_merc_lat(v)) for v in (y0, y1)]
+        ring = [[lons[0], lats[0]], [lons[1], lats[0]], [lons[1], lats[1]],
+                [lons[0], lats[1]], [lons[0], lats[0]]]
+        feats.append({"type": "Feature",
+                      "geometry": {"type": "Polygon", "coordinates": [ring]},
+                      "properties": {"tile_id": tid}})
+    with open(args.outfile, "w") as fh:
+        json.dump({"type": "FeatureCollection", "features": feats}, fh)
+    print(f"wrote {len(feats)} grid tiles ({grid.ncols}x{grid.nrows}) to {args.outfile}")
+    return 0
+
+
+def cmd_poly(args) -> int:
+    from osm_merge_ray.sources.poly import write_poly
+
+    n = write_poly(args.infile, args.outfile)
+    print(f"wrote {n} rings to {args.outfile}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="osm_merge_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("convert", help="agency schema -> OSM tagging (M1-M5)")
+    c.add_argument("--type", required=True,
+                   choices=["mvum", "trails", "usgs", "nps", "roadcore", "osm_filter_tags"])
+    c.add_argument("-i", "--infile", required=True)
+    c.add_argument("-o", "--outfile", required=True)
+    c.add_argument("--state", default="CO")
+    c.set_defaults(fn=cmd_convert)
+
+    c = sub.add_parser("conflate-lines", help="highway conflation (conflator.py analog)")
+    c.add_argument("-p", "--primary", required=True)
+    c.add_argument("-s", "--secondary", required=True)
+    c.add_argument("-o", "--outdir", required=True)
+    c.add_argument("--threshold", type=float, default=7.0)
+    c.add_argument("--cell-res", type=int, default=12)
+    c.set_defaults(fn=cmd_conflate_lines)
+
+    c = sub.add_parser("conflate-images", help="flagship image+caption conflation")
+    c.add_argument("-p", "--primary", required=True)
+    c.add_argument("-s", "--secondary", required=True)
+    c.add_argument("-o", "--outdir", required=True)
+    c.add_argument("--resume", action="store_true", default=True)
+    c.add_argument("--no-resume", dest="resume", action="store_false")
+    c.set_defaults(fn=cmd_conflate_images)
+
+    c = sub.add_parser("tm-split", help="task grid generation (tm-splitter analog)")
+    c.add_argument("--grid", action="store_true")
+    c.add_argument("--bbox", nargs=4, type=float, required=True,
+                   metavar=("LONMIN", "LATMIN", "LONMAX", "LATMAX"))
+    c.add_argument("--meters", type=float, default=50_000.0)
+    c.add_argument("-o", "--outfile", required=True)
+    c.set_defaults(fn=cmd_tm_split)
+
+    c = sub.add_parser("poly", help="GeoJSON boundary -> osmosis .poly (S9)")
+    c.add_argument("-i", "--infile", required=True)
+    c.add_argument("-o", "--outfile", required=True)
+    c.set_defaults(fn=cmd_poly)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -49,8 +49,11 @@ class ConflationConfig:
     cell_res: int = 15
     #: number of hash buckets the cell space is folded into for the shuffle.
     num_buckets: int = 64
-    #: a cell whose row count exceeds this is split by salting (skew control).
-    hot_cell_rows: int = 20_000
+    #: a cell whose row count exceeds this is refined to a finer grid
+    #: resolution (+ salt backstop). Candidate generation is O(P*S)
+    #: within a cell, so the per-cell pair budget is ~(hot_cell_rows/2)^2
+    #: — 2000 keeps the worst cell at ~1M gated pairs (~0.1 s).
+    hot_cell_rows: int = 2_000
 
     # --- tiling ---------------------------------------------------------------
     #: EPSG:3857 square tile edge in meters (tm-splitter.py:225-226 default).

@@ -64,21 +64,34 @@ def conflate_parquet(primary_path: str, secondary_path: str,
     import ray.data as rd
 
     cfg = cfg or ConflationConfig()
-    ncpu = os.cpu_count() or 8
-    # block sizing: ~2 blocks per CPU per side keeps per-block scheduling
-    # overhead negligible while leaving the pool fully fed
-    nblocks = max(2 * ncpu, 16)
-    union = CF.tag_side(rd.read_parquet(primary_path, override_num_blocks=nblocks), 0).union(
-        CF.tag_side(rd.read_parquet(secondary_path, override_num_blocks=nblocks), 1)
+
+    def read_side(path):
+        # Match the read block count to the file count so Ray does not
+        # insert a SplitBlocks op — SplitBlocks breaks operator fusion,
+        # and fusion is what keeps the multi-KB image payloads OUT of
+        # the object store: a fused ReadParquet->MapBatches(decode)
+        # task decodes in worker heap and emits only the ~100 B light
+        # rows. The store is a fixed-throughput shared resource
+        # (~GB/s); every avoided bytes-crossing is wall time at every
+        # cluster size and is THE scaling limiter on one node.
+        import pyarrow.dataset as pads
+
+        nfiles = len(pads.dataset(path).files)
+        ds = rd.read_parquet(path, override_num_blocks=max(nfiles, 1))
+        if decode_images:
+            if decode_concurrency is not None:
+                # explicit actor pool (real heavy-init decoders)
+                return ds.map_batches(DecodeVerify, batch_format="pyarrow",
+                                      batch_size=512,
+                                      concurrency=decode_concurrency)
+            # stateless task mode → fuses with the read
+            return ds.map_batches(DecodeVerify(), batch_format="pyarrow",
+                                  batch_size=512)
+        return ds
+
+    union = CF.tag_side(read_side(primary_path), 0).union(
+        CF.tag_side(read_side(secondary_path), 1)
     )
-    if decode_images:
-        if decode_concurrency is None:
-            # autoscaling pool: a FIXED pool sized to the whole node can
-            # deadlock at startup (actors wait on CPUs held by the read
-            # stage); min 4 gets throughput immediately, max = node width
-            decode_concurrency = (4, max(4, ncpu))
-        union = union.map_batches(DecodeVerify, batch_format="pyarrow",
-                                  batch_size=512, concurrency=decode_concurrency)
     out = assign_tiles(
         CF.conflate_union(union, cfg, skew_salting=skew_salting),
         default_grid(cfg),

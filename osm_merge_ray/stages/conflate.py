@@ -104,13 +104,27 @@ def prepare(batch: pa.Table, cfg: ConflationConfig) -> pa.Table:
     return pa.table(cols)
 
 
+def fine_res_for(cfg: ConflationConfig) -> int:
+    """Finest valid resolution for the configured match distance."""
+    return C.res_for_distance(cfg.distance_m)
+
+
 def plan_salts(light_ds, cfg: ConflationConfig) -> dict[int, int]:
     """Distributed per-cell row count → {hot_cell_id: n_salts}.
 
+    Skew strategy (two layers):
+    1. **adaptive resolution** — rows whose base cell is hot are
+       re-keyed at ``fine_res_for(cfg)`` (edge still >= distance_m, so
+       k-ring completeness holds). This REDUCES candidate-pair count
+       (the per-cell P*S blowup of a dense cluster), which salting
+       alone cannot — salting only redistributes it.
+    2. **salting** — the returned n_salts fan-out still applies on top,
+       bounding the worst case of truly co-located rows that land in
+       one fine cell.
+
     Pre-aggregates inside ``map_batches`` (one partial row per distinct
-    cell per batch) before the small ``groupby`` — the driver never
-    sees per-row data, and only cells whose total exceeds
-    ``hot_cell_rows`` come back (tiny by construction).
+    cell per batch) before the small ``groupby`` — the driver only ever
+    receives cells whose total exceeds ``hot_cell_rows``.
     """
     def partial_counts(t: pa.Table) -> pa.Table:
         cell = t.column("cell").to_numpy()
@@ -127,10 +141,24 @@ def plan_salts(light_ds, cfg: ConflationConfig) -> dict[int, int]:
     hot = totals.filter(
         lambda row: row["total"] > cfg.hot_cell_rows
     ).take_all()
-    return {
-        int(r["cell"]): int(min(64, -(-r["total"] // cfg.hot_cell_rows)))
-        for r in hot
-    }
+    # n_salts sized for the expected occupancy of one FINE cell: the
+    # refinement spreads the count over ~4^(fine-base) children, so a
+    # small salt count suffices as the co-location backstop
+    return {int(r["cell"]): int(min(8, max(1, -(-r["total"] // (cfg.hot_cell_rows * 4)))))
+            for r in hot}
+
+
+def _refine_hot(cell: np.ndarray, lon: np.ndarray, lat: np.ndarray,
+                hot: np.ndarray, fine_res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Re-key rows whose base cell is hot at the fine resolution.
+    Returns (new_cell, mask_of_refined_rows)."""
+    if len(hot) == 0:
+        return cell, np.zeros(len(cell), dtype=bool)
+    m = np.isin(cell, hot)
+    if m.any():
+        cell = cell.copy()
+        cell[m] = C.lonlat_to_cell(lon[m], lat[m], fine_res)
+    return cell, m
 
 
 def _salt_of(image_id: np.ndarray, cell: np.ndarray, salts: dict[int, int]) -> np.ndarray:
@@ -145,42 +173,102 @@ def _salt_of(image_id: np.ndarray, cell: np.ndarray, salts: dict[int, int]) -> n
     return out
 
 
+def border_band_targets(lon: np.ndarray, lat: np.ndarray, res: int,
+                        distance_m: float) -> tuple[np.ndarray, np.ndarray]:
+    """Border-band replication targets: each row goes to its own cell,
+    plus a neighbor cell ONLY when the row lies within ``distance_m``
+    of that cell edge. A row deeper than ``distance_m`` inside its cell
+    cannot match anything outside it, so blanket 9x k-ring replication
+    is wasted shuffle volume — the band cuts the replication factor
+    from 9x to ~1 + 4*(d/edge) (~2% extra at res 15 / 7 m).
+
+    Returns (row_idx, target_cell) arrays.
+    """
+    s = C.cell_edge_deg(res)
+    fx = (lon + 180.0) / s
+    fy = (lat + 90.0) / s
+    ix = np.floor(fx).astype(np.int64)
+    iy = np.floor(fy).astype(np.int64)
+    fx -= ix
+    fy -= iy
+    with np.errstate(invalid="ignore"):
+        bx = np.minimum(distance_m / (111320.0 * np.abs(np.cos(np.radians(lat))) + 1e-9) / s, 1.0)
+    by = min(distance_m / C.M_PER_DEG_LAT / s, 1.0)
+    west = fx < bx
+    east = fx > 1.0 - bx
+    south = fy < by
+    north = fy > 1.0 - by
+    nx = np.int64(1 << res)
+    ny = np.int64(1 << max(res - 1, 0))
+    idx_list = [np.arange(len(lon), dtype=np.int64)]
+    tgt_list = [C.xy_to_cell(ix, iy, res)]
+    for dx, dy, mask in (
+        (-1, 0, west), (1, 0, east), (0, -1, south), (0, 1, north),
+        (-1, -1, west & south), (1, -1, east & south),
+        (-1, 1, west & north), (1, 1, east & north),
+    ):
+        rows = np.flatnonzero(mask)
+        if len(rows) == 0:
+            continue
+        jx = np.mod(ix[rows] + dx, nx)
+        jy = np.clip(iy[rows] + dy, 0, ny - 1)
+        idx_list.append(rows)
+        tgt_list.append(C.xy_to_cell(jx, jy, res))
+    return np.concatenate(idx_list), np.concatenate(tgt_list)
+
+
 def make_replicate_secondary(cfg: ConflationConfig, salts: dict[int, int]):
-    """Secondary rows fan out to k-ring(1) targets × salts of hot cells.
+    """Secondary rows replicate to border-band neighbor cells; targets
+    falling in a HOT base cell are re-emitted at the fine resolution
+    (border-band at ``fine_res``) × every salt of that hot cell.
     Accepts the side-tagged union (filters side==1 itself)."""
+    hot = np.array(sorted(salts), dtype=np.int64)
+    fine = fine_res_for(cfg)
 
     def rep(t: pa.Table) -> pa.Table:
         if "side" in t.column_names:
             t = t.filter(pc.equal(t.column("side"), 1)).drop_columns(["side"])
-        cell = t.column("cell").to_numpy()
-        ring = C.k_ring(cell, include_self=True)  # (n, 9)
-        n, r = ring.shape
-        idx = np.repeat(np.arange(n), r)
-        tgt = ring.reshape(-1)
-        base = t.take(idx)
-        out = base.set_column(
-            base.schema.get_field_index("cell"), "cell", pa.array(tgt, pa.int64())
-        )
-        # hot-cell salt fan-out: duplicate rows targeting a hot cell once per salt
-        if salts:
-            tcell = tgt
-            salt = np.zeros(len(tcell), dtype=np.int64)
-            extra_idx: list[np.ndarray] = []
-            extra_salt: list[np.ndarray] = []
-            for c, k in salts.items():
-                m = np.where(tcell == c)[0]
-                if len(m) and k > 1:
-                    for s in range(1, k):
-                        extra_idx.append(m)
-                        extra_salt.append(np.full(len(m), s, dtype=np.int64))
-            if extra_idx:
-                ei = np.concatenate(extra_idx)
-                es = np.concatenate(extra_salt)
-                out = pa.concat_tables([out, out.take(ei)])
-                salt = np.concatenate([salt, es])
+        lon_all = t.column("lon").to_numpy()
+        lat_all = t.column("lat").to_numpy()
+        idx, tgt = border_band_targets(lon_all, lat_all, cfg.cell_res, cfg.distance_m)
+
+        if len(hot):
+            is_hot_t = np.isin(tgt, hot)
         else:
-            salt = np.zeros(len(tgt), dtype=np.int64)
-        out = out.append_column("salt", pa.array(salt, pa.int64()))
+            is_hot_t = np.zeros(len(tgt), dtype=bool)
+
+        # base-resolution replicas for non-hot targets
+        keep = ~is_hot_t
+        base_idx = idx[keep]
+        base_tgt = tgt[keep]
+        base_salt = np.zeros(len(base_idx), dtype=np.int64)
+
+        fine_idx = np.empty(0, dtype=np.int64)
+        fine_tgt = np.empty(0, dtype=np.int64)
+        fine_salt = np.empty(0, dtype=np.int64)
+        if is_hot_t.any():
+            rows_hot = np.unique(idx[is_hot_t])
+            f_rel, f_tgt = border_band_targets(
+                lon_all[rows_hot], lat_all[rows_hot], fine, cfg.distance_m
+            )
+            f_idx = rows_hot[f_rel]
+            # salts of the hot PARENT base cell of each fine target
+            parents = C.parent(f_tgt, cfg.cell_res)
+            nsalt = np.ones(len(f_tgt), dtype=np.int64)
+            for c, k in salts.items():
+                nsalt[parents == c] = k
+            fine_idx = np.repeat(f_idx, nsalt)
+            fine_tgt = np.repeat(f_tgt, nsalt)
+            offs = np.concatenate(([0], np.cumsum(nsalt)[:-1]))
+            fine_salt = np.arange(int(nsalt.sum()), dtype=np.int64) - np.repeat(offs, nsalt)
+
+        all_idx = np.concatenate([base_idx, fine_idx])
+        all_tgt = np.concatenate([base_tgt, fine_tgt])
+        all_salt = np.concatenate([base_salt, fine_salt])
+        out = t.take(all_idx)
+        out = out.set_column(out.schema.get_field_index("cell"), "cell",
+                             pa.array(all_tgt, pa.int64()))
+        out = out.append_column("salt", pa.array(all_salt, pa.int64()))
         out = out.append_column(
             "side", pa.array(np.ones(len(out), dtype=np.int8), pa.int8())
         )
@@ -190,13 +278,30 @@ def make_replicate_secondary(cfg: ConflationConfig, salts: dict[int, int]):
 
 
 def make_tag_primary(cfg: ConflationConfig, salts: dict[int, int]):
+    """Primaries keep one row each: hot-base-cell rows are re-keyed at
+    the fine resolution and salted by id hash."""
+    hot = np.array(sorted(salts), dtype=np.int64)
+    fine = fine_res_for(cfg)
+
     def tag(t: pa.Table) -> pa.Table:
         if "side" in t.column_names:
             t = t.filter(pc.equal(t.column("side"), 0)).drop_columns(["side"])
         cell = t.column("cell").to_numpy()
+        lon = t.column("lon").to_numpy()
+        lat = t.column("lat").to_numpy()
         ids = t.column("image_id").to_numpy(zero_copy_only=False)
-        salt = _salt_of(ids, cell, salts)
-        out = t.append_column("salt", pa.array(salt, pa.int64()))
+        new_cell, refined = _refine_hot(cell, lon, lat, hot, fine)
+        salt = np.zeros(len(cell), dtype=np.int64)
+        if refined.any():
+            h = splitmix64(hash64_str(ids[refined]))
+            nsalt = np.ones(int(refined.sum()), dtype=np.uint64)
+            base_of_refined = cell[refined]
+            for c, k in salts.items():
+                nsalt[base_of_refined == c] = k
+            salt[refined] = (h % nsalt).astype(np.int64)
+        out = t.set_column(t.schema.get_field_index("cell"), "cell",
+                           pa.array(new_cell, pa.int64()))
+        out = out.append_column("salt", pa.array(salt, pa.int64()))
         out = out.append_column(
             "side", pa.array(np.zeros(len(out), dtype=np.int8), pa.int8())
         )

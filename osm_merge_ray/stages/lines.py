@@ -1,0 +1,238 @@
+"""Line-feature (highway) conflation — the reference's flagship path
+(SURVEY §2.3 G1/G3, §2.4 F1, §2.5 J1-J4) for LineString features.
+
+Implements the FULL decision table of ``conflateThread``
+(conflator.py:86-330) over the engine's cell shuffle:
+
+* distance: min over exploded segments on a local planar projection
+  (``getDistance`` conflator.py:456-531; typed dispatch — point vs line
+  is a forced no-match, conflator.py:505-508);
+* slope & angle between candidate direction vectors (``getSlope``
+  conflator.py:361-454);
+* tag scoring (``checkTags`` conflator.py:533-629): for key in
+  (name, ref, ref:usfs) a hit is fuzz ratio > 85 AND length diff <= 3
+  (:596-598); imperfect ratios on ref keys compare the second
+  whitespace token uppercased (:605-615);
+* early exits (conflator.py:188-267):
+    - hits==0 and (|angle| > 20 or |slope| > 4) → reject candidate
+    - hits==1 and |angle| < 15 and |slope| < 1 → "parallel road" — the
+      reference DROPS the primary feature entirely here
+      (conflator.py:217-222, SURVEY §7 hard part (a)); we emit it with
+      ``decision="parallel"`` so nothing is silently lost, and a
+      strict-parity consumer can filter those rows out;
+    - identical geometry (dist==slope==angle==0) matches regardless of
+      tags (:229-234);
+* selection (conflator.py:269-316): best by hits desc; accept outright
+  when hits >= 2, else nearest; merged feature keeps OSM id/version
+  (version+1) and the primary's geometry/tags, displaced secondary
+  values renamed ``old_<key>``; ``highway`` always taken from the OSM
+  side (:579-582); no candidates → new (version=1, informal=yes,
+  fixme import warning, :318-325).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from osm_merge_ray.config import ConflationConfig
+from osm_merge_ray.geo import cells as C
+from osm_merge_ray.geo.distance import polyline_min_dist_m, slope_angle
+from osm_merge_ray.ops import same_key_pairs
+from osm_merge_ray.text.fuzz import indel_ratio
+from osm_merge_ray.util import splitmix64
+
+MATCH_KEYS = ("name", "ref", "ref:usfs")  # conflator.py:549
+
+
+def score_tags(ext: dict, osm: dict, cfg: ConflationConfig) -> tuple[int, dict]:
+    """``checkTags`` analog (conflator.py:533-629). Returns (hits,
+    merged properties). Primary (ext) values win; displaced secondary
+    values are kept as ``old_<key>``; ``highway`` comes from OSM."""
+    hits = 0
+    merged = dict(osm)
+    for key in MATCH_KEYS:
+        a = ext.get(key)
+        b = osm.get(key)
+        if a is None or b is None:
+            continue
+        ratio = indel_ratio(str(a).lower(), str(b).lower())
+        if ratio > cfg.fuzz_threshold and abs(len(str(a)) - len(str(b))) <= cfg.len_diff_max:
+            hits += 1
+        elif key.startswith("ref"):
+            # second-token comparison for refs (conflator.py:605-615)
+            ta = str(a).split()
+            tb = str(b).split()
+            if len(ta) > 1 and len(tb) > 1 and ta[1].upper() == tb[1].upper():
+                hits += 1
+    for k, v in ext.items():
+        if k == "highway" and "highway" in osm:
+            continue  # highway kept from OSM (conflator.py:579-582)
+        if k in merged and merged[k] != v:
+            merged[f"old_{k}"] = merged[k]
+        merged[k] = v
+    return hits, merged
+
+
+def _line_prepare(t: pa.Table, cfg: ConflationConfig, side: int) -> pa.Table:
+    coords = t.column("coords_json").to_pylist()
+    lon = np.empty(len(coords))
+    lat = np.empty(len(coords))
+    for i, cj in enumerate(coords):
+        c = np.asarray(json.loads(cj), dtype=np.float64).reshape(-1, 2)
+        lon[i], lat[i] = c.mean(axis=0)
+    cell = C.lonlat_to_cell(lon, lat, cfg.cell_res)
+    ids = (t.column("feature_id") if "feature_id" in t.column_names
+           else t.column("osm_id"))
+    version = (t.column("version") if "version" in t.column_names
+               else pa.array(np.ones(len(coords), dtype=np.int32), pa.int32()))
+    return pa.table({
+        "feature_id": ids.cast(pa.int64()),
+        "version": version,
+        "geom_type": t.column("geom_type"),
+        "coords_json": t.column("coords_json"),
+        "props_json": t.column("props_json"),
+        "cell": pa.array(cell, pa.int64()),
+        "side": pa.array(np.full(len(coords), side, dtype=np.int8), pa.int8()),
+    })
+
+
+def conflate_lines(primary_ds, secondary_ds, cfg: ConflationConfig | None = None):
+    """Cell-sharded line conflation. NOTE the partitioning assumption:
+    features are assigned by centroid cell with k-ring(1) replication,
+    complete while (line length / 2 + threshold) < cell edge — choose
+    ``cfg.cell_res`` for the corpus' max segment length (the reference
+    pre-splits long ways the same way via its task grid)."""
+    cfg = cfg or ConflationConfig(cell_res=12)
+
+    p = primary_ds.map_batches(lambda t: _line_prepare(t, cfg, 0), batch_format="pyarrow")
+    s = secondary_ds.map_batches(lambda t: _line_prepare(t, cfg, 1), batch_format="pyarrow")
+
+    def replicate(t: pa.Table) -> pa.Table:
+        cell = t.column("cell").to_numpy()
+        ring = C.k_ring(cell, include_self=True)
+        n, r = ring.shape
+        out = t.take(np.repeat(np.arange(n), r))
+        return out.set_column(out.schema.get_field_index("cell"), "cell",
+                              pa.array(ring.reshape(-1), pa.int64()))
+
+    both = p.union(s.map_batches(replicate, batch_format="pyarrow"))
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        b = (splitmix64(t.column("cell").to_numpy().view(np.uint64))
+             % np.uint64(cfg.num_buckets)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    both = both.map_batches(with_bucket, batch_format="pyarrow")
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        return match_lines_group(df, cfg)
+
+    return both.groupby("bucket").map_groups(match, batch_format="pandas")
+
+
+def match_lines_group(df: pd.DataFrame, cfg: ConflationConfig) -> pd.DataFrame:
+    prim = df[df["side"] == 0]
+    sec = df[df["side"] == 1]
+    n_p = len(prim)
+    cols = {
+        "feature_id": pd.Series(dtype=np.int64),
+        "matched_id": pd.Series(dtype=np.int64),
+        "version": pd.Series(dtype=np.int64),
+        "decision": pd.Series(dtype="string"),
+        "hits": pd.Series(dtype=np.int64),
+        "dist_m": pd.Series(dtype=np.float64),
+        "angle": pd.Series(dtype=np.float64),
+        "slope": pd.Series(dtype=np.float64),
+        "merged_json": pd.Series(dtype="string"),
+    }
+    if n_p == 0:
+        return pd.DataFrame(cols)
+
+    p_lines = [np.asarray(json.loads(c), dtype=np.float64).reshape(-1, 2)
+               for c in prim["coords_json"]]
+    s_lines = [np.asarray(json.loads(c), dtype=np.float64).reshape(-1, 2)
+               for c in sec["coords_json"]]
+    p_props = [json.loads(x) for x in prim["props_json"]]
+    s_props = [json.loads(x) for x in sec["props_json"]]
+    p_ids = prim["feature_id"].to_numpy()
+    s_ids = sec["feature_id"].to_numpy()
+    s_ver = sec["version"].to_numpy()
+    p_types = prim["geom_type"].to_numpy()
+    s_types = sec["geom_type"].to_numpy()
+
+    pi, si = same_key_pairs(prim["cell"].to_numpy(), sec["cell"].to_numpy())
+
+    out_rows = []
+    # group candidate pairs per primary (pi is grouped ascending)
+    from osm_merge_ray.ops import first_in_groups
+
+    bounds = np.flatnonzero(first_in_groups(pi)) if len(pi) else np.empty(0, np.int64)
+    bounds = np.r_[bounds, len(pi)]
+    cand_of: dict[int, list] = {}
+    for g in range(len(bounds) - 1):
+        lo, hi = bounds[g], bounds[g + 1]
+        i = int(pi[lo])
+        cands = []
+        for k in range(lo, hi):
+            j = int(si[k])
+            # typed dispatch: line vs point is a forced no-match
+            # (conflator.py:505-508)
+            if (p_types[i] == "Point") != (s_types[j] == "Point"):
+                continue
+            d = polyline_min_dist_m(p_lines[i], s_lines[j])
+            if d > cfg.distance_m:
+                continue
+            la, lb = p_lines[i], s_lines[j]
+            sl, an = slope_angle(la[:1], la[-1:], lb[:1], lb[-1:])
+            hits, merged = score_tags(p_props[i], s_props[j], cfg)
+            # identical-geometry match regardless of tags
+            # (conflator.py:229-234)
+            identical = d == 0.0 and sl[0] == 0.0 and an[0] == 0.0
+            if hits == 0 and not identical and (
+                abs(an[0]) > cfg.angle_max_deg or abs(sl[0]) > cfg.slope_max
+            ):
+                continue  # reject (conflator.py:206-216)
+            cands.append((hits, d, float(sl[0]), float(an[0]), j, merged, identical))
+        if cands:
+            # deterministic nearest-k cap (divergence from the
+            # reference's scan-order cap, documented in SURVEY §7 (c))
+            cands.sort(key=lambda c: (c[1], s_ids[c[4]]))
+            cand_of[i] = cands[: cfg.max_candidates]
+
+    for i in range(n_p):
+        cands = cand_of.get(i, [])
+        if not cands:
+            props = dict(p_props[i])
+            props["informal"] = "yes"
+            props["fixme"] = "new feature, validate before uploading"
+            out_rows.append((int(p_ids[i]), -1, 1, "new", 0, -1.0, 0.0, 0.0,
+                             json.dumps(props, sort_keys=True)))
+            continue
+        # parallel-road early exit: a single-hit geometrically-parallel
+        # candidate drops the primary in the reference (conflator.py:217-222)
+        parallel = any(
+            h == 1 and abs(an) < 15.0 and abs(sl) < 1.0
+            for h, d, sl, an, j, m, ident in cands
+        )
+        best = max(cands, key=lambda c: (c[0], -c[1], -s_ids[c[4]]))
+        hits, d, sl, an, j, merged, ident = best
+        if parallel and hits < cfg.min_hits_accept:
+            out_rows.append((int(p_ids[i]), int(s_ids[j]), int(s_ver[j]),
+                             "parallel", hits, d, sl, an,
+                             json.dumps(merged, sort_keys=True)))
+            continue
+        decision = "merged"
+        merged = dict(merged)
+        merged["hits"] = str(hits)
+        out_rows.append((int(p_ids[i]), int(s_ids[j]), int(s_ver[j]) + 1,
+                         decision, hits, d, sl, an,
+                         json.dumps(merged, sort_keys=True)))
+
+    out = pd.DataFrame(out_rows, columns=list(cols))
+    out["decision"] = out["decision"].astype("string")
+    out["merged_json"] = out["merged_json"].astype("string")
+    return out
