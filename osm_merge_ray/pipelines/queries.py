@@ -958,6 +958,111 @@ def conflate_images_q(sf_dir: str):
     return out.select_columns(["image_id", "matched_id", "decision", "hits", "dist_mm"])
 
 
+def _vector_fixture(n: int, start_id: int = 0, secondary: bool = False):
+    """Deterministic LineString feature fixture (FIXTURES.md F2/F3
+    shape) for the rows-only vector-conflation queries."""
+    import numpy as np
+
+    from osm_merge_ray.sources.geojson import features_to_table
+    from osm_merge_ray.util import uniform01
+
+    idx = np.arange(n, dtype=np.uint64)
+    lon = -106.0 + uniform01(idx, salt=31) * 0.5
+    lat = 39.0 + uniform01(idx, salt=41) * 0.5
+    feats = []
+    for i in range(n):
+        base = [[float(lon[i]) + k * 1e-4, float(lat[i]) + k * 5e-5] for k in range(4)]
+        props = {"name": f"Forest Road {i} Creek Road", "ref:usfs": f"FR {200+i}.1",
+                 "highway": "unclassified"}
+        if secondary:
+            if i % 3 == 0:
+                base = [[x, y + 3.0 / 111194.9] for x, y in base]
+                props = {"name": f"Forest Road {i} Crxek Road",
+                         "ref:usfs": f"FR {200+i}.1", "highway": "track"}
+            elif i % 3 == 1:
+                base = [[x + 0.05, y] for x, y in base]
+                props = {"name": "Far Away Road", "highway": "track"}
+        feats.append({"geometry": {"type": "LineString", "coordinates": base},
+                      "properties": props})
+    return features_to_table(feats, start_id=start_id)
+
+
+def conflate_lines_q(sf_dir: str):
+    """LineString conflation decision table — rows-only (pytest-verified
+    against the reference decision semantics)."""
+    import ray.data as rd
+
+    from osm_merge_ray.config import ConflationConfig
+    from osm_merge_ray.stages.lines import conflate_lines
+
+    p = _vector_fixture(120)
+    s = _vector_fixture(120, start_id=7000, secondary=True)
+    out = conflate_lines(rd.from_arrow(p), rd.from_arrow(s),
+                         ConflationConfig(cell_res=12, num_buckets=8))
+    return out.select_columns(["feature_id", "matched_id", "decision", "hits"])
+
+
+def conflate_pois_q(sf_dir: str):
+    """POI cascade join — rows-only."""
+    import ray.data as rd
+
+    from osm_merge_ray.config import ConflationConfig
+    from osm_merge_ray.stages.poi import conflate_pois
+    from osm_merge_ray.sources.geojson import features_to_table
+    import numpy as np
+
+    from osm_merge_ray.util import uniform01
+
+    idx = np.arange(90, dtype=np.uint64)
+    lon = -106.0 + uniform01(idx, salt=51) * 0.3
+    lat = 39.0 + uniform01(idx, salt=61) * 0.3
+    pois, osm = [], []
+    for i in range(90):
+        pois.append({"geometry": {"type": "Point", "coordinates": [float(lon[i]), float(lat[i])]},
+                     "properties": {"amenity": "bench", "name": f"Bench {i}"}})
+        if i % 2 == 0:
+            osm.append({"geometry": {"type": "Point",
+                                     "coordinates": [float(lon[i]) + 2e-5, float(lat[i])]},
+                        "properties": {"amenity": "bench", "name": f"Bench {i}"}})
+    out = conflate_pois(
+        rd.from_arrow(features_to_table(pois)),
+        rd.from_arrow(features_to_table(osm, start_id=8000)),
+        ConflationConfig(cell_res=15, num_buckets=8), tolerance_m=10.0,
+    )
+    return out.select_columns(["feature_id", "matched_id", "decision", "hits"])
+
+
+def image_pixel_embed_q(sf_dir: str):
+    """Thumbnail + pixel-embedding actor stages — rows-only."""
+    import ray.data as rd
+
+    from osm_merge_ray.image.stages import PixelEmbed, Thumbnail
+    from osm_merge_ray.synth import synth_table
+
+    t = synth_table(128, "primary", with_bytes=True)
+    ds = rd.from_arrow(t)
+    ds = ds.map_batches(Thumbnail, batch_format="pyarrow", batch_size=64,
+                        concurrency=(1, 2))
+    ds = ds.map_batches(PixelEmbed, batch_format="pyarrow", batch_size=64,
+                        concurrency=(1, 2))
+
+    def project(t2: pa.Table) -> pa.Table:
+        import numpy as np
+
+        thumbs = t2.column("thumb").to_pylist()
+        embs = t2.column("pixel_embedding").to_pylist()
+        return pa.table({
+            "image_id": t2.column("image_id"),
+            "thumb_bytes": pa.array([len(b) if b else 0 for b in thumbs], pa.int64()),
+            "emb_dim": pa.array([len(e) if e else 0 for e in embs], pa.int64()),
+            "emb_norm_e6": pa.array(
+                [int(round(float(np.linalg.norm(np.asarray(e))) * 1e6)) if e else 0
+                 for e in embs], pa.int64()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def image_decode_stats_q(sf_dir: str):
     """Actor-pool decode/verify over synthetic image payloads → per-format
     verification counters (rows-only)."""
@@ -1019,7 +1124,10 @@ QUERIES = {
     "events_window": events_window,
     "events_sessionize": events_sessionize,
     "conflate_images": conflate_images_q,
+    "conflate_lines": conflate_lines_q,
+    "conflate_pois": conflate_pois_q,
     "image_decode_stats": image_decode_stats_q,
+    "image_pixel_embed": image_pixel_embed_q,
 }
 
 ORACLE_SQL = {
