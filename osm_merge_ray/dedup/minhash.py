@@ -68,27 +68,72 @@ class MinHasher:
         m = splitmix64(sh[:, None] ^ self.seeds[None, :])
         return m.min(axis=0)
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t.column(self.id_column).to_pylist()
-        texts = t.column(self.text_column).to_pylist()
-        band_id = []
-        band_hash = []
-        doc_id = []
-        for did, txt in zip(ids, texts):
-            sig = self.signature(txt or "")
-            folded = sig.reshape(self.bands, self.rows_per_band)
+    def signatures_batch(self, texts) -> np.ndarray:
+        """Vectorized (n_docs, num_perm) signatures for a whole batch:
+        word-level batched FNV, window-combined gram hashes across doc
+        boundaries, per-doc minima via ``np.minimum.reduceat`` — no
+        per-doc Python in the hot path."""
+        from osm_merge_ray.util import fnv1a_batch
+
+        n = len(texts)
+        words_per_doc: list[list[str]] = [(t or "").split(" ") for t in texts]
+        counts = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64, count=n)
+        all_words = [w for ws in words_per_doc for w in ws]
+        wh = fnv1a_batch(all_words)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        k = self.k
+        # gram hash = mix over a k-window of word hashes, valid when the
+        # window stays inside one doc; docs shorter than k use their
+        # full (shorter) window
+        if len(wh) >= k:
+            g = wh[: len(wh) - k + 1].copy()
             with np.errstate(over="ignore"):
-                bh = folded[:, 0].copy()
-                for j in range(1, self.rows_per_band):
-                    bh = splitmix64(bh ^ folded[:, j])
-            band_id.extend(range(self.bands))
-            band_hash.extend(bh.astype(np.int64).tolist())
-            doc_id.extend([did] * self.bands)
+                for j in range(1, k):
+                    g = splitmix64(g) ^ wh[j: len(wh) - k + 1 + j]
+                g = splitmix64(g)
+            valid = doc_of[: len(wh) - k + 1] == doc_of[k - 1:]
+        else:
+            g = np.empty(0, dtype=np.uint64)
+            valid = np.empty(0, dtype=bool)
+        gram_doc = doc_of[: len(g)][valid]
+        g = g[valid]
+        # short docs (< k words): single gram over the whole doc
+        short = np.flatnonzero(counts < k)
+        if len(short):
+            texts_short = [" ".join(words_per_doc[i]) for i in short]
+            g_extra = splitmix64(fnv1a_batch(texts_short))
+            g = np.concatenate([g, g_extra])
+            gram_doc = np.concatenate([gram_doc, short])
+            order = np.argsort(gram_doc, kind="stable")
+            g, gram_doc = g[order], gram_doc[order]
+        sigs = np.full((n, self.num_perm), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+        if len(g):
+            m = splitmix64(g[:, None] ^ self.seeds[None, :])  # (G, num_perm)
+            present, starts = np.unique(gram_doc, return_index=True)
+            mins = np.minimum.reduceat(m, starts, axis=0)
+            sigs[present] = mins
+        sigs[counts == 0] = 0
+        return sigs
+
+    def signature(self, text: str) -> np.ndarray:  # kept for tests/tools
+        return self.signatures_batch([text])[0]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_column).to_numpy(zero_copy_only=False)
+        texts = t.column(self.text_column).to_pylist()
+        sigs = self.signatures_batch(texts)  # (n, num_perm)
+        folded = sigs.reshape(len(texts), self.bands, self.rows_per_band)
+        with np.errstate(over="ignore"):
+            bh = folded[:, :, 0].copy()
+            for j in range(1, self.rows_per_band):
+                bh = splitmix64(bh ^ folded[:, :, j])
+        n = len(texts)
         return pa.table(
             {
-                "band_id": pa.array(band_id, pa.int32()),
-                "band_hash": pa.array(band_hash, pa.int64()),
-                self.id_column: pa.array(doc_id),
+                "band_id": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n), pa.int32()),
+                "band_hash": pa.array(bh.reshape(-1).astype(np.int64), pa.int64()),
+                self.id_column: pa.array(np.repeat(ids, self.bands)),
             }
         )
 

@@ -896,6 +896,47 @@ FROM events GROUP BY 1, 2
 """
 
 
+def events_sliding_window(sf_dir: str):
+    """Sliding windows: size 1 h, slide 30 min — each event lands in 2
+    overlapping windows (flat_map inside map_batches, then the bucketed
+    combine). Window id = index of the window's START slot."""
+    from osm_merge_ray.ops import grouped_reduce
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    slide = 1_800_000_000  # 30 min in µs
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy().astype("datetime64[us]").view(np.int64)
+        slot = ts // slide
+        val = np.floor(t.column("value").to_numpy() * 1e6 + 0.5).astype(np.int64)
+        et = np.asarray(t.column("event_type").to_pylist(), dtype=object)
+        # windows starting at slot and slot-1 both contain this event
+        win = np.concatenate([slot, slot - 1])
+        return pa.table({
+            "event_type": pa.array(np.concatenate([et, et]), pa.string()),
+            "window_id": pa.array(win, pa.int64()),
+            "value_e6": pa.array(np.concatenate([val, val]), pa.int64()),
+        })
+
+    return grouped_reduce(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["event_type", "window_id"],
+        lambda df: df.groupby(["event_type", "window_id"], as_index=False).agg(
+            sum_value_e6=("value_e6", "sum"), n_events=("value_e6", "size")
+        ),
+    )
+
+
+SQL_EVENTS_SLIDING = """
+SELECT event_type,
+       CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) - o.off AS window_id,
+       sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS sum_value_e6,
+       count(*) AS n_events
+FROM events, (SELECT unnest([0, 1]) AS off) o
+GROUP BY 1, 2
+"""
+
+
 def events_sessionize(sf_dir: str):
     """Session windows (30-min inactivity gap) per user — the
     stream-shaped op: sort-within-partition + stateful scan in
@@ -1122,6 +1163,7 @@ QUERIES = {
     "top_orders_by_revenue": top_orders_by_revenue,
     "nation_revenue": nation_revenue,
     "events_window": events_window,
+    "events_sliding_window": events_sliding_window,
     "events_sessionize": events_sessionize,
     "conflate_images": conflate_images_q,
     "conflate_lines": conflate_lines_q,
@@ -1147,5 +1189,6 @@ ORACLE_SQL = {
     "top_orders_by_revenue": SQL_TOP_ORDERS,
     "nation_revenue": SQL_NATION_REVENUE,
     "events_window": SQL_EVENTS_WINDOW,
+    "events_sliding_window": SQL_EVENTS_SLIDING,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
 }

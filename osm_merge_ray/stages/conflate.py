@@ -191,30 +191,32 @@ def border_band_targets(lon: np.ndarray, lat: np.ndarray, res: int,
     iy = np.floor(fy).astype(np.int64)
     fx -= ix
     fy -= iy
+    # band width in cell units. Longitude cells SHRINK in meters by
+    # cos(lat), so the lon band can exceed one cell at high latitude —
+    # the range below replicates to exactly the cells the row's
+    # distance interval overlaps (capped at +-8 cells; ~|lat|<=85).
     with np.errstate(invalid="ignore"):
-        bx = np.minimum(distance_m / (111320.0 * np.abs(np.cos(np.radians(lat))) + 1e-9) / s, 1.0)
-    by = min(distance_m / C.M_PER_DEG_LAT / s, 1.0)
-    west = fx < bx
-    east = fx > 1.0 - bx
-    south = fy < by
-    north = fy > 1.0 - by
+        bx = distance_m / (111320.0 * np.maximum(np.abs(np.cos(np.radians(lat))), 1e-3)) / s
+    by = distance_m / C.M_PER_DEG_LAT / s
+    cap = 8
+    dx_min = np.clip(np.floor(fx - bx), -cap, 0).astype(np.int64)
+    dx_max = np.clip(np.floor(fx + bx), 0, cap).astype(np.int64)
+    dy_min = np.clip(np.floor(fy - by), -cap, 0).astype(np.int64)
+    dy_max = np.clip(np.floor(fy + by), 0, cap).astype(np.int64)
+    nx_cnt = dx_max - dx_min + 1
+    ny_cnt = dy_max - dy_min + 1
+    cnt = nx_cnt * ny_cnt
+    total = int(cnt.sum())
+    rows = np.repeat(np.arange(len(lon), dtype=np.int64), cnt)
+    offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    w = np.arange(total, dtype=np.int64) - np.repeat(offs, cnt)
+    dx = np.repeat(dx_min, cnt) + w // np.repeat(ny_cnt, cnt)
+    dy = np.repeat(dy_min, cnt) + w % np.repeat(ny_cnt, cnt)
     nx = np.int64(1 << res)
     ny = np.int64(1 << max(res - 1, 0))
-    idx_list = [np.arange(len(lon), dtype=np.int64)]
-    tgt_list = [C.xy_to_cell(ix, iy, res)]
-    for dx, dy, mask in (
-        (-1, 0, west), (1, 0, east), (0, -1, south), (0, 1, north),
-        (-1, -1, west & south), (1, -1, east & south),
-        (-1, 1, west & north), (1, 1, east & north),
-    ):
-        rows = np.flatnonzero(mask)
-        if len(rows) == 0:
-            continue
-        jx = np.mod(ix[rows] + dx, nx)
-        jy = np.clip(iy[rows] + dy, 0, ny - 1)
-        idx_list.append(rows)
-        tgt_list.append(C.xy_to_cell(jx, jy, res))
-    return np.concatenate(idx_list), np.concatenate(tgt_list)
+    jx = np.mod(ix[rows] + dx, nx)
+    jy = np.clip(iy[rows] + dy, 0, ny - 1)
+    return rows, C.xy_to_cell(jx, jy, res)
 
 
 def make_replicate_secondary(cfg: ConflationConfig, salts: dict[int, int]):

@@ -42,6 +42,28 @@ def hash64_str(values) -> np.ndarray:
     return out
 
 
+def fnv1a_batch(strs) -> np.ndarray:
+    """Vectorized FNV-1a over many short strings: one numpy pass per
+    byte column instead of a Python loop per character. ~20x faster
+    than ``hash64_str`` for token-sized strings."""
+    n = len(strs)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bufs = [s.encode("utf-8") for s in strs]
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    mat = np.zeros((n, maxlen), dtype=np.uint8)
+    for i, b in enumerate(bufs):
+        mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            alive = lens > j
+            h[alive] = (h[alive] ^ mat[alive, j].astype(np.uint64)) * prime
+    return h
+
+
 def uniform01(x: np.ndarray, salt: int = 0) -> np.ndarray:
     """Deterministic uniform [0,1) doubles from uint64 keys."""
     h = splitmix64(np.asarray(x, dtype=_U64) ^ _U64(salt & 0xFFFFFFFFFFFFFFFF))
