@@ -205,6 +205,86 @@ WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
 """
 
 
+def spatial_knn_join(sf_dir: str, k: int = 3):
+    """Bounded kNN join: the k nearest odd docs within 20 km of each
+    even doc (rank by quantized distance, id tie-break). The per-cell
+    candidate generation is the same one-shuffle pattern; ranking is a
+    lexsort inside the bucket."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        from osm_merge_ray.ops import rank_within_groups
+
+        a = df[df["side"] == 0]
+        b = df[df["side"] == 1]
+        a_lon, a_lat = a["lon"].to_numpy(), a["lat"].to_numpy()
+        b_lon, b_lat = b["lon"].to_numpy(), b["lat"].to_numpy()
+        a_id, b_id = a["doc_id"].to_numpy(), b["doc_id"].to_numpy()
+        pi, si, d2s = [], [], []
+
+        def emit(ai, bi):
+            dx = (a_lon[ai][:, None] - b_lon[bi][None, :]) * KX
+            dy = (a_lat[ai][:, None] - b_lat[bi][None, :]) * KY
+            d2 = dx * dx + dy * dy
+            rr, cc = np.nonzero(d2 <= D2_MAX)
+            pi.extend(ai[rr].tolist())
+            si.extend(bi[cc].tolist())
+            d2s.extend(d2[rr, cc].tolist())
+
+        _pair_groups(a, b, emit)
+        pi_a = np.asarray(pi, dtype=np.int64)
+        si_a = np.asarray(si, dtype=np.int64)
+        d2_a = np.asarray(d2s, dtype=np.float64)
+        if len(pi_a) == 0:
+            return pd.DataFrame({
+                "id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
+                "d2": pd.Series(dtype=np.float64), "rank": pd.Series(dtype=np.int64),
+            })
+        d2_e3 = np.floor(d2_a * 1000.0).astype(np.int64)  # exact-op quantize
+        order = np.lexsort((b_id[si_a], d2_e3, pi_a))
+        pos = rank_within_groups(pi_a[order])
+        keep = order[pos < k]
+        rank = (pos[pos < k] + 1).astype(np.int64)
+        return pd.DataFrame({
+            "id_a": a_id[pi_a[keep]],
+            "id_b": b_id[si_a[keep]],
+            "d2": d2_a[keep],
+            "rank": rank,
+        })
+
+    return _spatial_join_pipeline(sf_dir, [], per_bucket)
+
+
+SQL_KNN_JOIN = f"""
+WITH pts AS (
+  SELECT doc_id,
+         {_DERIVE_SQL[0].format(id='doc_id')} AS lon,
+         {_DERIVE_SQL[1].format(id='doc_id')} AS lat
+  FROM documents
+), c AS (
+  SELECT doc_id, lon, lat,
+         CAST(floor((lon + 180.0) / 0.25) AS BIGINT) AS cx,
+         CAST(floor((lat + 90.0) / 0.25) AS BIGINT) AS cy
+  FROM pts
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ((a.lon - b.lon) * 85263.0) * ((a.lon - b.lon) * 85263.0)
+       + ((a.lat - b.lat) * 111195.0) * ((a.lat - b.lat) * 111195.0) AS d2
+  FROM c a JOIN c b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+    AND ((a.lon - b.lon) * 85263.0) * ((a.lon - b.lon) * 85263.0)
+      + ((a.lat - b.lat) * 111195.0) * ((a.lat - b.lat) * 111195.0) <= 400000000.0
+)
+SELECT id_a, id_b, d2, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY id_a
+    ORDER BY CAST(floor(d2 * 1000.0) AS BIGINT) ASC, id_b ASC) AS rank
+  FROM cand
+) WHERE rank <= 3
+"""
+
+
 def spatial_conflate(sf_dir: str):
     """SQL-checkable restatement of the conflation decision table over
     derived points: caption = first 30 chars (Levenshtein-ratio scorer,
@@ -1144,6 +1224,7 @@ def image_decode_stats_q(sf_dir: str):
 QUERIES = {
     "spatial_cell_index": spatial_cell_index,
     "spatial_distance_join": spatial_distance_join,
+    "spatial_knn_join": spatial_knn_join,
     "spatial_conflate": spatial_conflate,
     "spatial_tile_assign": spatial_tile_assign,
     "spatial_point_in_polygon": spatial_point_in_polygon,
@@ -1175,6 +1256,7 @@ QUERIES = {
 ORACLE_SQL = {
     "spatial_cell_index": SQL_CELL_INDEX,
     "spatial_distance_join": SQL_DISTANCE_JOIN,
+    "spatial_knn_join": SQL_KNN_JOIN,
     "spatial_conflate": SQL_CONFLATE,
     "spatial_tile_assign": SQL_TILE_ASSIGN,
     "spatial_point_in_polygon": SQL_POINT_IN_POLYGON,

@@ -184,6 +184,8 @@ def border_band_targets(lon: np.ndarray, lat: np.ndarray, res: int,
 
     Returns (row_idx, target_cell) arrays.
     """
+    if len(lon) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     s = C.cell_edge_deg(res)
     fx = (lon + 180.0) / s
     fy = (lat + 90.0) / s

@@ -150,12 +150,13 @@ def test_langid_and_fingerprint_deterministic():
 # ---------------------------------------------------------------------------
 
 PARITY_QUERIES = [
-    "spatial_cell_index", "spatial_distance_join", "spatial_conflate",
-    "spatial_tile_assign", "spatial_point_in_polygon",
+    "spatial_cell_index", "spatial_distance_join", "spatial_knn_join",
+    "spatial_conflate", "spatial_tile_assign", "spatial_point_in_polygon",
+    "spatial_polygon_overlap",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
     "text_token_count", "text_quality_score", "knn_cosine_topk",
     "q1_pricing_summary", "top_orders_by_revenue", "nation_revenue",
-    "events_window", "events_sessionize",
+    "events_window", "events_sliding_window", "events_sessionize",
 ]
 
 
