@@ -671,6 +671,19 @@ FROM u WHERE round(dot / (sqrt(sx) * sqrt(sy)), 6) >= 0.35
 # text analysis
 # ---------------------------------------------------------------------------
 
+def dedup_embedding_lsh_q(sf_dir: str):
+    """Hyperplane-LSH near-dup (scale path) — rows-only; recall vs the
+    exact path is asserted in pytest."""
+    import pyarrow.parquet as pq
+
+    from osm_merge_ray.sim.embed_lsh import embedding_neardup_lsh
+
+    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+              .column("embedding")[0].as_py())
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_neardup_lsh(ds, dim=dim, threshold=0.35, bands=16)
+
+
 def text_token_count_q(sf_dir: str):
     from osm_merge_ray.text.analysis import token_stats
 
@@ -1234,6 +1247,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_q,
     "dedup_simhash": dedup_simhash_q,
     "dedup_embedding_cosine": dedup_embedding_q,
+    "dedup_embedding_lsh": dedup_embedding_lsh_q,
     "text_token_count": text_token_count_q,
     "text_quality_score": text_quality_q,
     "text_langid": text_langid_q,
