@@ -101,6 +101,83 @@ def grouped_reduce(ds, key_cols: list[str], reduce_fn, num_buckets: int = 64):
     )
 
 
+class BloomFilter:
+    """Plain numpy Bloom filter for broadcast semi/anti joins: build
+    once from the key set (driver or a small aggregate), ``ray.put``
+    it, probe vectorized inside ``map_batches``. k hash functions via
+    splitmix64 double hashing (Kirsch–Mitzenmacher)."""
+
+    def __init__(self, capacity: int, fp_rate: float = 0.01):
+        m = max(64, int(-capacity * np.log(fp_rate) / (np.log(2) ** 2)))
+        self.m = (m + 63) // 64 * 64
+        self.k = max(1, int(round(self.m / max(capacity, 1) * np.log(2))))
+        self.bits = np.zeros(self.m // 64, dtype=np.uint64)
+
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        from osm_merge_ray.util import splitmix64
+
+        h1 = splitmix64(h)
+        h2 = splitmix64(h ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+        with np.errstate(over="ignore"):
+            return np.stack(
+                [(h1 + np.uint64(i) * h2) % np.uint64(self.m) for i in range(self.k)]
+            )  # (k, n)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        pos = self._positions(np.asarray(h, dtype=np.uint64)).reshape(-1)
+        np.bitwise_or.at(self.bits, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        pos = self._positions(np.asarray(h, dtype=np.uint64))  # (k, n)
+        word = self.bits[(pos >> np.uint64(6)).astype(np.int64)]
+        hit = (word >> (pos & np.uint64(63))) & np.uint64(1)
+        return hit.all(axis=0).astype(bool)
+
+
+def bucketed_hash_join(ds_left, ds_right, key: str, num_buckets: int = 64,
+                       how: str = "inner", suffix: str = "_r"):
+    """Large-large equi-join as an explicit partitioned hash join: both
+    sides get ``bucket = hash(key) % B``, matching buckets meet in one
+    ``groupby(bucket)`` and join with a pandas merge. Use broadcast
+    lookups for small sides instead (see pipelines/queries.py) — this
+    is for when both sides are big.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from osm_merge_ray.util import hash64_str, splitmix64
+
+    def with_bucket(side_flag):
+        def fn(t: pa.Table) -> pa.Table:
+            col = t.column(key)
+            if pa.types.is_integer(col.type):
+                v = col.to_numpy().astype(np.int64).view(np.uint64)
+            else:
+                v = hash64_str(col.to_pylist())
+            b = (splitmix64(v) % np.uint64(num_buckets)).astype(np.int64)
+            t = t.append_column("_jbucket", pa.array(b, pa.int64()))
+            return t.append_column("_jside", pa.array(
+                np.full(len(t), side_flag, dtype=np.int8), pa.int8()))
+        return fn
+
+    left_cols = list(ds_left.schema().names)
+    right_cols = list(ds_right.schema().names)
+
+    both = ds_left.map_batches(with_bucket(0), batch_format="pyarrow").union(
+        ds_right.map_batches(with_bucket(1), batch_format="pyarrow")
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # the union null-fills the other side's columns — re-project
+        # each side to its own schema before the merge
+        left = df[df["_jside"] == 0][left_cols]
+        right = df[df["_jside"] == 1][right_cols]
+        return left.merge(right, on=key, how=how, suffixes=("", suffix))
+
+    return both.groupby("_jbucket").map_groups(join_bucket, batch_format="pandas")
+
+
 def pack_pair(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Pack two non-negative < 2^31 ids into one int64 (for native
     distinct/unique instead of a groupby-head dedup)."""

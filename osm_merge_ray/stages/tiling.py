@@ -14,6 +14,8 @@ import pyarrow as pa
 
 from osm_merge_ray.geo.mercator import TileGrid
 
+__all__ = ["assign_tiles", "make_assign_tiles", "render_tiles", "write_tiled"]
+
 
 def make_assign_tiles(grid: TileGrid):
     def assign(t: pa.Table) -> pa.Table:
@@ -34,3 +36,52 @@ def write_tiled(ds, out_dir: str, partition_col: str = "tile_id"):
     run (state/checkpoint.py) can skip finished partitions (the engine
     analog of the reference's one-file-per-task layout)."""
     ds.write_parquet(out_dir, partition_cols=[partition_col])
+
+
+def render_tiles(source_path: str, out_dir: str, grid: TileGrid,
+                 decisions_ds=None, keep_decisions=("merged", "duplicate")):
+    """Raster tile render (SURVEY §7 hard part (d)): the image BYTES
+    never went through the conflation shuffle (only light rows did), so
+    tile rendering re-reads the source parquet, recomputes ``tile_id``
+    from each row's own centroid (a pure projection — no join), and
+    writes one parquet partition per tile.
+
+    Decision-dependent rendering needs only a *semi-join* against the
+    matched ids: a Bloom filter of the kept image_ids is broadcast once
+    (``ray.put``) and probed vectorized per batch — the decisions table
+    is never shuffled against the bytes. Bloom false positives
+    (~1e-4 here) only let an extra unmatched image into a tile, which a
+    downstream exact check can drop if needed.
+    """
+    import ray
+    import ray.data as rd
+
+    from osm_merge_ray.ops import BloomFilter
+    from osm_merge_ray.util import hash64_str
+
+    bloom_ref = None
+    if decisions_ds is not None:
+        ids: list[str] = []
+        for batch in decisions_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
+            mask = np.isin(np.asarray(batch.column("decision").to_pylist(), dtype=object),
+                           np.asarray(keep_decisions, dtype=object))
+            ids.extend(np.asarray(batch.column("image_id").to_pylist(), dtype=object)[mask])
+        bloom = BloomFilter(capacity=max(len(ids), 1), fp_rate=1e-4)
+        bloom.add_hashes(hash64_str(ids))
+        bloom_ref = ray.put(bloom)
+
+    def assign_and_filter(t: pa.Table) -> pa.Table:
+        if bloom_ref is not None:
+            bf = ray.get(bloom_ref)
+            keep = bf.contains_hashes(hash64_str(t.column("image_id").to_pylist()))
+            t = t.filter(pa.array(keep))
+        if len(t) == 0:
+            return t.append_column("tile_id", pa.array([], pa.int64()))
+        lon = t.column("lon").to_numpy(zero_copy_only=False)
+        lat = t.column("lat").to_numpy(zero_copy_only=False)
+        return t.append_column("tile_id", pa.array(grid.tile_of_lonlat(lon, lat), pa.int64()))
+
+    ds = rd.read_parquet(source_path)
+    out = ds.map_batches(assign_and_filter, batch_format="pyarrow")
+    out.write_parquet(out_dir, partition_cols=["tile_id"])
+    return out_dir

@@ -1,0 +1,70 @@
+"""Raster tile render: bytes re-read from source, Bloom semi-join on
+decisions, partitioned per-tile output; plus BloomFilter unit tests."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from osm_merge_ray.config import ConflationConfig
+from osm_merge_ray.ops import BloomFilter, bucketed_hash_join
+from osm_merge_ray.pipelines.conflation import default_grid
+from osm_merge_ray.stages.conflate import conflate_datasets
+from osm_merge_ray.stages.tiling import render_tiles
+from osm_merge_ray.synth import synth_table
+from osm_merge_ray.util import hash64_str
+
+
+def test_bloom_filter_basics():
+    bf = BloomFilter(capacity=1000, fp_rate=0.01)
+    keys = [f"img{i}" for i in range(1000)]
+    bf.add_hashes(hash64_str(keys))
+    assert bf.contains_hashes(hash64_str(keys)).all()  # no false negatives
+    probe = [f"other{i}" for i in range(5000)]
+    fp = bf.contains_hashes(hash64_str(probe)).mean()
+    assert fp < 0.05  # ~1% design rate
+
+
+def test_render_tiles_with_decision_semijoin(ray_session, tmp_path):
+    tp = synth_table(300, "primary", with_bytes=True)
+    ts = synth_table(300, "secondary", with_bytes=False)
+    src = str(tmp_path / "primary")
+    os.makedirs(src)
+    pq.write_table(tp, os.path.join(src, "part.parquet"))
+
+    cfg = ConflationConfig(num_buckets=8)
+    decisions = conflate_datasets(
+        rd.from_arrow(tp.drop_columns(["bytes"])), rd.from_arrow(ts), cfg,
+        skew_salting=False,
+    ).materialize()
+    ddf = decisions.to_pandas()
+    kept_ids = set(ddf[ddf["decision"].isin(["merged", "duplicate"])]["image_id"])
+
+    out_dir = str(tmp_path / "tiles")
+    render_tiles(src, out_dir, default_grid(cfg), decisions_ds=decisions)
+    back = pq.read_table(out_dir)
+    got_ids = set(back.column("image_id").to_pylist())
+    # Bloom has no false negatives: every kept id present; false
+    # positives at 1e-4 ~ none at n=300
+    assert kept_ids <= got_ids
+    assert len(got_ids - kept_ids) <= 2
+    assert b"".join([]) == b""  # placeholder sanity
+    # bytes survived into tiles and tile dirs are partitioned
+    assert any(d.startswith("tile_id=") for d in os.listdir(out_dir))
+    assert back.column("bytes").null_count == 0
+
+
+def test_bucketed_hash_join(ray_session):
+    import pandas as pd
+
+    left = pd.DataFrame({"k": np.arange(1000) % 97, "a": np.arange(1000)})
+    right = pd.DataFrame({"k": np.arange(97), "b": np.arange(97) * 10})
+    got = bucketed_hash_join(rd.from_pandas(left), rd.from_pandas(right), "k").to_pandas()
+    exp = left.merge(right, on="k")
+    assert len(got) == len(exp)
+    got_s = got.sort_values(["k", "a"]).reset_index(drop=True)
+    exp_s = exp.sort_values(["k", "a"]).reset_index(drop=True)
+    assert (got_s["b"] == exp_s["b"]).all()
