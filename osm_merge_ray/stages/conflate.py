@@ -161,18 +161,6 @@ def _refine_hot(cell: np.ndarray, lon: np.ndarray, lat: np.ndarray,
     return cell, m
 
 
-def _salt_of(image_id: np.ndarray, cell: np.ndarray, salts: dict[int, int]) -> np.ndarray:
-    out = np.zeros(len(cell), dtype=np.int64)
-    if not salts:
-        return out
-    h = splitmix64(hash64_str(image_id))
-    for c, n in salts.items():
-        m = cell == c
-        if m.any():
-            out[m] = (h[m] % np.uint64(n)).astype(np.int64)
-    return out
-
-
 def border_band_targets(lon: np.ndarray, lat: np.ndarray, res: int,
                         distance_m: float) -> tuple[np.ndarray, np.ndarray]:
     """Border-band replication targets: each row goes to its own cell,
