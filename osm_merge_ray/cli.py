@@ -46,8 +46,14 @@ def cmd_convert(args) -> int:
 
 
 def cmd_conflate_lines(args) -> int:
+    """conflator.main analog: decisions parquet + the reference's three
+    output files (-out.osm for merged ways, -out.geojson, -new.geojson
+    for unmatched features — conflator.py:1120-1128)."""
+    import pyarrow as pa
+
     from osm_merge_ray.config import ConflationConfig
-    from osm_merge_ray.sources.geojson import read_geojson
+    from osm_merge_ray.sources.geojson import read_geojson, write_geojson
+    from osm_merge_ray.sources.osm_xml import write_osm_xml
     from osm_merge_ray.stages.lines import conflate_lines
 
     _ray()
@@ -55,6 +61,32 @@ def cmd_conflate_lines(args) -> int:
     out = conflate_lines(read_geojson(args.primary), read_geojson(args.secondary), cfg)
     out.write_parquet(args.outdir)
     print(f"wrote decisions to {args.outdir}")
+    if args.osm_out or args.new_out:
+        df = pa.concat_tables(out.iter_batches(batch_format="pyarrow",
+                                               batch_size=8192)).to_pandas()
+        if args.osm_out:
+            merged = df[df["decision"] == "merged"]
+            t = pa.table({
+                "osm_id": pa.array(merged["matched_id"].astype("int64")),
+                # conflated rows already carry the +1 version — write as-is
+                "version": pa.array(merged["version"].astype("int32")),
+                "geom_type": pa.array(["LineString"] * len(merged)),
+                "coords_json": pa.array(merged["coords_json"].astype(str)),
+                "props_json": pa.array(merged["merged_json"].astype(str)),
+                "refs_json": pa.array(merged["refs_json"].astype(str)),
+            })
+            n = write_osm_xml(t, args.osm_out, bump_version=False)
+            print(f"wrote {n} merged ways to {args.osm_out}")
+        if args.new_out:
+            new = df[df["decision"] == "new"]
+            t = pa.table({
+                "feature_id": pa.array(new["feature_id"].astype("int64")),
+                "geom_type": pa.array(["LineString"] * len(new)),
+                "coords_json": pa.array(new["coords_json"].astype(str)),
+                "props_json": pa.array(new["merged_json"].astype(str)),
+            })
+            n = write_geojson(t, args.new_out)
+            print(f"wrote {n} new features to {args.new_out}")
     return 0
 
 
@@ -120,6 +152,8 @@ def main(argv=None) -> int:
     c.add_argument("-o", "--outdir", required=True)
     c.add_argument("--threshold", type=float, default=7.0)
     c.add_argument("--cell-res", type=int, default=12)
+    c.add_argument("--osm-out", default=None, help="write merged ways as OSM XML")
+    c.add_argument("--new-out", default=None, help="write unmatched features as GeoJSON")
     c.set_defaults(fn=cmd_conflate_lines)
 
     c = sub.add_parser("conflate-images", help="flagship image+caption conflation")

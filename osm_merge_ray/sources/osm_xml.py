@@ -130,17 +130,19 @@ def render_osm_xml(t: pa.Table, bump_version: bool = True) -> tuple[str, int]:
 
 
 def write_osm_xml(ds_or_table, path: str, bump_version: bool = True) -> int:
-    """Driver-side single-file writer (small outputs / tests)."""
+    """Driver-side single-file writer (small outputs / tests). Returns
+    the number of elements actually written (ref-less ways are diverted,
+    conflator.py:946-952 semantics)."""
     if isinstance(ds_or_table, pa.Table):
         t = ds_or_table
     else:
         t = pa.concat_tables(
             ds_or_table.iter_batches(batch_format="pyarrow", batch_size=8192)
         )
-    xml, _ = render_osm_xml(t, bump_version)
+    xml, rejected = render_osm_xml(t, bump_version)
     with open(path, "w") as fh:
         fh.write(xml)
-    return t.num_rows
+    return t.num_rows - rejected
 
 
 __all__ = ["parse_osm_bytes", "read_osm_xml", "render_osm_xml", "write_osm_xml", "escape"]

@@ -89,12 +89,15 @@ def _line_prepare(t: pa.Table, cfg: ConflationConfig, side: int) -> pa.Table:
            else t.column("osm_id"))
     version = (t.column("version") if "version" in t.column_names
                else pa.array(np.ones(len(coords), dtype=np.int32), pa.int32()))
+    refs = (t.column("refs_json") if "refs_json" in t.column_names
+            else pa.array(["[]"] * len(coords), pa.string()))
     return pa.table({
         "feature_id": ids.cast(pa.int64()),
         "version": version,
         "geom_type": t.column("geom_type"),
         "coords_json": t.column("coords_json"),
         "props_json": t.column("props_json"),
+        "refs_json": refs,
         "cell": pa.array(cell, pa.int64()),
         "side": pa.array(np.full(len(coords), side, dtype=np.int8), pa.int8()),
     })
@@ -148,6 +151,8 @@ def match_lines_group(df: pd.DataFrame, cfg: ConflationConfig) -> pd.DataFrame:
         "angle": pd.Series(dtype=np.float64),
         "slope": pd.Series(dtype=np.float64),
         "merged_json": pd.Series(dtype="string"),
+        "coords_json": pd.Series(dtype="string"),
+        "refs_json": pd.Series(dtype="string"),
     }
     if n_p == 0:
         return pd.DataFrame(cols)
@@ -159,6 +164,8 @@ def match_lines_group(df: pd.DataFrame, cfg: ConflationConfig) -> pd.DataFrame:
     p_props = [json.loads(x) for x in prim["props_json"]]
     s_props = [json.loads(x) for x in sec["props_json"]]
     p_ids = prim["feature_id"].to_numpy()
+    p_coords_json = prim["coords_json"].to_numpy()
+    s_refs_json = sec["refs_json"].to_numpy()
     s_ids = sec["feature_id"].to_numpy()
     s_ver = sec["version"].to_numpy()
     p_types = prim["geom_type"].to_numpy()
@@ -210,7 +217,8 @@ def match_lines_group(df: pd.DataFrame, cfg: ConflationConfig) -> pd.DataFrame:
             props["informal"] = "yes"
             props["fixme"] = "new feature, validate before uploading"
             out_rows.append((int(p_ids[i]), -1, 1, "new", 0, -1.0, 0.0, 0.0,
-                             json.dumps(props, sort_keys=True)))
+                             json.dumps(props, sort_keys=True),
+                             p_coords_json[i], "[]"))
             continue
         # parallel-road early exit: a single-hit geometrically-parallel
         # candidate drops the primary in the reference (conflator.py:217-222)
@@ -223,16 +231,18 @@ def match_lines_group(df: pd.DataFrame, cfg: ConflationConfig) -> pd.DataFrame:
         if parallel and hits < cfg.min_hits_accept:
             out_rows.append((int(p_ids[i]), int(s_ids[j]), int(s_ver[j]),
                              "parallel", hits, d, sl, an,
-                             json.dumps(merged, sort_keys=True)))
+                             json.dumps(merged, sort_keys=True),
+                             p_coords_json[i], s_refs_json[j]))
             continue
         decision = "merged"
         merged = dict(merged)
         merged["hits"] = str(hits)
         out_rows.append((int(p_ids[i]), int(s_ids[j]), int(s_ver[j]) + 1,
                          decision, hits, d, sl, an,
-                         json.dumps(merged, sort_keys=True)))
+                         json.dumps(merged, sort_keys=True),
+                         p_coords_json[i], s_refs_json[j]))
 
     out = pd.DataFrame(out_rows, columns=list(cols))
-    out["decision"] = out["decision"].astype("string")
-    out["merged_json"] = out["merged_json"].astype("string")
+    for c in ("decision", "merged_json", "coords_json", "refs_json"):
+        out[c] = out[c].astype("string")
     return out
