@@ -110,6 +110,42 @@ def cmd_tm_split(args) -> int:
     from osm_merge_ray.geo.mercator import TileGrid, inv_merc_lat, inv_merc_lon
 
     grid = TileGrid.from_bbox_lonlat(*args.bbox, size_m=args.meters)
+    if args.split:
+        # make_tasks analog (tm-splitter.py:131-190): one GeoJSON file
+        # per grid tile, features assigned by centroid
+        import numpy as np
+        import pyarrow as pa
+
+        from osm_merge_ray.sources.geojson import read_geojson, table_to_features
+
+        _ray()
+        ds = read_geojson(args.split)
+
+        def assign(t: pa.Table) -> pa.Table:
+            cj = t.column("coords_json").to_pylist()
+            lon = np.empty(len(cj))
+            lat = np.empty(len(cj))
+            for i, c in enumerate(cj):
+                arr = np.asarray(json.loads(c), dtype=np.float64).reshape(-1, 2)
+                lon[i], lat[i] = arr.mean(axis=0)
+            return t.append_column(
+                "tile_id", pa.array(grid.tile_of_lonlat(lon, lat), pa.int64()))
+
+        t = pa.concat_tables(
+            ds.map_batches(assign, batch_format="pyarrow")
+            .iter_batches(batch_format="pyarrow", batch_size=8192)
+        )
+        os_mod = __import__("os")
+        os_mod.makedirs(args.outfile, exist_ok=True)
+        n_files = 0
+        for tid in np.unique(t.column("tile_id").to_numpy()):
+            sub = t.filter(pa.compute.equal(t.column("tile_id"), int(tid)))
+            feats = table_to_features(sub)
+            with open(os_mod.path.join(args.outfile, f"task-{int(tid)}.geojson"), "w") as fh:
+                json.dump({"type": "FeatureCollection", "features": feats}, fh)
+            n_files += 1
+        print(f"wrote {n_files} task files to {args.outfile}/")
+        return 0
     feats = []
     for tid in range(grid.ncols * grid.nrows):
         x0, y0, x1, y1 = grid.tile_bbox_3857(tid)
@@ -164,8 +200,10 @@ def main(argv=None) -> int:
     c.add_argument("--no-resume", dest="resume", action="store_false")
     c.set_defaults(fn=cmd_conflate_images)
 
-    c = sub.add_parser("tm-split", help="task grid generation (tm-splitter analog)")
+    c = sub.add_parser("tm-split", help="task grid generation / split (tm-splitter analog)")
     c.add_argument("--grid", action="store_true")
+    c.add_argument("--split", default=None, metavar="DATA_GEOJSON",
+                   help="split this dataset into one GeoJSON per grid tile")
     c.add_argument("--bbox", nargs=4, type=float, required=True,
                    metavar=("LONMIN", "LATMIN", "LONMAX", "LATMAX"))
     c.add_argument("--meters", type=float, default=50_000.0)

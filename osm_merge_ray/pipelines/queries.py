@@ -684,6 +684,50 @@ def dedup_embedding_lsh_q(sf_dir: str):
     return embedding_neardup_lsh(ds, dim=dim, threshold=0.35, bands=16)
 
 
+def convert_nps_q(sf_dir: str):
+    """Converter under the oracle gate: documents columns dressed as an
+    NPS-ish agency schema → `convert_nps` (M4) → emitted tags. Uses
+    only case-lowering transforms so the SQL mirror is exact."""
+    import json as _json
+
+    from osm_merge_ray.sources.geojson import features_to_table
+    from osm_merge_ray.stages.convert import make_converter
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+
+    def to_features(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        feats = [
+            {"geometry": {"type": "Point", "coordinates": [0.0, 0.0]},
+             "properties": {"MAPSOURCE": s, "TRLSURFACE": la, "SEASONAL": s}}
+            for s, la in zip(t.column("source").to_pylist(),
+                             t.column("lang").to_pylist())
+        ]
+        ft = features_to_table(feats)
+        return ft.set_column(0, "feature_id", pa.array(ids, pa.int64()))
+
+    conv = ds.map_batches(to_features, batch_format="pyarrow").map_batches(
+        make_converter("nps"), batch_format="pyarrow"
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        props = [_json.loads(p) for p in t.column("props_json").to_pylist()]
+        return pa.table({
+            "doc_id": t.column("feature_id"),
+            "source": pa.array([p.get("source") for p in props], pa.string()),
+            "surface": pa.array([p.get("surface") for p in props], pa.string()),
+            "seasonal": pa.array([p.get("seasonal") for p in props], pa.string()),
+        })
+
+    return conv.map_batches(project, batch_format="pyarrow")
+
+
+SQL_CONVERT_NPS = """
+SELECT doc_id, source, lower(lang) AS surface, lower(source) AS seasonal
+FROM documents
+"""
+
+
 def text_token_count_q(sf_dir: str):
     from osm_merge_ray.text.analysis import token_stats
 
@@ -1248,6 +1292,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash_q,
     "dedup_embedding_cosine": dedup_embedding_q,
     "dedup_embedding_lsh": dedup_embedding_lsh_q,
+    "convert_nps": convert_nps_q,
     "text_token_count": text_token_count_q,
     "text_quality_score": text_quality_q,
     "text_langid": text_langid_q,
@@ -1278,6 +1323,7 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
+    "convert_nps": SQL_CONVERT_NPS,
     "text_token_count": SQL_TOKEN_COUNT,
     "text_quality_score": SQL_QUALITY,
     "knn_cosine_topk": SQL_KNN_TOPK,

@@ -96,20 +96,77 @@ def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
     return c
 
 
-def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
-             n_centroids: int = 16, nprobe: int = 4, sample_size: int = 2048,
-             id_column: str = "vec_id", vec_column: str = "embedding",
-             exclude_self: bool = True):
-    """IVF-style approximate top-k: rows in non-probed lists are skipped
-    inside each map task (at cluster scale the list id becomes the
-    partition key so non-probed lists are never read)."""
+def train_centroids_distributed(ds, n_centroids: int, iters: int = 8,
+                                seed: int = 42, vec_column: str = "embedding",
+                                init_sample: int = 4096) -> np.ndarray:
+    """Distributed Lloyd iterations: centroids broadcast via ``ray.put``
+    each round; every batch emits per-centroid partial (sum, count)
+    rows; the driver only ever sees k x n_blocks partials. This is the
+    full-scale path — only the k seed vectors are sampled centrally.
+    """
     import ray
 
     sample = np.vstack([
         np.asarray(r[vec_column], dtype=np.float64)
-        for r in ds.limit(sample_size).take_all()
+        for r in ds.limit(init_sample).take_all()
     ])
-    cents = train_centroids(sample, n_centroids)
+    rng = np.random.default_rng(seed)
+    x = _normalize(sample)
+    c = x[np.sort(rng.choice(len(x), size=min(n_centroids, len(x)), replace=False))].copy()
+
+    for _ in range(iters):
+        ref = ray.put(c)
+
+        def partials(t: pa.Table) -> pa.Table:
+            cents = ray.get(ref)
+            m = _normalize(_as_matrix(t.column(vec_column)))
+            assign = np.argmax(m @ cents.T, axis=1)
+            rows_c, rows_n, rows_s = [], [], []
+            for j in np.unique(assign):
+                sel = m[assign == j]
+                rows_c.append(int(j))
+                rows_n.append(len(sel))
+                rows_s.append(sel.sum(axis=0).tolist())
+            return pa.table({
+                "cid": pa.array(rows_c, pa.int32()),
+                "n": pa.array(rows_n, pa.int64()),
+                "vsum": pa.array(rows_s, pa.list_(pa.float64())),
+            })
+
+        agg = ds.map_batches(partials, batch_format="pyarrow").take_all()
+        sums = np.zeros_like(c)
+        counts = np.zeros(len(c))
+        for r in agg:
+            sums[r["cid"]] += np.asarray(r["vsum"])
+            counts[r["cid"]] += r["n"]
+        nz = counts > 0
+        newc = c.copy()
+        newc[nz] = sums[nz] / counts[nz, None]
+        norms = np.linalg.norm(newc, axis=1, keepdims=True)
+        c = newc / np.where(norms == 0, 1.0, norms)
+    return c
+
+
+def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
+             n_centroids: int = 16, nprobe: int = 4, sample_size: int = 2048,
+             id_column: str = "vec_id", vec_column: str = "embedding",
+             exclude_self: bool = True, distributed_train: bool = False):
+    """IVF-style approximate top-k: rows in non-probed lists are skipped
+    inside each map task (at cluster scale the list id becomes the
+    partition key so non-probed lists are never read). With
+    ``distributed_train`` the quantizer is trained by distributed Lloyd
+    iterations (train_centroids_distributed) instead of a driver-side
+    sample."""
+    import ray
+
+    if distributed_train:
+        cents = train_centroids_distributed(ds, n_centroids, vec_column=vec_column)
+    else:
+        sample = np.vstack([
+            np.asarray(r[vec_column], dtype=np.float64)
+            for r in ds.limit(sample_size).take_all()
+        ])
+        cents = train_centroids(sample, n_centroids)
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     state = ray.put((qn, np.asarray(query_ids), cents, probe))

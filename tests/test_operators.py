@@ -157,6 +157,7 @@ PARITY_QUERIES = [
     "text_token_count", "text_quality_score", "knn_cosine_topk",
     "q1_pricing_summary", "top_orders_by_revenue", "nation_revenue",
     "events_window", "events_sliding_window", "events_sessionize",
+    "convert_nps",
 ]
 
 
@@ -187,3 +188,20 @@ def test_sql_oracle_parity(ray_session, name):
     exp = con.execute(ORACLE_SQL[name]).df()
     pd.testing.assert_frame_equal(_canon(got), _canon(exp), check_dtype=False,
                                   check_exact=True)
+
+
+def test_knn_ivf_distributed_training(ray_session):
+    import pyarrow.parquet as pq
+
+    from osm_merge_ray.sim.knn import brute_force_topk, ivf_topk
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()])
+    ids = t.column("vec_id").to_numpy()
+    qm, qids = mat[:5], ids[:5]
+    exact = brute_force_topk(rd.from_arrow(t), qm, qids, k=5).to_pandas()
+    approx = ivf_topk(rd.from_arrow(t), qm, qids, k=5, n_centroids=8, nprobe=4,
+                      distributed_train=True).to_pandas()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    assert len(e & a) / len(e) >= 0.5
