@@ -47,13 +47,24 @@ def _gram_rows(t: pa.Table, k: int, id_column: str, text_column: str) -> pa.Tabl
     })
 
 
-def _bucket_pair_partials(df: pd.DataFrame, id_column: str) -> pd.DataFrame:
+def _bucket_pair_partials(df: pd.DataFrame, id_column: str,
+                          max_df: int | None = None) -> pd.DataFrame:
     """Vectorized per-bucket pair partials: same-gram pair enumeration
     via sort+searchsorted, partial intersection counts via np.unique on
-    the packed pair key — no per-gram Python loop."""
+    the packed pair key — no per-gram Python loop.
+
+    ``max_df`` drops grams shared by more than that many docs BEFORE
+    pair enumeration (a gram with df=g emits g^2 pairs — the standard
+    web-corpus stop-gram cap). A gram lives in exactly one bucket
+    (bucketed by gram hash), so the document frequency here is exact.
+    """
     gh = df["gram_hash"].to_numpy()
     ids = df[id_column].to_numpy()
     ng = df["n_grams"].to_numpy()
+    if max_df is not None and len(gh):
+        u, inv, cnt = np.unique(gh, return_inverse=True, return_counts=True)
+        keep = cnt[inv] <= max_df
+        gh, ids, ng = gh[keep], ids[keep], ng[keep]
     ia, ib = same_key_pairs(gh, gh)
     keep = ids[ia] < ids[ib]
     ia, ib = ia[keep], ib[keep]
@@ -76,13 +87,17 @@ def _bucket_pair_partials(df: pd.DataFrame, id_column: str) -> pd.DataFrame:
 
 
 def jaccard_pairs(ds, k: int = 3, threshold: float = 0.5,
-                  id_column: str = "doc_id", text_column: str = "text"):
+                  id_column: str = "doc_id", text_column: str = "text",
+                  max_df: int | None = None):
     """All doc pairs with word-k-gram Jaccard >= threshold.
 
-    NOTE the documented partitioning assumption: a gram shared by g
-    docs emits g*(g-1)/2 partial rows — ultra-common grams explode. For
-    web corpora cap gram document-frequency (drop grams over a df
-    limit, the standard trick) before enabling this at full scale.
+    ``max_df`` (recommended at web scale) drops grams shared by more
+    than that many docs before pair enumeration — a gram with df=g
+    emits g^2 partial pairs, so one stop-gram can dominate the whole
+    job. With ``max_df`` set the result is *approximate*: a dropped
+    gram slightly underestimates intersections for pairs that shared
+    it (the standard precision/cost trade; leave None for the exact,
+    SQL-oracle-checked semantics).
     """
     from osm_merge_ray.ops import grouped_reduce
 
@@ -90,7 +105,8 @@ def jaccard_pairs(ds, k: int = 3, threshold: float = 0.5,
         lambda t: _gram_rows(t, k, id_column, text_column), batch_format="pyarrow"
     )
     partials = grams.groupby("bucket").map_groups(
-        lambda df: _bucket_pair_partials(df, id_column), batch_format="pandas"
+        lambda df: _bucket_pair_partials(df, id_column, max_df),
+        batch_format="pandas",
     )
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:

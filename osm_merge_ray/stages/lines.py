@@ -173,6 +173,27 @@ def match_lines_group(df: pd.DataFrame, cfg: ConflationConfig) -> pd.DataFrame:
 
     pi, si = same_key_pairs(prim["cell"].to_numpy(), sec["cell"].to_numpy())
 
+    # vectorized bbox lower-bound pre-gate: the exact polyline distance
+    # is a per-pair Python kernel, so cut pairs whose bbox gap already
+    # exceeds the threshold (the STRtree-style gate, batch form)
+    if len(pi):
+        def bboxes(lines):
+            b = np.empty((len(lines), 4))
+            for i, ln in enumerate(lines):
+                b[i] = (ln[:, 0].min(), ln[:, 1].min(), ln[:, 0].max(), ln[:, 1].max())
+            return b
+
+        pb = bboxes(p_lines)
+        sb = bboxes(s_lines)
+        lat0 = np.radians(pb[pi, 1])
+        kx = 111320.0 * np.maximum(np.abs(np.cos(lat0)), 1e-3)
+        gap_x = np.maximum(np.maximum(pb[pi, 0], sb[si, 0])
+                           - np.minimum(pb[pi, 2], sb[si, 2]), 0.0) * kx
+        gap_y = np.maximum(np.maximum(pb[pi, 1], sb[si, 1])
+                           - np.minimum(pb[pi, 3], sb[si, 3]), 0.0) * 111194.92664455873
+        near = gap_x * gap_x + gap_y * gap_y <= cfg.distance_m * cfg.distance_m * 1.1
+        pi, si = pi[near], si[near]
+
     out_rows = []
     # group candidate pairs per primary (pi is grouped ascending)
     from osm_merge_ray.ops import first_in_groups
