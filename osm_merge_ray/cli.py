@@ -162,6 +162,37 @@ def cmd_tm_split(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Training-data dedup over a parquet corpus of (id, text) rows."""
+    _ray()
+    import ray.data as rd
+
+    ds = rd.read_parquet(args.infile)
+    if args.method == "exact":
+        from osm_merge_ray.dedup.exact import dedup_exact
+
+        out = dedup_exact(ds, column=args.text_column, id_column=args.id_column)
+    elif args.method == "minhash":
+        from osm_merge_ray.dedup.minhash import minhash_lsh_pairs
+
+        out = minhash_lsh_pairs(ds, id_column=args.id_column,
+                                text_column=args.text_column)
+    elif args.method == "simhash":
+        from osm_merge_ray.dedup.simhash import simhash_pairs
+
+        out = simhash_pairs(ds, id_column=args.id_column,
+                            text_column=args.text_column)
+    else:  # jaccard
+        from osm_merge_ray.dedup.jaccard import jaccard_pairs
+
+        out = jaccard_pairs(ds, threshold=args.threshold,
+                            id_column=args.id_column, text_column=args.text_column,
+                            max_df=args.max_df)
+    out.write_parquet(args.outdir)
+    print(f"wrote {args.method} dedup output to {args.outdir}")
+    return 0
+
+
 def cmd_poly(args) -> int:
     from osm_merge_ray.sources.poly import write_poly
 
@@ -209,6 +240,17 @@ def main(argv=None) -> int:
     c.add_argument("--meters", type=float, default=50_000.0)
     c.add_argument("-o", "--outfile", required=True)
     c.set_defaults(fn=cmd_tm_split)
+
+    c = sub.add_parser("dedup", help="exact/minhash/simhash/jaccard dedup over parquet text")
+    c.add_argument("-i", "--infile", required=True)
+    c.add_argument("-o", "--outdir", required=True)
+    c.add_argument("--method", default="exact",
+                   choices=["exact", "minhash", "simhash", "jaccard"])
+    c.add_argument("--id-column", default="doc_id")
+    c.add_argument("--text-column", default="text")
+    c.add_argument("--threshold", type=float, default=0.5)
+    c.add_argument("--max-df", type=int, default=None)
+    c.set_defaults(fn=cmd_dedup)
 
     c = sub.add_parser("poly", help="GeoJSON boundary -> osmosis .poly (S9)")
     c.add_argument("-i", "--infile", required=True)

@@ -375,10 +375,21 @@ def match_bucket(df: pd.DataFrame, cfg: ConflationConfig) -> pd.DataFrame:
     s_cap_all = sec["caption"].to_numpy()
     cap_p = p_cap_all[pi]
     cap_s = s_cap_all[si]
-    ratio = batch_indel_ratio(cap_p, cap_s)
     lens_p = np.fromiter((len(x) for x in cap_p), dtype=np.int64, count=len(cap_p))
     lens_s = np.fromiter((len(x) for x in cap_s), dtype=np.int64, count=len(cap_s))
-    caption_hit = (ratio > cfg.fuzz_threshold) & (np.abs(lens_p - lens_s) <= cfg.len_diff_max)
+    len_ok = np.abs(lens_p - lens_s) <= cfg.len_diff_max
+    # the caption hit requires BOTH ratio > thr AND the length gate —
+    # run the (expensive) batched DP only where the gate can pass, and
+    # skip identical strings outright
+    ratio = np.zeros(len(cap_p), dtype=np.float64)
+    if len_ok.any():
+        idx = np.flatnonzero(len_ok)
+        eq = np.fromiter((cap_p[j] == cap_s[j] for j in idx), dtype=bool, count=len(idx))
+        ratio[idx[eq]] = 100.0
+        todo = idx[~eq]
+        if len(todo):
+            ratio[todo] = batch_indel_ratio(cap_p[todo], cap_s[todo])
+    caption_hit = (ratio > cfg.fuzz_threshold) & len_ok
     ref_p = _ref_token(cap_p)
     ref_s = _ref_token(cap_s)
     ref_hit = (ref_p != "") & (ref_p == ref_s) & ~caption_hit
