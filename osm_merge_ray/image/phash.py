@@ -36,6 +36,13 @@ def _gray32(pixels: np.ndarray) -> np.ndarray:
     gray = (
         0.299 * pixels[..., 0] + 0.587 * pixels[..., 1] + 0.114 * pixels[..., 2]
     )
+    h, w = gray.shape
+    if h % 32 == 0 and w % 32 == 0:
+        # box means over equal blocks == resize_box for divisible sizes,
+        # via reshape-mean (no integral image) — the common fast path
+        g8 = gray.astype(np.uint8)
+        blocks = g8.reshape(32, h // 32, 32, w // 32).astype(np.float64)
+        return np.clip(np.rint(blocks.mean(axis=(1, 3))), 0, 255)
     return resize_box(gray[..., None].astype(np.uint8), 32, 32)[..., 0].astype(np.float64)
 
 

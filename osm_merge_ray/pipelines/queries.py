@@ -1074,6 +1074,34 @@ GROUP BY 1, 2
 """
 
 
+def events_heavy_hitters(sf_dir: str, k: int = 10):
+    """Top-k users by event count: per-batch partial counts → bucketed
+    combine → global deterministic top-k (count desc, user_id asc)."""
+    from osm_merge_ray.ops import grouped_reduce
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t.column("user_id").to_numpy(), return_counts=True)
+        return pa.table({"user_id": pa.array(u, pa.int64()),
+                         "n_events": pa.array(c, pa.int64())})
+
+    counts = grouped_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        lambda df: df.groupby("user_id", as_index=False)["n_events"].sum(),
+    )
+    return counts.sort(["n_events", "user_id"], descending=[True, False]).limit(k)
+
+
+SQL_EVENTS_HEAVY_HITTERS = """
+SELECT user_id, count(*) AS n_events
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id ASC
+LIMIT 10
+"""
+
+
 def events_sessionize(sf_dir: str):
     """Session windows (30-min inactivity gap) per user — the
     stream-shaped op: sort-within-partition + stateful scan in
@@ -1304,6 +1332,7 @@ QUERIES = {
     "nation_revenue": nation_revenue,
     "events_window": events_window,
     "events_sliding_window": events_sliding_window,
+    "events_heavy_hitters": events_heavy_hitters,
     "events_sessionize": events_sessionize,
     "conflate_images": conflate_images_q,
     "conflate_lines": conflate_lines_q,
@@ -1332,5 +1361,6 @@ ORACLE_SQL = {
     "nation_revenue": SQL_NATION_REVENUE,
     "events_window": SQL_EVENTS_WINDOW,
     "events_sliding_window": SQL_EVENTS_SLIDING,
+    "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
 }
