@@ -771,6 +771,35 @@ FROM documents
 """
 
 
+def text_tfidf_q(sf_dir: str, k: int = 3):
+    from osm_merge_ray.text.analysis import tfidf_top_terms
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, k=k)
+
+
+SQL_TFIDF = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2
+), dfq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY 1
+), n AS (
+  SELECT count(*) AS nd FROM documents
+), s AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n.nd AS DOUBLE) / dfq.df), 6) AS tfidf
+  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM s
+) WHERE rank <= 3
+"""
+
+
 def text_langid_q(sf_dir: str):
     from osm_merge_ray.text.analysis import LangId
 
@@ -1323,6 +1352,7 @@ QUERIES = {
     "convert_nps": convert_nps_q,
     "text_token_count": text_token_count_q,
     "text_quality_score": text_quality_q,
+    "text_tfidf": text_tfidf_q,
     "text_langid": text_langid_q,
     "text_fingerprint": text_fingerprint_q,
     "knn_cosine_topk": knn_topk_q,
@@ -1355,6 +1385,7 @@ ORACLE_SQL = {
     "convert_nps": SQL_CONVERT_NPS,
     "text_token_count": SQL_TOKEN_COUNT,
     "text_quality_score": SQL_QUALITY,
+    "text_tfidf": SQL_TFIDF,
     "knn_cosine_topk": SQL_KNN_TOPK,
     "q1_pricing_summary": SQL_Q1,
     "top_orders_by_revenue": SQL_TOP_ORDERS,

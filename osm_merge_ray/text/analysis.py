@@ -105,6 +105,73 @@ class LangId:
         return df
 
 
+def tfidf_top_terms(ds, k: int = 3, id_column: str = "doc_id",
+                    text_column: str = "text", n_docs: int | None = None):
+    """Top-k TF-IDF terms per document.
+
+    Two passes: (1) document frequencies via bucketed combine (one
+    partial row per distinct term per batch — never per occurrence);
+    df table is small (vocabulary-sized) and broadcast via ``ray.put``;
+    (2) per-doc term counts scored tf * ln(N/df), ranked with a
+    quantized score (round 6) and term tie-break for determinism.
+    """
+    import ray
+    import ray.data as rd  # noqa: F401
+
+    from osm_merge_ray.ops import grouped_reduce
+
+    if n_docs is None:
+        n_docs = ds.count()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        terms: list[str] = []
+        counts: list[int] = []
+        agg: dict[str, int] = {}
+        for s in t.column(text_column).to_pylist():
+            for w in set((s or "").split(" ")):
+                agg[w] = agg.get(w, 0) + 1
+        for w, c in agg.items():
+            terms.append(w)
+            counts.append(c)
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "df": pa.array(counts, pa.int64())})
+
+    df_tbl = grouped_reduce(
+        ds.map_batches(df_partial, batch_format="pyarrow"),
+        ["term"],
+        lambda d: d.groupby("term", as_index=False)["df"].sum(),
+    ).to_pandas()
+    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"])))
+
+    def score(t: pa.Table) -> pa.Table:
+        dfs = ray.get(df_ref)
+        out_id, out_term, out_score, out_rank = [], [], [], []
+        for did, s in zip(t.column(id_column).to_pylist(),
+                          t.column(text_column).to_pylist()):
+            words = (s or "").split(" ")
+            tf: dict[str, int] = {}
+            for w in words:
+                tf[w] = tf.get(w, 0) + 1
+            scored = sorted(
+                ((round(c * float(np.log(n_docs / dfs[w])), 6), w)
+                 for w, c in tf.items()),
+                key=lambda x: (-x[0], x[1]),
+            )[:k]
+            for r, (sc, w) in enumerate(scored, 1):
+                out_id.append(did)
+                out_term.append(w)
+                out_score.append(sc)
+                out_rank.append(r)
+        return pa.table({
+            id_column: pa.array(out_id),
+            "term": pa.array(out_term, pa.string()),
+            "tfidf": pa.array(out_score, pa.float64()),
+            "rank": pa.array(out_rank, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 class Fingerprint:
     """Winnowing document fingerprint (Schleimer et al., SIGMOD 2003):
     Karp-Rabin rolling hashes over character k-grams, keep the min hash
