@@ -76,8 +76,16 @@ def conflate_parquet(primary_path: str, secondary_path: str,
         # cluster size and is THE scaling limiter on one node.
         import pyarrow.dataset as pads
 
-        nfiles = len(pads.dataset(path).files)
-        ds = rd.read_parquet(path, override_num_blocks=max(nfiles, 1))
+        pds = pads.dataset(path)
+        nfiles = len(pds.files)
+        # prune at the read: without the decode stage the bytes column
+        # never leaves storage
+        cols = None
+        if not decode_images:
+            cols = [c for c in pds.schema.names
+                    if c in ("image_id", "caption", "phash", "lon", "lat")]
+        ds = rd.read_parquet(path, override_num_blocks=max(nfiles, 1),
+                             columns=cols)
         if decode_images:
             if decode_concurrency is not None:
                 # explicit actor pool (real heavy-init decoders)
