@@ -205,6 +205,49 @@ WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
 """
 
 
+def spatial_sample_join(sf_dir: str, rate_pct: int = 10):
+    """Deterministic sampling over the spatial join (the EDBT/ICDE
+    sample-over-join setting): keep a pair iff
+    ``(id_a * 31 + id_b) % 100 < rate_pct`` — exact integer arithmetic,
+    so the sample is reproducible and SQL-mirrorable (a production
+    engine would swap the modular rule for a seeded hash)."""
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 0]
+        b = df[df["side"] == 1]
+        a_lon, a_lat = a["lon"].to_numpy(), a["lat"].to_numpy()
+        b_lon, b_lat = b["lon"].to_numpy(), b["lat"].to_numpy()
+        a_id, b_id = a["doc_id"].to_numpy(), b["doc_id"].to_numpy()
+        ia, ib, d2s = [], [], []
+
+        def emit(ai, bi):
+            dx = (a_lon[ai][:, None] - b_lon[bi][None, :]) * KX
+            dy = (a_lat[ai][:, None] - b_lat[bi][None, :]) * KY
+            d2 = dx * dx + dy * dy
+            rr, cc = np.nonzero(d2 <= D2_MAX)
+            ia.extend(a_id[ai][rr].tolist())
+            ib.extend(b_id[bi][cc].tolist())
+            d2s.extend(d2[rr, cc].tolist())
+
+        _pair_groups(a, b, emit)
+        id_a = np.asarray(ia, dtype=np.int64)
+        id_b = np.asarray(ib, dtype=np.int64)
+        d2 = np.asarray(d2s, dtype=np.float64)
+        keep = (id_a * 31 + id_b) % 100 < rate_pct
+        return pd.DataFrame({
+            "id_a": pd.array(id_a[keep], dtype=np.int64),
+            "id_b": pd.array(id_b[keep], dtype=np.int64),
+            "d2": pd.array(d2[keep], dtype=np.float64),
+        })
+
+    return _spatial_join_pipeline(sf_dir, [], per_bucket)
+
+
+SQL_SAMPLE_JOIN = SQL_DISTANCE_JOIN.rstrip() + """
+  AND (a.doc_id * 31 + b.doc_id) % 100 < 10
+"""
+
+
 def spatial_knn_join(sf_dir: str, k: int = 3):
     """Bounded kNN join: the k nearest odd docs within 20 km of each
     even doc (rank by quantized distance, id tie-break). The per-cell
@@ -1339,6 +1382,7 @@ QUERIES = {
     "spatial_cell_index": spatial_cell_index,
     "spatial_distance_join": spatial_distance_join,
     "spatial_knn_join": spatial_knn_join,
+    "spatial_sample_join": spatial_sample_join,
     "spatial_conflate": spatial_conflate,
     "spatial_tile_assign": spatial_tile_assign,
     "spatial_point_in_polygon": spatial_point_in_polygon,
@@ -1375,6 +1419,7 @@ ORACLE_SQL = {
     "spatial_cell_index": SQL_CELL_INDEX,
     "spatial_distance_join": SQL_DISTANCE_JOIN,
     "spatial_knn_join": SQL_KNN_JOIN,
+    "spatial_sample_join": SQL_SAMPLE_JOIN,
     "spatial_conflate": SQL_CONFLATE,
     "spatial_tile_assign": SQL_TILE_ASSIGN,
     "spatial_point_in_polygon": SQL_POINT_IN_POLYGON,
