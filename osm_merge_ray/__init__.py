@@ -23,3 +23,14 @@ GEOS, GDAL, H3 or PIL native dependencies.
 __version__ = "0.1.0"
 
 from osm_merge_ray.config import ConflationConfig  # noqa: F401
+
+__all__ = [
+    "ConflationConfig",
+    # lazily importable high-level entry points (keep module import light —
+    # pulling ray.data belongs to call time, not import time):
+    # osm_merge_ray.stages.conflate.conflate_datasets
+    # osm_merge_ray.stages.lines.conflate_lines
+    # osm_merge_ray.stages.poi.conflate_pois
+    # osm_merge_ray.stages.overlap.polygon_overlap_pairs
+    # osm_merge_ray.pipelines.conflation.{flagship,conflate_parquet,run_checkpointed}
+]
