@@ -171,13 +171,15 @@ def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
     drop_duplicates combine (ops.grouped_reduce)."""
     from osm_merge_ray.ops import grouped_reduce
 
+    # task mode (callable instance, not an actor pool): signature
+    # computation is fully vectorized so there is no per-actor state to
+    # amortize, and stateless tasks FUSE with the upstream read —
+    # an actor pool here would cost its spin-up and break fusion
     banded = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k,
-                               "id_column": id_column, "text_column": text_column},
+        MinHasher(num_perm=num_perm, bands=bands, k=k,
+                  id_column=id_column, text_column=text_column),
         batch_format="pyarrow",
         batch_size=1024,
-        concurrency=(1, 8),
     )
 
     def with_bucket(t: pa.Table) -> pa.Table:
