@@ -126,6 +126,56 @@ class PixelEmbed:
         )
 
 
+class FrameSample:
+    """Video frame sampling as an actor-pool stage.
+
+    Contract (the real part): a video is an opaque ``binary`` column
+    with typed metadata (``n_frames:int32, fps:float, w, h``); the
+    stage emits ``k`` uniformly-sampled frame indices and a per-frame
+    perceptual hash — one output row per sampled frame. The *decoder*
+    is the deterministic stand-in (a real deployment wires
+    PyAV/ffmpeg into ``_decode_frame``); the schema, fan-out shape,
+    batch sizing and actor signature are production-real.
+    """
+
+    def __init__(self, k: int = 4):
+        self.k = k
+
+    def _decode_frame(self, buf: bytes, frame_idx: int, w: int, h: int) -> np.ndarray:
+        # deterministic fake: frame i of a "video" is the procedural
+        # image seeded by hash(bytes header, i) — stands in for a real
+        # codec seek+decode (NotImplemented for real containers)
+        from osm_merge_ray.image.codec import synth_pixels
+        from osm_merge_ray.util import splitmix64
+
+        seed = splitmix64(int.from_bytes(buf[:8].ljust(8, b"\0"), "little") ^ frame_idx)
+        return synth_pixels(int(seed), w, h)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from osm_merge_ray.image.phash import phash64_batch
+
+        vids = t.column("bytes").to_pylist()
+        n_frames = t.column("n_frames").to_numpy()
+        w = t.column("w").to_numpy()
+        h = t.column("h").to_numpy()
+        ids = t.column("video_id").to_pylist()
+        out_id, out_frame, frames = [], [], []
+        for i, buf in enumerate(vids):
+            if buf is None or n_frames[i] <= 0:
+                continue
+            idxs = np.unique(np.linspace(0, n_frames[i] - 1, self.k).astype(np.int64))
+            for fi in idxs:
+                out_id.append(ids[i])
+                out_frame.append(int(fi))
+                frames.append(self._decode_frame(buf, int(fi), int(w[i]), int(h[i])))
+        hashes = phash64_batch(frames)
+        return pa.table({
+            "video_id": pa.array(out_id, pa.string()),
+            "frame_idx": pa.array(out_frame, pa.int64()),
+            "frame_phash": pa.array(hashes, pa.int64()),
+        })
+
+
 class AudioDecode:
     """STUB — no audio libs in this container. The Ray-side contract
     (binary column in, feature columns out, actor-pool stage) is real;

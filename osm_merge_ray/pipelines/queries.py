@@ -1341,6 +1341,40 @@ def image_pixel_embed_q(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def video_frame_sample_q(sf_dir: str):
+    """Video frame sampling (multimodal fan-out stage) — rows-only.
+    Synthetic 'videos': binary header + (n_frames, fps, w, h) metadata."""
+    import ray.data as rd
+
+    from osm_merge_ray.image.stages import FrameSample
+    from osm_merge_ray.util import splitmix64
+
+    n = 64
+    rows = {
+        "video_id": [f"vid{i:05d}" for i in range(n)],
+        "bytes": [splitmix64(i).to_bytes(8, "little") * 4 for i in range(n)],
+        "n_frames": pa.array([30 + (i % 90) for i in range(n)], pa.int32()),
+        "fps": pa.array([30.0] * n, pa.float64()),
+        "w": pa.array([64] * n, pa.int32()),
+        "h": pa.array([64] * n, pa.int32()),
+    }
+    ds = rd.from_arrow(pa.table(rows))
+    return ds.map_batches(FrameSample, fn_constructor_kwargs={"k": 4},
+                          batch_format="pyarrow", batch_size=16,
+                          concurrency=(1, 4))
+
+
+def text_token_count_bpe_q(sf_dir: str):
+    """BPE-ish regex token counts (rows-only: the pretokenizer regex is
+    not SQL-mirrorable; space-split counts are the oracle-checked path)."""
+    from osm_merge_ray.text.analysis import token_count_bpe
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(token_count_bpe, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_bpe_tokens"]
+    )
+
+
 def image_decode_stats_q(sf_dir: str):
     """Actor-pool decode/verify over synthetic image payloads → per-format
     verification counters (rows-only)."""
@@ -1413,6 +1447,8 @@ QUERIES = {
     "conflate_pois": conflate_pois_q,
     "image_decode_stats": image_decode_stats_q,
     "image_pixel_embed": image_pixel_embed_q,
+    "video_frame_sample": video_frame_sample_q,
+    "text_token_count_bpe": text_token_count_bpe_q,
 }
 
 ORACLE_SQL = {

@@ -19,6 +19,8 @@ def splitmix64(x: np.ndarray | int) -> np.ndarray | int:
     Vectorized over uint64 arrays; scalar ints also accepted.
     """
     scalar = np.isscalar(x)
+    if isinstance(x, int):  # large Python ints overflow the C-long path
+        x = _U64(x & 0xFFFFFFFFFFFFFFFF)
     z = np.asarray(x, dtype=_U64)
     with np.errstate(over="ignore"):
         z = (z + _U64(0x9E3779B97F4A7C15)) & _MASK64

@@ -205,3 +205,25 @@ def test_knn_ivf_distributed_training(ray_session):
     e = set(zip(exact["query_id"], exact["neighbor_id"]))
     a = set(zip(approx["query_id"], approx["neighbor_id"]))
     assert len(e & a) / len(e) >= 0.5
+
+
+def test_frame_sample_stage_direct():
+    from osm_merge_ray.image.stages import FrameSample
+    from osm_merge_ray.util import splitmix64
+
+    n = 6
+    t = pa.table({
+        "video_id": [f"vid{i}" for i in range(n)],
+        "bytes": [splitmix64(i).to_bytes(8, "little") * 4 for i in range(n)],
+        "n_frames": pa.array([30 + i for i in range(n)], pa.int32()),
+        "fps": pa.array([30.0] * n, pa.float64()),
+        "w": pa.array([64] * n, pa.int32()),
+        "h": pa.array([64] * n, pa.int32()),
+    })
+    out = FrameSample(k=4)(t)
+    assert out.num_rows == 4 * n  # k frames per video
+    df = out.to_pandas()
+    assert (df.groupby("video_id")["frame_idx"].nunique() == 4).all()
+    # deterministic: same input → same frame hashes
+    out2 = FrameSample(k=4)(t)
+    assert out.column("frame_phash").to_pylist() == out2.column("frame_phash").to_pylist()
