@@ -162,6 +162,47 @@ def cmd_tm_split(args) -> int:
     return 0
 
 
+def cmd_pipeline(args) -> int:
+    """contrib/update.sh analog: for every task file in --primary-dir
+    (the tm-splitter fan-out tree), convert the agency schema and
+    conflate against the matching OSM file in --secondary-dir (same
+    stem, .osm or .geojson). One Ray session serves the whole fleet —
+    the per-file sharding the reference drives with shell loops is just
+    task parallelism here."""
+    import glob
+    import os
+
+    from osm_merge_ray.config import ConflationConfig
+    from osm_merge_ray.sources.geojson import read_geojson
+    from osm_merge_ray.sources.osm_xml import read_osm_xml
+    from osm_merge_ray.stages.convert import make_converter
+    from osm_merge_ray.stages.lines import conflate_lines
+
+    _ray()
+    os.makedirs(args.outdir, exist_ok=True)
+    cfg = ConflationConfig(distance_m=args.threshold, cell_res=args.cell_res)
+    done = 0
+    for prim in sorted(glob.glob(os.path.join(args.primary_dir, "*.geojson"))):
+        stem = os.path.splitext(os.path.basename(prim))[0]
+        sec = None
+        for ext, reader in ((".osm", read_osm_xml), (".geojson", read_geojson)):
+            cand = os.path.join(args.secondary_dir, stem + ext)
+            if os.path.exists(cand):
+                sec = reader(cand)
+                break
+        if sec is None:
+            print(f"skip {stem}: no secondary file")
+            continue
+        p = read_geojson(prim)
+        if args.type != "none":
+            p = p.map_batches(make_converter(args.type), batch_format="pyarrow")
+        out = conflate_lines(p, sec, cfg)
+        out.write_parquet(os.path.join(args.outdir, stem))
+        done += 1
+    print(f"conflated {done} task files into {args.outdir}/")
+    return 0
+
+
 def cmd_dedup(args) -> int:
     """Training-data dedup over a parquet corpus of (id, text) rows."""
     _ray()
@@ -240,6 +281,16 @@ def main(argv=None) -> int:
     c.add_argument("--meters", type=float, default=50_000.0)
     c.add_argument("-o", "--outfile", required=True)
     c.set_defaults(fn=cmd_tm_split)
+
+    c = sub.add_parser("pipeline", help="update.sh analog: convert+conflate a task-file tree")
+    c.add_argument("--primary-dir", required=True)
+    c.add_argument("--secondary-dir", required=True)
+    c.add_argument("-o", "--outdir", required=True)
+    c.add_argument("--type", default="mvum",
+                   choices=["mvum", "trails", "usgs", "nps", "roadcore", "none"])
+    c.add_argument("--threshold", type=float, default=7.0)
+    c.add_argument("--cell-res", type=int, default=12)
+    c.set_defaults(fn=cmd_pipeline)
 
     c = sub.add_parser("dedup", help="exact/minhash/simhash/jaccard dedup over parquet text")
     c.add_argument("-i", "--infile", required=True)
