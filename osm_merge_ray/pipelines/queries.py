@@ -1146,6 +1146,39 @@ GROUP BY 1, 2
 """
 
 
+def events_running_index(sf_dir: str):
+    """Per-user running event index (the cumulative-state stream shape):
+    all rows of a user land in one bucket, ranked by (ts, event_id)."""
+    from osm_merge_ray.ops import first_in_groups, grouped_reduce
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def ranks(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        uid = df["user_id"].to_numpy()
+        eid = df["event_id"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid_s = uid[order]
+        starts = first_in_groups(uid_s)
+        grp_start = np.flatnonzero(starts)
+        sizes = np.diff(np.r_[grp_start, len(uid_s)])
+        idx = np.arange(len(uid_s)) - np.repeat(grp_start, sizes) + 1
+        return pd.DataFrame({
+            "event_id": eid[order], "user_id": uid_s,
+            "running_idx": idx.astype(np.int64),
+        })
+
+    return grouped_reduce(ds, ["user_id"], ranks)
+
+
+SQL_EVENTS_RUNNING_INDEX = """
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY epoch_us(ts), event_id) AS running_idx
+FROM events
+"""
+
+
 def events_heavy_hitters(sf_dir: str, k: int = 10):
     """Top-k users by event count: per-batch partial counts → bucketed
     combine → global deterministic top-k (count desc, user_id asc)."""
@@ -1441,6 +1474,7 @@ QUERIES = {
     "events_window": events_window,
     "events_sliding_window": events_sliding_window,
     "events_heavy_hitters": events_heavy_hitters,
+    "events_running_index": events_running_index,
     "events_sessionize": events_sessionize,
     "conflate_images": conflate_images_q,
     "conflate_lines": conflate_lines_q,
@@ -1474,5 +1508,6 @@ ORACLE_SQL = {
     "events_window": SQL_EVENTS_WINDOW,
     "events_sliding_window": SQL_EVENTS_SLIDING,
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
+    "events_running_index": SQL_EVENTS_RUNNING_INDEX,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
 }

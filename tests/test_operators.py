@@ -157,7 +157,7 @@ PARITY_QUERIES = [
     "text_token_count", "text_quality_score", "knn_cosine_topk",
     "q1_pricing_summary", "top_orders_by_revenue", "nation_revenue",
     "events_window", "events_sliding_window", "events_sessionize",
-    "convert_nps", "events_heavy_hitters", "text_tfidf", "spatial_sample_join",
+    "convert_nps", "events_heavy_hitters", "text_tfidf", "spatial_sample_join", "events_running_index",
 ]
 
 
