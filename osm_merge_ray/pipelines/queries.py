@@ -960,10 +960,10 @@ def q1_pricing_summary(sf_dir: str):
 
 SQL_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS sum_qty_e2,
-       sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_price_e2,
-       sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
-           * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))) AS sum_disc_price_e4,
+       CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_e2,
+       CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_e2,
+       CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
        count(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -1014,8 +1014,8 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
 
 SQL_TOP_ORDERS = """
 SELECT l_orderkey,
-       sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
-           * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))) AS revenue_e4,
+       CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))) AS BIGINT) AS revenue_e4,
        any_value(o.o_orderpriority) AS o_orderpriority
 FROM lineitem JOIN orders o ON l_orderkey = o.o_orderkey
 GROUP BY l_orderkey
@@ -1058,7 +1058,7 @@ def nation_revenue(sf_dir: str):
 
 SQL_NATION_REVENUE = """
 SELECT n.n_name,
-       sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS revenue_e2,
+       CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e2,
        count(*) AS n_orders
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
               JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -1099,7 +1099,7 @@ def events_window(sf_dir: str):
 SQL_EVENTS_WINDOW = """
 SELECT event_type,
        CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS window_id,
-       sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS sum_value_e6,
+       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e6,
        count(*) AS n_events
 FROM events GROUP BY 1, 2
 """
@@ -1139,7 +1139,7 @@ def events_sliding_window(sf_dir: str):
 SQL_EVENTS_SLIDING = """
 SELECT event_type,
        CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) - o.off AS window_id,
-       sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS sum_value_e6,
+       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_e6,
        count(*) AS n_events
 FROM events, (SELECT unnest([0, 1]) AS off) o
 GROUP BY 1, 2
@@ -1243,7 +1243,7 @@ WITH x AS (
               THEN 1 ELSE 0 END AS new_s
   FROM x
 )
-SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM d GROUP BY user_id
 """
 

@@ -35,6 +35,10 @@ def to_pandas(res) -> pd.DataFrame:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Canonicalize for a DRIVER-STRICT compare: int width is unified to
+    int64 (value-hashing is width-insensitive) but float vs int dtypes are
+    preserved so an oracle emitting float64 (e.g. DuckDB HUGEINT sums)
+    against an engine int64 FAILS here, like the driver's value hash."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object or str(df[c].dtype) == "string":
@@ -43,6 +47,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(np.int64)
         elif str(df[c].dtype) == "bool" or str(df[c].dtype) == "boolean":
             df[c] = df[c].astype(bool)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].astype(np.float64)
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
@@ -89,7 +95,7 @@ def main():
             status = "ROWS"
         else:
             try:
-                pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                pd.testing.assert_frame_equal(got, exp, check_dtype=True,
                                               check_exact=True)
             except AssertionError as ex:
                 status = "VALS"
