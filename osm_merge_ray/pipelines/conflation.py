@@ -123,6 +123,7 @@ def run_checkpointed(primary_ds, secondary_ds, out_dir: str,
     """
     cfg = cfg or ConflationConfig()
     grid = default_grid(cfg)
+    CK.check_run_manifest(out_dir, cfg)  # refuse resume under a changed config
     done = CK.finished_buckets(out_dir) if resume else set()
 
     prep = lambda t: CF.prepare(t, cfg)  # noqa: E731

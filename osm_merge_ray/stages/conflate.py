@@ -185,8 +185,12 @@ def border_band_targets(lon: np.ndarray, lat: np.ndarray, res: int,
     # cos(lat), so the lon band can exceed one cell at high latitude —
     # the range below replicates to exactly the cells the row's
     # distance interval overlaps (capped at +-8 cells; ~|lat|<=85).
+    # Use the SAME meters-per-degree constant as the haversine match gate
+    # (M_PER_DEG_LAT from EARTH_R): a larger m/deg here would shrink the
+    # band ~0.11% and could miss a threshold-grazing pair across a cell
+    # boundary, breaking the replication completeness guarantee.
     with np.errstate(invalid="ignore"):
-        bx = distance_m / (111320.0 * np.maximum(np.abs(np.cos(np.radians(lat))), 1e-3)) / s
+        bx = distance_m / (C.M_PER_DEG_LAT * np.maximum(np.abs(np.cos(np.radians(lat))), 1e-3)) / s
     by = distance_m / C.M_PER_DEG_LAT / s
     cap = 8
     dx_min = np.clip(np.floor(fx - bx), -cap, 0).astype(np.int64)
@@ -363,9 +367,13 @@ def match_bucket(df: pd.DataFrame, cfg: ConflationConfig) -> pd.DataFrame:
         pi, si, dist = pi[gate], si[gate], dist[gate]
     else:
         dist = np.empty(0, dtype=np.float64)
+    s_ids_all = sec["image_id"].to_numpy()
     if len(pi):
-        # cap at the max_candidates nearest per primary (deterministic)
-        order = np.lexsort((si, dist, pi))
+        # cap at the max_candidates nearest per primary. Ties on exact
+        # distance break by secondary image_id — si is a bucket-local
+        # replicated index whose order depends on shuffle block order,
+        # so it must never decide which candidates survive the cap.
+        order = np.lexsort((s_ids_all[si], dist, pi))
         pos = rank_within_groups(pi[order])
         keep = order[pos < cfg.max_candidates]
         pi, si, dist = pi[keep], si[keep], dist[keep]
@@ -400,7 +408,6 @@ def match_bucket(df: pd.DataFrame, cfg: ConflationConfig) -> pd.DataFrame:
     # ---- best candidate per primary: (hits desc, dist asc, sid asc) ----
     from osm_merge_ray.ops import first_in_groups
 
-    s_ids_all = sec["image_id"].to_numpy()
     dist_mm = np.round(dist * 1000.0).astype(np.int64)
     if len(pi):
         order = np.lexsort((s_ids_all[si], dist_mm, -hits, pi))

@@ -30,6 +30,48 @@ def manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest")
 
 
+def config_fingerprint(cfg) -> str:
+    """Stable hash of the full ConflationConfig: bucket manifests are
+    only valid under the partitioning/threshold config that wrote them."""
+    import hashlib
+    from dataclasses import asdict
+
+    payload = json.dumps(asdict(cfg), sort_keys=True, default=str)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def check_run_manifest(out_dir: str, cfg) -> None:
+    """Write (first run) or validate (resume) the run-level manifest.
+
+    A resume against an out_dir produced under a DIFFERENT config
+    (num_buckets, cell_res, thresholds...) would silently skip buckets
+    computed under incompatible partitioning and emit mixed, corrupt
+    output — refuse instead.
+    """
+    fp = config_fingerprint(cfg)
+    path = os.path.join(manifest_dir(out_dir), "run.json")
+    if os.path.exists(path):
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            rec = {}
+        prior = rec.get("config_fingerprint")
+        if prior is not None and prior != fp:
+            raise ValueError(
+                f"checkpoint dir {out_dir!r} was written under a different "
+                f"ConflationConfig (fingerprint {prior} != {fp}); its bucket "
+                "partitioning is incompatible with this run — use a fresh "
+                "out_dir or delete the old one"
+            )
+        return
+    os.makedirs(manifest_dir(out_dir), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"config_fingerprint": fp, "ts": time.time()}, fh)
+    os.replace(tmp, path)
+
+
 def finished_buckets(out_dir: str) -> set[int]:
     d = manifest_dir(out_dir)
     if not os.path.isdir(d):

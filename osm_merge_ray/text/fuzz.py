@@ -95,21 +95,59 @@ def _encode(strs, maxlen: int) -> tuple[np.ndarray, np.ndarray]:
     return mat, lens
 
 
-def batch_levenshtein(a_list, b_list, maxlen: int = 64) -> np.ndarray:
+# Batched-DP width cap: the rolled DP costs O(la_max * lb_max) numpy ops
+# over the whole pair batch, so one pathological multi-KB string must not
+# inflate the table for everyone. Pairs where EITHER side exceeds the cap
+# are scored with the exact scalar DP instead — never truncated.
+DP_WIDTH_CAP = 512
+
+
+def _with_scalar_fallback(a_list, b_list, cap, batch_core, scalar_fn, dtype):
+    """Run ``batch_core`` on in-cap pairs and the exact ``scalar_fn`` on
+    over-length pairs, preserving order. Keeps every result exact while
+    bounding the batched DP table to (n, cap)."""
+    n = len(a_list)
+    over = np.fromiter(
+        (len(a) > cap or len(b) > cap for a, b in zip(a_list, b_list)),
+        dtype=bool, count=n,
+    )
+    if not over.any():
+        return batch_core(a_list, b_list)
+    res = np.empty(n, dtype=dtype)
+    for i in np.flatnonzero(over):
+        res[i] = scalar_fn(a_list[i], b_list[i])
+    keep = np.flatnonzero(~over)
+    if len(keep):
+        res[keep] = batch_core([a_list[i] for i in keep], [b_list[i] for i in keep])
+    return res
+
+
+def batch_levenshtein(a_list, b_list, maxlen: int | None = None) -> np.ndarray:
     """Edit distance for N string pairs via one shared anti-diagonal DP.
 
-    Cost: O(maxlen^2) numpy element-ops vectorized over pairs — scoring
-    ~10^4 candidate pairs of ~30-char captions is a handful of
+    Exact for all inputs: the DP table is sized from the actual batch
+    (capped at ``maxlen`` or DP_WIDTH_CAP); pairs longer than the cap
+    fall back to the exact scalar DP rather than being truncated.
+
+    Cost: O(la_max * lb_max) numpy element-ops vectorized over pairs —
+    scoring ~10^4 candidate pairs of ~30-char captions is a handful of
     milliseconds, vs a Python DP per pair in the reference's inner loop
     (conflator.py:596 calls fuzz.ratio per candidate per key).
     """
     a_list = list(a_list)
     b_list = list(b_list)
+    cap = maxlen if maxlen is not None else DP_WIDTH_CAP
+    return _with_scalar_fallback(
+        a_list, b_list, cap, _lev_core, levenshtein, np.int64
+    )
+
+
+def _lev_core(a_list, b_list) -> np.ndarray:
     n = len(a_list)
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    la_max = min(max((len(s) for s in a_list), default=0), maxlen)
-    lb_max = min(max((len(s) for s in b_list), default=0), maxlen)
+    la_max = max((len(s) for s in a_list), default=0)
+    lb_max = max((len(s) for s in b_list), default=0)
     A, la = _encode(a_list, max(la_max, 1))
     B, lb = _encode(b_list, max(lb_max, 1))
     # D has shape (n, la_max+1, lb_max+1); rolled row by row (rows = chars of a)
@@ -134,7 +172,9 @@ def batch_levenshtein(a_list, b_list, maxlen: int = 64) -> np.ndarray:
     return result
 
 
-def batch_lev_ratio(a_list, b_list, maxlen: int = 64) -> np.ndarray:
+def batch_lev_ratio(a_list, b_list, maxlen: int | None = None) -> np.ndarray:
+    """Levenshtein similarity over N pairs; distances are exact (scalar
+    fallback above the cap) so lengths and distance always agree."""
     a_list, b_list = list(a_list), list(b_list)
     d = batch_levenshtein(a_list, b_list, maxlen)
     la = np.fromiter((len(s) for s in a_list), dtype=np.int64, count=len(a_list))
@@ -143,14 +183,22 @@ def batch_lev_ratio(a_list, b_list, maxlen: int = 64) -> np.ndarray:
     return 100.0 * (1.0 - d / m)
 
 
-def batch_indel_ratio(a_list, b_list, maxlen: int = 64) -> np.ndarray:
-    """fuzz.ratio over N pairs: LCS by the same row-rolled DP."""
+def batch_indel_ratio(a_list, b_list, maxlen: int | None = None) -> np.ndarray:
+    """fuzz.ratio over N pairs: LCS by the same row-rolled DP. Exact for
+    all inputs (scalar-DP fallback above the width cap, no truncation)."""
     a_list, b_list = list(a_list), list(b_list)
+    cap = maxlen if maxlen is not None else DP_WIDTH_CAP
+    return _with_scalar_fallback(
+        a_list, b_list, cap, _indel_core, indel_ratio, np.float64
+    )
+
+
+def _indel_core(a_list, b_list) -> np.ndarray:
     n = len(a_list)
     if n == 0:
         return np.empty(0, dtype=np.float64)
-    la_max = min(max((len(s) for s in a_list), default=0), maxlen)
-    lb_max = min(max((len(s) for s in b_list), default=0), maxlen)
+    la_max = max((len(s) for s in a_list), default=0)
+    lb_max = max((len(s) for s in b_list), default=0)
     A, la = _encode(a_list, max(la_max, 1))
     B, lb = _encode(b_list, max(lb_max, 1))
     prev = np.zeros((n, lb_max + 1), dtype=np.int32)

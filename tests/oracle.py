@@ -28,8 +28,10 @@ def conflate_oracle(primary: pd.DataFrame, secondary: pd.DataFrame,
     for _, p in primary.iterrows():
         d = haversine_m(p["lon"], p["lat"], s_lon, s_lat)
         cand = np.where(d <= cfg.distance_m)[0]
-        # nearest max_candidates, deterministic
-        cand = cand[np.argsort(d[cand], kind="stable")][: cfg.max_candidates]
+        # nearest max_candidates; exact-distance ties break by secondary
+        # image_id (input-order independent), matching the engine's cap
+        s_ids = secondary["image_id"].to_numpy()
+        cand = cand[np.lexsort((s_ids[cand], d[cand]))][: cfg.max_candidates]
         best = None
         for j in cand:
             s = secondary.iloc[j]

@@ -139,3 +139,17 @@ def test_checkpoint_resume_equals_fresh_run(ray_session, sides, tmp_path):
     assert m2["buckets_skipped"] == kept
     resumed = CK.read_output(resume_dir).to_pandas()
     pd.testing.assert_frame_equal(_norm(fresh), _norm(resumed))
+
+
+def test_checkpoint_refuses_changed_config(ray_session, sides, tmp_path):
+    """ADVICE r1: resuming against an out_dir written under a different
+    ConflationConfig must refuse, not silently mix partitionings."""
+    import pytest
+
+    tp, ts = sides
+    d = str(tmp_path / "ckpt")
+    run_checkpointed(rd.from_arrow(tp), rd.from_arrow(ts), d,
+                     ConflationConfig(cell_res=15, num_buckets=16, hot_cell_rows=200))
+    with pytest.raises(ValueError, match="different"):
+        run_checkpointed(rd.from_arrow(tp), rd.from_arrow(ts), d,
+                         ConflationConfig(cell_res=15, num_buckets=8, hot_cell_rows=200))

@@ -153,3 +153,23 @@ def test_resize_box_means():
     out = resize_box(px, 1, 1)
     assert out.shape == (1, 1, 3)
     assert abs(int(out[0, 0, 0]) - 150) <= 1
+
+
+def test_fuzz_batch_exact_beyond_width_cap():
+    """ADVICE r1: batched DPs must not silently truncate long strings —
+    over-cap pairs fall back to the exact scalar DP."""
+    long_a = "forest road " * 60          # 720 chars, > DP_WIDTH_CAP
+    long_b = "forest roud " * 60
+    short_a, short_b = "trail 12", "trail 13"
+    a = [long_a, short_a, long_a]
+    b = [long_b, short_b, short_b]
+    bl = F.batch_levenshtein(a, b)
+    bi = F.batch_indel_ratio(a, b)
+    br = F.batch_lev_ratio(a, b)
+    for i, (x, y) in enumerate(zip(a, b)):
+        assert bl[i] == F.levenshtein(x, y)
+        assert abs(bi[i] - F.indel_ratio(x, y)) < 1e-9
+        assert abs(br[i] - F.lev_ratio(x, y)) < 1e-9
+    # explicit small cap: still exact via fallback, never truncated
+    bl2 = F.batch_levenshtein(a, b, maxlen=16)
+    assert list(bl2) == list(bl)
