@@ -16,42 +16,56 @@ from osm_merge_ray.image.phash import hamming64
 from osm_merge_ray.util import hash64_str
 
 
-def simhash64(texts) -> np.ndarray:
-    """Vectorized-ish simhash over word tokens."""
+def simhash(texts, n_bits: int = 64, hasher=hash64_str) -> np.ndarray:
+    """Vectorized-ish simhash over word tokens.
+
+    ``hasher`` maps a token list to a per-token hash array; the default
+    is the 64-bit FNV path. Pass ``util.poly41_str`` with ``n_bits=40``
+    for the SQL-mirrorable variant a DuckDB oracle can recompute
+    bit-for-bit (poly hash < 2^41 fits BIGINT)."""
     out = np.empty(len(texts), dtype=np.int64)
+    shifts = np.arange(n_bits, dtype=np.uint64)[None, :]
     for i, s in enumerate(texts):
         toks = (s or "").split(" ")
         if not toks:
             out[i] = 0
             continue
-        h = hash64_str(toks)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        h = np.asarray(hasher(toks)).astype(np.uint64)
+        bits = ((h[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
         score = (2 * bits - 1).sum(axis=0)
         fp = np.uint64(0)
-        for b in range(64):
+        for b in range(n_bits):
             if score[b] > 0:
                 fp |= np.uint64(1) << np.uint64(b)
         out[i] = np.int64(fp.astype(np.int64))
     return out
 
 
-def add_simhash(t: pa.Table, text_column: str = "text") -> pa.Table:
-    fp = simhash64(t.column(text_column).to_pylist())
+def simhash64(texts) -> np.ndarray:
+    return simhash(texts, n_bits=64, hasher=hash64_str)
+
+
+def add_simhash(t: pa.Table, text_column: str = "text", n_bits: int = 64,
+                hasher=hash64_str) -> pa.Table:
+    fp = simhash(t.column(text_column).to_pylist(), n_bits=n_bits, hasher=hasher)
     return t.append_column("simhash", pa.array(fp, pa.int64()))
 
 
 def simhash_pairs(ds, id_column: str = "doc_id", text_column: str = "text",
-                  max_hamming: int = 3):
-    """Candidate pairs within ``max_hamming`` via 4x16-bit band groupby
-    (exact for radius <= 3 by pigeonhole), verified with the true
-    hamming distance inside the group stage."""
+                  max_hamming: int = 3, n_bits: int = 64, hasher=hash64_str):
+    """Candidate pairs within ``max_hamming`` via 4-band groupby
+    (band width = n_bits/4; exact for radius <= 3 by pigeonhole),
+    verified with the true hamming distance inside the group stage."""
+    band_bits = n_bits // 4
+    band_mask = np.uint64((1 << band_bits) - 1)
+
     def band_rows(t: pa.Table) -> pa.Table:
-        t = add_simhash(t, text_column)
+        t = add_simhash(t, text_column, n_bits=n_bits, hasher=hasher)
         fp = t.column("simhash").to_numpy().view(np.uint64)
         ids = t.column(id_column)
         parts = []
         for band in range(4):
-            bh = ((fp >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(np.int64)
+            bh = ((fp >> np.uint64(band_bits * band)) & band_mask).astype(np.int64)
             parts.append(pa.table({
                 "band_id": pa.array(np.full(len(bh), band, dtype=np.int32), pa.int32()),
                 "band_hash": pa.array(bh, pa.int64()),

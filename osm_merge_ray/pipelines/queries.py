@@ -657,10 +657,51 @@ def dedup_minhash_q(sf_dir: str):
 
 
 def dedup_simhash_q(sf_dir: str):
+    """SimHash near-dup pairs with the SQL-mirrorable 40-bit variant:
+    token hash = poly41 (fold over codepoints mod 2^41-1, exact in both
+    int64 and DuckDB BIGINT), 4 bands x 10 bits, hamming <= 10 (same
+    25%-of-bits radius the 64-bit default uses at 16). The 64-bit FNV
+    path stays the scale default (simhash_pairs defaults)."""
     from osm_merge_ray.dedup.simhash import simhash_pairs
+    from osm_merge_ray.util import poly41_str
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return simhash_pairs(ds, max_hamming=16).select_columns(["id_a", "id_b", "hamming"])
+    return simhash_pairs(ds, max_hamming=10, n_bits=40, hasher=poly41_str
+                         ).select_columns(["id_a", "id_b", "hamming"])
+
+
+# poly41 token hash as a DuckDB expression: identical left-fold, modulo
+# applied at every step. Empty-token guard: unicode('') is -1 in DuckDB
+# while the engine folds zero characters -> 0.
+_POLY41_TOKEN = """CASE WHEN w = '' THEN 0 ELSE list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(w, ''), c -> CAST(unicode(c) AS BIGINT))),
+      (a, b) -> (a * 1000003 + b) % 2199023255551) END"""
+
+SQL_SIMHASH = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), th AS (
+  SELECT doc_id, {_POLY41_TOKEN} AS h FROM tok
+), bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS wgt
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 39)) AS j) js
+  GROUP BY doc_id, j
+), sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN wgt > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS s
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+ AND ((a.s & 1023) = (b.s & 1023)
+   OR ((a.s >> 10) & 1023) = ((b.s >> 10) & 1023)
+   OR ((a.s >> 20) & 1023) = ((b.s >> 20) & 1023)
+   OR ((a.s >> 30) & 1023) = ((b.s >> 30) & 1023))
+WHERE bit_count(xor(a.s, b.s)) <= 10
+"""
 
 
 def dedup_embedding_q(sf_dir: str, threshold: float = 0.35):
@@ -851,12 +892,65 @@ def text_langid_q(sf_dir: str):
     return out.select_columns(["doc_id", "lang", "lang_pred"])
 
 
+SQL_LANGID = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), sc AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN w IN ('der','die','und','das','ist') THEN 1 ELSE 0 END) AS BIGINT) AS s_de,
+         CAST(sum(CASE WHEN w IN ('the','and','of','to','is') THEN 1 ELSE 0 END) AS BIGINT) AS s_en,
+         CAST(sum(CASE WHEN w IN ('el','la','de','que','y') THEN 1 ELSE 0 END) AS BIGINT) AS s_es,
+         CAST(sum(CASE WHEN w IN ('le','la','et','les','des') THEN 1 ELSE 0 END) AS BIGINT) AS s_fr
+  FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM documents d JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
 def text_fingerprint_q(sf_dir: str):
     from osm_merge_ray.text.analysis import Fingerprint
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(Fingerprint, batch_format="pandas", concurrency=(1, 4))
     return out.select_columns(["doc_id", "fingerprint", "fingerprint_size"])
+
+
+# winnowing k-gram hash (k=8) as a nested SQL fold, generated so each of
+# the 8 steps applies the same (acc*B + codepoint) % M the engine does
+_FP_GRAM = "CAST(0 AS BIGINT)"
+for _j in range(8):
+    _FP_GRAM = (f"(({_FP_GRAM}) * 1000003 "
+                f"+ unicode(substr(text, i + {_j}, 1))) % 2199023255551")
+
+SQL_FINGERPRINT = f"""
+WITH g AS (
+  SELECT doc_id, i, {_FP_GRAM} AS h
+  FROM documents, unnest(generate_series(1, greatest(length(text) - 7, 0))) AS t(i)
+), m AS (
+  SELECT doc_id, h,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS ng,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+  FROM g
+), sel AS (
+  SELECT DISTINCT doc_id, wmin AS v FROM m WHERE ng > 16 AND rn >= 16
+  UNION
+  SELECT doc_id, min(h) AS v FROM m WHERE ng <= 16 GROUP BY doc_id
+), f AS (
+  SELECT doc_id, bit_xor(v) AS fingerprint, count(*) AS n
+  FROM sel GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(f.fingerprint, 0) AS BIGINT) AS fingerprint,
+       CAST(coalesce(f.n, 0) AS BIGINT) AS fingerprint_size
+FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1510,4 +1604,7 @@ ORACLE_SQL = {
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
     "events_running_index": SQL_EVENTS_RUNNING_INDEX,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "dedup_simhash": SQL_SIMHASH,
+    "text_langid": SQL_LANGID,
+    "text_fingerprint": SQL_FINGERPRINT,
 }

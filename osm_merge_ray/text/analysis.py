@@ -174,31 +174,31 @@ def tfidf_top_terms(ds, k: int = 3, id_column: str = "doc_id",
 
 class Fingerprint:
     """Winnowing document fingerprint (Schleimer et al., SIGMOD 2003):
-    Karp-Rabin rolling hashes over character k-grams, keep the min hash
-    in each sliding window → a small sketch; also emits a single 64-bit
-    doc fingerprint (xor-fold). Stateful constants per actor."""
+    polynomial hashes over character k-grams (poly41: fold over Unicode
+    codepoints mod 2^41-1 — SQL-mirrorable, every intermediate fits
+    BIGINT), keep the min hash in each sliding window → a small sketch;
+    the doc fingerprint is the XOR of the distinct selected minima.
+    Stateful constants per actor."""
 
     def __init__(self, k: int = 8, window: int = 16):
         self.k = k
         self.window = window
-        self.base = np.uint64(1000003)
-        self.basek = self.base ** np.uint64(k - 1)
 
     def _gram_hashes(self, s: str) -> np.ndarray:
-        b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.uint64)
+        from osm_merge_ray.util import POLY41_BASE, POLY41_MOD
+
+        cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
         k = self.k
-        if len(b) < k:
-            return np.zeros(0, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            h = np.zeros(len(b) - k + 1, dtype=np.uint64)
-            acc = np.uint64(0)
-            for i in range(k):
-                acc = acc * self.base + b[i]
-            h[0] = acc
-            for i in range(1, len(h)):
-                acc = (acc - b[i - 1] * self.basek) * self.base + b[i + k - 1]
-                h[i] = acc
-        return h
+        if len(cp) < k:
+            return np.zeros(0, dtype=np.int64)
+        n = len(cp) - k + 1
+        acc = np.zeros(n, dtype=np.int64)
+        base = np.int64(POLY41_BASE)
+        mod = np.int64(POLY41_MOD)
+        # k vectorized fold steps, modulo at every step like the SQL twin
+        for j in range(k):
+            acc = (acc * base + cp[j : j + n]) % mod
+        return acc
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         fps = np.zeros(len(df), dtype=np.int64)
@@ -209,17 +209,13 @@ class Fingerprint:
                 continue
             w = self.window
             if len(h) <= w:
-                sel = np.array([h.min()])
+                sel = np.array([h.min()], dtype=np.int64)
             else:
                 # sliding-window minima via stride trick
                 from numpy.lib.stride_tricks import sliding_window_view
 
                 sel = np.unique(sliding_window_view(h, w).min(axis=1))
-            acc = np.uint64(0)
-            with np.errstate(over="ignore"):
-                for v in sel:
-                    acc ^= v * np.uint64(0x9E3779B97F4A7C15)
-            fps[i] = np.int64(acc.astype(np.int64))
+            fps[i] = np.bitwise_xor.reduce(sel)
             sizes[i] = len(sel)
         df = df.copy()
         df["fingerprint"] = fps

@@ -70,3 +70,44 @@ def uniform01(x: np.ndarray, salt: int = 0) -> np.ndarray:
     """Deterministic uniform [0,1) doubles from uint64 keys."""
     h = splitmix64(np.asarray(x, dtype=_U64) ^ _U64(salt & 0xFFFFFFFFFFFFFFFF))
     return (h >> _U64(11)).astype(np.float64) / float(1 << 53)
+
+
+# --- SQL-mirrorable polynomial hash -----------------------------------------
+# Left-fold over Unicode codepoints, modulo applied at EVERY step so a
+# DuckDB oracle can express the identical computation exactly:
+#   list_reduce(list_prepend(0, codepoints), (a,c) -> (a*B + c) % M)
+# M = 2^41-1 keeps every intermediate (acc*B + c < 2^61) inside both
+# int64 and DuckDB BIGINT — no wraparound semantics to replicate.
+POLY41_BASE = 1_000_003
+POLY41_MOD = (1 << 41) - 1
+
+
+def poly41(s: str) -> int:
+    acc = 0
+    for c in s:
+        acc = (acc * POLY41_BASE + ord(c)) % POLY41_MOD
+    return acc
+
+
+def poly41_str(values) -> np.ndarray:
+    """poly41 over an array-like of strings → int64 array (all < 2^41).
+    Vectorized across strings column-by-character (same shape as
+    ``fnv1a_batch``); exact match with the scalar fold since the modulus
+    is applied at every step in both."""
+    n = len(values)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    bufs = [str(v).encode("utf-32-le") for v in values]
+    lens = np.fromiter((len(b) // 4 for b in bufs), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    mat = np.zeros((n, max(maxlen, 1)), dtype=np.uint32)
+    for i, b in enumerate(bufs):
+        if b:
+            mat[i, : len(b) // 4] = np.frombuffer(b, dtype=np.uint32)
+    acc = np.zeros(n, dtype=np.int64)
+    base = np.int64(POLY41_BASE)
+    mod = np.int64(POLY41_MOD)
+    for j in range(maxlen):
+        alive = lens > j
+        acc[alive] = (acc[alive] * base + mat[alive, j].astype(np.int64)) % mod
+    return acc
