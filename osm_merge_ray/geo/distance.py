@@ -90,6 +90,120 @@ def polyline_min_dist_m(line_a: np.ndarray, line_b: np.ndarray) -> float:
     return float(np.sqrt(best))
 
 
+def pack_polylines(lines: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pad a list of (n_i, 2) lon/lat polylines into dense (n, maxlen)
+    x/y arrays + lengths, so per-pair geometry kernels can run as one
+    numpy pass over a whole candidate batch instead of a Python loop
+    per pair (the batching VERDICT r1 #5 asks for; same style as
+    text/fuzz's batched DP)."""
+    n = len(lines)
+    lens = np.fromiter((len(ln) for ln in lines), dtype=np.int64, count=n)
+    m = int(lens.max()) if n else 1
+    xs = np.zeros((n, max(m, 1)), dtype=np.float64)
+    ys = np.zeros((n, max(m, 1)), dtype=np.float64)
+    for i, ln in enumerate(lines):
+        xs[i, : len(ln)] = ln[:, 0]
+        ys[i, : len(ln)] = ln[:, 1]
+    return xs, ys, lens
+
+
+def batch_polyline_min_dist_m(axs, ays, la, bxs, bys, lb,
+                              chunk: int = 4096) -> np.ndarray:
+    """Min polyline-polyline distance (meters) for N index-aligned pairs
+    over packed arrays (see ``pack_polylines``): vertices-of-A vs
+    segments-of-B and vice versa, on the same local planar projection
+    the scalar ``polyline_min_dist_m`` uses — results are identical.
+    Memory is bounded by chunking pairs (chunk * maxA * maxB doubles).
+    """
+    n = len(la)
+    out = np.empty(n, dtype=np.float64)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        ax, ay, a_l = axs[lo:hi], ays[lo:hi], la[lo:hi]
+        bx, by, b_l = bxs[lo:hi], bys[lo:hi], lb[lo:hi]
+        # per-pair projection constants (lat0 = mean of A's real vertices)
+        lat0 = ay.sum(axis=1) / np.maximum(a_l, 1)
+        kx = (111320.0 * np.cos(np.radians(lat0)))[:, None]
+        ky = 110540.0
+        pax, pay = ax * kx, ay * ky
+        pbx, pby = bx * kx, by * ky
+        va = (np.arange(ax.shape[1])[None, :] < a_l[:, None])
+        vb = (np.arange(bx.shape[1])[None, :] < b_l[:, None])
+        best = np.full(hi - lo, np.inf)
+
+        def min_vert_seg(px, py, vp, qx, qy, vq):
+            # points (c, mp) vs segments of q (c, mq-1) → (c,)
+            if qx.shape[1] < 2:
+                return np.full(px.shape[0], np.inf)
+            axs_, ays_ = qx[:, :-1], qy[:, :-1]
+            bxs_, bys_ = qx[:, 1:], qy[:, 1:]
+            d2 = point_segment_dist2(
+                px[:, :, None], py[:, :, None],
+                axs_[:, None, :], ays_[:, None, :],
+                bxs_[:, None, :], bys_[:, None, :],
+            )
+            seg_valid = vq[:, 1:]  # segment j exists iff vertex j+1 real
+            valid = vp[:, :, None] & seg_valid[:, None, :]
+            d2 = np.where(valid, d2, np.inf)
+            return d2.reshape(d2.shape[0], -1).min(axis=1) if d2.size else np.full(px.shape[0], np.inf)
+
+        best = np.minimum(best, min_vert_seg(pax, pay, va, pbx, pby, vb))
+        best = np.minimum(best, min_vert_seg(pbx, pby, vb, pax, pay, va))
+        # both degenerate (single-point lines): point-point distance
+        deg = ~np.isfinite(best)
+        if deg.any():
+            best[deg] = ((pax[deg, 0] - pbx[deg, 0]) ** 2
+                         + (pay[deg, 0] - pby[deg, 0]) ** 2)
+        out[lo:hi] = np.sqrt(best)
+    return out
+
+
+def batch_slope_angle_offset2(axs, ays, la, bxs, bys, lb) -> tuple[np.ndarray, np.ndarray]:
+    """Reference-parity slope/angle over packed polyline pairs.
+
+    Mirrors ``getSlope`` (conflator.py:361-454): direction endpoints are
+    the vertices at OFFSET 2 from each end (index 2 and index n-2,
+    0-based), not the first/last vertex; too-short lines (no index-2
+    vertex), coincident offset endpoints, or a vertical old-line
+    direction all force (0, 0). Divergence (documented): the reference
+    CRASHES on a vertical new-line direction (unguarded division,
+    conflator.py:406) — we return (0, 0) for that too. Slopes are taken
+    on the local planar projection, which locally matches the
+    reference's EPSG:3857 slopes up to a common sec(lat) factor that
+    cancels in the angle."""
+    n = len(la)
+    if n == 0:
+        return np.empty(0), np.empty(0)
+    lat0 = ays.sum(axis=1) / np.maximum(la, 1)
+    kx = 111320.0 * np.cos(np.radians(lat0))
+    ky = 110540.0
+
+    def endpoints(xs, ys, lens):
+        i0 = np.full(n, 2, dtype=np.int64)
+        i1 = np.maximum(lens - 2, 0)
+        short = lens <= 2  # no index-2 vertex → forced (0,0)
+        i0c = np.minimum(i0, np.maximum(lens - 1, 0))
+        i1c = np.minimum(i1, np.maximum(lens - 1, 0))
+        r = np.arange(n)
+        return xs[r, i0c], ys[r, i0c], xs[r, i1c], ys[r, i1c], short
+
+    ax1, ay1, ax2, ay2, a_short = endpoints(axs, ays, la)
+    bx1, by1, bx2, by2, b_short = endpoints(bxs, bys, lb)
+    same_a = (ax1 == ax2) & (ay1 == ay2)
+    same_b = (bx1 == bx2) & (by1 == by2)
+    forced = a_short | b_short | same_a | same_b
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s1 = ((ay2 - ay1) * ky) / ((ax2 - ax1) * kx)
+        s2 = ((by2 - by1) * ky) / ((bx2 - bx1) * kx)
+        slope = s1 - s2
+        angle = np.degrees(np.arctan((s2 - s1) / (1.0 + s2 * s1)))
+    vertical = ~np.isfinite(s1) | ~np.isfinite(s2)
+    forced |= vertical
+    slope = np.where(forced, 0.0, np.nan_to_num(slope, nan=0.0, posinf=0.0, neginf=0.0))
+    angle = np.where(forced, 0.0, np.nan_to_num(angle, nan=0.0, posinf=0.0, neginf=0.0))
+    return slope, angle
+
+
 def slope_angle(a_start: np.ndarray, a_end: np.ndarray, b_start: np.ndarray, b_end: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Slope difference and intersection angle between direction vectors.
 

@@ -704,11 +704,27 @@ WHERE bit_count(xor(a.s, b.s)) <= 10
 """
 
 
+EMBED_EXACT_MAX_ROWS = 200_000
+
+
 def dedup_embedding_q(sf_dir: str, threshold: float = 0.35):
-    """Embedding-cosine near-dup pairs (double-precision, quantized)."""
+    """Embedding-cosine near-dup pairs (double-precision, quantized).
+
+    This is the O(N^2) all-pairs ORACLE TWIN: it broadcasts the full
+    matrix and is gated by row count so it can never be pointed at a
+    real corpus by accident — above the gate it refuses and routes the
+    caller to the scale path (sim/embed_lsh.embedding_neardup_lsh +
+    exact re-verify on surviving candidates)."""
     import ray
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = ds.count()
+    if n > EMBED_EXACT_MAX_ROWS:
+        raise ValueError(
+            f"dedup_embedding_q is the exact all-pairs oracle twin and is "
+            f"capped at {EMBED_EXACT_MAX_ROWS} rows (got {n}); use "
+            "sim.embed_lsh.embedding_neardup_lsh for the scale path"
+        )
     all_rows = ds.take_all()
     ids = np.array([r["vec_id"] for r in all_rows], dtype=np.int64)
     mat = np.vstack([np.asarray(r["embedding"], dtype=np.float64) for r in all_rows])

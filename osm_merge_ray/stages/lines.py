@@ -40,10 +40,14 @@ import pyarrow as pa
 
 from osm_merge_ray.config import ConflationConfig
 from osm_merge_ray.geo import cells as C
-from osm_merge_ray.geo.distance import polyline_min_dist_m, slope_angle
+from osm_merge_ray.geo.distance import (
+    batch_polyline_min_dist_m,
+    batch_slope_angle_offset2,
+    pack_polylines,
+)
 from osm_merge_ray.ops import same_key_pairs
+from osm_merge_ray.stages import partition as P
 from osm_merge_ray.text.fuzz import indel_ratio
-from osm_merge_ray.util import splitmix64
 
 MATCH_KEYS = ("name", "ref", "ref:usfs")  # conflator.py:549
 
@@ -79,18 +83,21 @@ def score_tags(ext: dict, osm: dict, cfg: ConflationConfig) -> tuple[int, dict]:
 
 def _line_prepare(t: pa.Table, cfg: ConflationConfig, side: int) -> pa.Table:
     coords = t.column("coords_json").to_pylist()
-    lon = np.empty(len(coords))
-    lat = np.empty(len(coords))
+    n = len(coords)
+    lon = np.empty(n)
+    lat = np.empty(n)
+    bbox = np.empty((n, 4))
     for i, cj in enumerate(coords):
         c = np.asarray(json.loads(cj), dtype=np.float64).reshape(-1, 2)
         lon[i], lat[i] = c.mean(axis=0)
+        bbox[i] = (c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max())
     cell = C.lonlat_to_cell(lon, lat, cfg.cell_res)
     ids = (t.column("feature_id") if "feature_id" in t.column_names
            else t.column("osm_id"))
     version = (t.column("version") if "version" in t.column_names
-               else pa.array(np.ones(len(coords), dtype=np.int32), pa.int32()))
+               else pa.array(np.ones(n, dtype=np.int32), pa.int32()))
     refs = (t.column("refs_json") if "refs_json" in t.column_names
-            else pa.array(["[]"] * len(coords), pa.string()))
+            else pa.array(["[]"] * n, pa.string()))
     return pa.table({
         "feature_id": ids.cast(pa.int64()),
         "version": version,
@@ -98,43 +105,35 @@ def _line_prepare(t: pa.Table, cfg: ConflationConfig, side: int) -> pa.Table:
         "coords_json": t.column("coords_json"),
         "props_json": t.column("props_json"),
         "refs_json": refs,
+        "lon": pa.array(lon, pa.float64()),
+        "lat": pa.array(lat, pa.float64()),
+        "x0": pa.array(bbox[:, 0], pa.float64()),
+        "y0": pa.array(bbox[:, 1], pa.float64()),
+        "x1": pa.array(bbox[:, 2], pa.float64()),
+        "y1": pa.array(bbox[:, 3], pa.float64()),
         "cell": pa.array(cell, pa.int64()),
-        "side": pa.array(np.full(len(coords), side, dtype=np.int8), pa.int8()),
+        "side": pa.array(np.full(n, side, dtype=np.int8), pa.int8()),
     })
 
 
-def conflate_lines(primary_ds, secondary_ds, cfg: ConflationConfig | None = None):
-    """Cell-sharded line conflation. NOTE the partitioning assumption:
-    features are assigned by centroid cell with k-ring(1) replication,
-    complete while (line length / 2 + threshold) < cell edge — choose
-    ``cfg.cell_res`` for the corpus' max segment length (the reference
-    pre-splits long ways the same way via its task grid)."""
+def conflate_lines(primary_ds, secondary_ds, cfg: ConflationConfig | None = None,
+                   skew_salting: bool = True):
+    """Cell-sharded line conflation on the shared partition machinery
+    (stages/partition.py): secondaries ship only to the cells their
+    bbox expanded by (distance_m + max primary reach) overlaps (~1x
+    replication, vs blanket 9x k-ring), hot cells are refined to a
+    finer resolution with a salt fan-out — same skew handling as the
+    flagship path."""
     cfg = cfg or ConflationConfig(cell_res=12)
 
     p = primary_ds.map_batches(lambda t: _line_prepare(t, cfg, 0), batch_format="pyarrow")
     s = secondary_ds.map_batches(lambda t: _line_prepare(t, cfg, 1), batch_format="pyarrow")
 
-    def replicate(t: pa.Table) -> pa.Table:
-        cell = t.column("cell").to_numpy()
-        ring = C.k_ring(cell, include_self=True)
-        n, r = ring.shape
-        out = t.take(np.repeat(np.arange(n), r))
-        return out.set_column(out.schema.get_field_index("cell"), "cell",
-                              pa.array(ring.reshape(-1), pa.int64()))
-
-    both = p.union(s.map_batches(replicate, batch_format="pyarrow"))
-
-    def with_bucket(t: pa.Table) -> pa.Table:
-        b = (splitmix64(t.column("cell").to_numpy().view(np.uint64))
-             % np.uint64(cfg.num_buckets)).astype(np.int64)
-        return t.append_column("bucket", pa.array(b, pa.int64()))
-
-    both = both.map_batches(with_bucket, batch_format="pyarrow")
-
     def match(df: pd.DataFrame) -> pd.DataFrame:
         return match_lines_group(df, cfg)
 
-    return both.groupby("bucket").map_groups(match, batch_format="pandas")
+    return P.shuffle_match(p, s, cfg, cfg.distance_m, match,
+                           skew_salting=skew_salting)
 
 
 def match_lines_group(df: pd.DataFrame, cfg: ConflationConfig) -> pd.DataFrame:
@@ -171,11 +170,15 @@ def match_lines_group(df: pd.DataFrame, cfg: ConflationConfig) -> pd.DataFrame:
     p_types = prim["geom_type"].to_numpy()
     s_types = sec["geom_type"].to_numpy()
 
-    pi, si = same_key_pairs(prim["cell"].to_numpy(), sec["cell"].to_numpy())
+    pi, si = same_key_pairs(
+        P.group_key(prim["cell"].to_numpy(), prim["salt"].to_numpy()),
+        P.group_key(sec["cell"].to_numpy(), sec["salt"].to_numpy()),
+    )
 
-    # vectorized bbox lower-bound pre-gate: the exact polyline distance
-    # is a per-pair Python kernel, so cut pairs whose bbox gap already
-    # exceeds the threshold (the STRtree-style gate, batch form)
+    from osm_merge_ray.ops import first_in_groups, rank_within_groups
+
+    # vectorized bbox lower-bound pre-gate: cut pairs whose bbox gap
+    # already exceeds the threshold (the STRtree-style gate, batch form)
     if len(pi):
         def bboxes(lines):
             b = np.empty((len(lines), 4))
@@ -192,44 +195,61 @@ def match_lines_group(df: pd.DataFrame, cfg: ConflationConfig) -> pd.DataFrame:
         gap_y = np.maximum(np.maximum(pb[pi, 1], sb[si, 1])
                            - np.minimum(pb[pi, 3], sb[si, 3]), 0.0) * 111194.92664455873
         near = gap_x * gap_x + gap_y * gap_y <= cfg.distance_m * cfg.distance_m * 1.1
-        pi, si = pi[near], si[near]
+        # typed dispatch: line vs point is a forced no-match
+        # (conflator.py:505-508)
+        typed_ok = (p_types[pi] == "Point") == (s_types[si] == "Point")
+        pi, si = pi[near & typed_ok], si[near & typed_ok]
 
-    out_rows = []
-    # group candidate pairs per primary (pi is grouped ascending)
-    from osm_merge_ray.ops import first_in_groups
+    # ---- batched geometry over ALL surviving pairs (no per-pair DP) ----
+    if len(pi):
+        paxs, pays, plens = pack_polylines(p_lines)
+        saxs, says, slens = pack_polylines(s_lines)
+        d_all = batch_polyline_min_dist_m(paxs[pi], pays[pi], plens[pi],
+                                          saxs[si], says[si], slens[si])
+        gate = d_all <= cfg.distance_m
+        pi, si, d_all = pi[gate], si[gate], d_all[gate]
+        sl_all, an_all = batch_slope_angle_offset2(
+            paxs[pi], pays[pi], plens[pi], saxs[si], says[si], slens[si]
+        )
+    else:
+        d_all = sl_all = an_all = np.empty(0, dtype=np.float64)
 
-    bounds = np.flatnonzero(first_in_groups(pi)) if len(pi) else np.empty(0, np.int64)
-    bounds = np.r_[bounds, len(pi)]
+    # tag scoring per surviving pair (JSON props — inherently rowwise,
+    # but only runs on distance-gated candidates)
+    hits_all = np.empty(len(pi), dtype=np.int64)
+    merged_all: list[dict] = [None] * len(pi)
+    for k in range(len(pi)):
+        hits_all[k], merged_all[k] = score_tags(p_props[int(pi[k])],
+                                                s_props[int(si[k])], cfg)
+    # identical-geometry match regardless of tags (conflator.py:229-234)
+    identical = (d_all == 0.0) & (sl_all == 0.0) & (an_all == 0.0)
+    reject = (hits_all == 0) & ~identical & (
+        (np.abs(an_all) > cfg.angle_max_deg) | (np.abs(sl_all) > cfg.slope_max)
+    )  # conflator.py:206-216
+    keep = ~reject
+    pi, si, d_all = pi[keep], si[keep], d_all[keep]
+    sl_all, an_all, hits_all = sl_all[keep], an_all[keep], hits_all[keep]
+    identical = identical[keep]
+    merged_all = [merged_all[k] for k in np.flatnonzero(keep)]
+
+    # deterministic nearest-k cap per primary, ties by secondary id
+    # (divergence from the reference's scan-order cap, SURVEY §7 (c))
+    if len(pi):
+        order = np.lexsort((s_ids[si], d_all, pi))
+        pos = rank_within_groups(pi[order])
+        capped = order[pos < cfg.max_candidates]
+        capped = capped[np.argsort(pi[capped], kind="stable")]
+    else:
+        capped = np.empty(0, dtype=np.int64)
+
     cand_of: dict[int, list] = {}
-    for g in range(len(bounds) - 1):
-        lo, hi = bounds[g], bounds[g + 1]
-        i = int(pi[lo])
-        cands = []
-        for k in range(lo, hi):
-            j = int(si[k])
-            # typed dispatch: line vs point is a forced no-match
-            # (conflator.py:505-508)
-            if (p_types[i] == "Point") != (s_types[j] == "Point"):
-                continue
-            d = polyline_min_dist_m(p_lines[i], s_lines[j])
-            if d > cfg.distance_m:
-                continue
-            la, lb = p_lines[i], s_lines[j]
-            sl, an = slope_angle(la[:1], la[-1:], lb[:1], lb[-1:])
-            hits, merged = score_tags(p_props[i], s_props[j], cfg)
-            # identical-geometry match regardless of tags
-            # (conflator.py:229-234)
-            identical = d == 0.0 and sl[0] == 0.0 and an[0] == 0.0
-            if hits == 0 and not identical and (
-                abs(an[0]) > cfg.angle_max_deg or abs(sl[0]) > cfg.slope_max
-            ):
-                continue  # reject (conflator.py:206-216)
-            cands.append((hits, d, float(sl[0]), float(an[0]), j, merged, identical))
-        if cands:
-            # deterministic nearest-k cap (divergence from the
-            # reference's scan-order cap, documented in SURVEY §7 (c))
-            cands.sort(key=lambda c: (c[1], s_ids[c[4]]))
-            cand_of[i] = cands[: cfg.max_candidates]
+    for k in capped:
+        i = int(pi[k])
+        cand_of.setdefault(i, []).append(
+            (int(hits_all[k]), float(d_all[k]), float(sl_all[k]),
+             float(an_all[k]), int(si[k]), merged_all[k], bool(identical[k]))
+        )
+    out_rows = []
 
     for i in range(n_p):
         cands = cand_of.get(i, [])

@@ -1,0 +1,239 @@
+"""Shared scale partitioning for extended-geometry conflation joins.
+
+Generalizes the flagship's point border-band + adaptive hot-cell
+machinery (stages/conflate.py:164-273) to features with EXTENT (lines,
+polygons): instead of replicating every secondary row to its full 9x
+k-ring, a row is shipped only to the cells its bbox — expanded by the
+match band — actually overlaps (~1x for features small vs the cell
+edge), and hot cells are re-keyed at a finer resolution with a salt
+fan-out backstop, exactly like the flagship path.
+
+Completeness argument (why one decision row per primary still works):
+a primary is keyed by its CENTROID cell only. If dist(P, S) <= d, then
+dist(centroid_P, S) <= d + reach_P where reach_P is the centroid→bbox-
+corner distance, so replicating S to every cell its bbox expanded by
+``band = d + max_reach(primaries)`` overlaps guarantees the pair
+co-locates in the primary's one (cell, salt) group — each pair is
+scored at most once globally, no cross-bucket combine needed.
+
+Light-row contract: input Datasets carry at least
+``feature_id:int64, lon, lat (centroid), x0, y0, x1, y1 (bbox, deg),
+cell:int64 (centroid cell at cfg.cell_res), side:int8``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from osm_merge_ray.config import ConflationConfig
+from osm_merge_ray.geo import cells as C
+from osm_merge_ray.util import splitmix64
+
+#: max covered cells per axis per row — a feature spanning more cells
+#: than this at the chosen res is trimmed (pick a coarser cell_res for
+#: such a corpus; the cap bounds worst-case replication at 17x17).
+AXIS_CAP = 8
+
+
+def fine_res_of(cfg: ConflationConfig) -> int:
+    """Hot-cell refinement resolution: at most 3 levels below base (8x
+    finer per axis) so one base-cell-spanning feature covers <= ~8 fine
+    cells per axis, and never finer than the match distance allows."""
+    return min(C.res_for_distance(cfg.distance_m), cfg.cell_res + 3)
+
+
+def bbox_band_targets(x0, y0, x1, y1, res: int, band_m: float,
+                      cap: int = AXIS_CAP) -> tuple[np.ndarray, np.ndarray]:
+    """(row_idx, target_cell) for every grid cell at ``res`` overlapped
+    by each bbox expanded by ``band_m`` meters (lat-aware on lon).
+    Point rows (x0==x1, y0==y1) reduce to the flagship's border-band."""
+    x0, y0, x1, y1 = (np.asarray(a, dtype=np.float64) for a in (x0, y0, x1, y1))
+    n = len(x0)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    s = C.cell_edge_deg(res)
+    latm = (y0 + y1) * 0.5
+    with np.errstate(invalid="ignore"):
+        bx = band_m / (C.M_PER_DEG_LAT * np.maximum(np.abs(np.cos(np.radians(latm))), 1e-3))
+    by = band_m / C.M_PER_DEG_LAT
+    ix0 = np.floor((x0 - bx + 180.0) / s).astype(np.int64)
+    ix1 = np.floor((x1 + bx + 180.0) / s).astype(np.int64)
+    iy0 = np.floor((y0 - by + 90.0) / s).astype(np.int64)
+    iy1 = np.floor((y1 + by + 90.0) / s).astype(np.int64)
+    span = 2 * cap  # max cells per axis = span+1
+    ix1 = np.minimum(ix1, ix0 + span)
+    iy1 = np.minimum(iy1, iy0 + span)
+    nx_cnt = ix1 - ix0 + 1
+    ny_cnt = iy1 - iy0 + 1
+    cnt = nx_cnt * ny_cnt
+    total = int(cnt.sum())
+    rows = np.repeat(np.arange(n, dtype=np.int64), cnt)
+    offs = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    w = np.arange(total, dtype=np.int64) - np.repeat(offs, cnt)
+    jx = np.repeat(ix0, cnt) + w // np.repeat(ny_cnt, cnt)
+    jy = np.repeat(iy0, cnt) + w % np.repeat(ny_cnt, cnt)
+    nx = np.int64(1 << res)
+    ny = np.int64(1 << max(res - 1, 0))
+    jx = np.mod(jx, nx)
+    jy = np.clip(jy, 0, ny - 1)
+    return rows, C.xy_to_cell(jx, jy, res)
+
+
+def reach_m(lon, lat, x0, y0, x1, y1) -> np.ndarray:
+    """Per-row centroid→farthest-bbox-corner distance in meters (upper
+    bound on centroid→geometry distance)."""
+    lon, lat = np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
+    dx_deg = np.maximum(np.asarray(x1) - lon, lon - np.asarray(x0))
+    dy_deg = np.maximum(np.asarray(y1) - lat, lat - np.asarray(y0))
+    kx = C.M_PER_DEG_LAT * np.abs(np.cos(np.radians(lat)))
+    dx = np.maximum(dx_deg, 0.0) * kx
+    dy = np.maximum(dy_deg, 0.0) * C.M_PER_DEG_LAT
+    return np.sqrt(dx * dx + dy * dy)
+
+
+def max_primary_reach_m(light_ds) -> float:
+    """Distributed max of the primary-side reach (one tiny aggregate;
+    the only driver-side value this machinery needs besides hot cells)."""
+    def partial(t: pa.Table) -> pa.Table:
+        m = t.filter(pc.equal(t.column("side"), 0))
+        if m.num_rows == 0:
+            return pa.table({"m": pa.array([0.0], pa.float64())})
+        r = reach_m(m.column("lon").to_numpy(), m.column("lat").to_numpy(),
+                    m.column("x0").to_numpy(), m.column("y0").to_numpy(),
+                    m.column("x1").to_numpy(), m.column("y1").to_numpy())
+        return pa.table({"m": pa.array([float(r.max())], pa.float64())})
+
+    out = light_ds.map_batches(partial, batch_format="pyarrow").max("m")
+    return float(out or 0.0)
+
+
+def _with_bucket(t: pa.Table, cfg: ConflationConfig) -> pa.Table:
+    cell = t.column("cell").to_numpy()
+    salt = t.column("salt").to_numpy()
+    b = C.bucket_of(cell, cfg.num_buckets,
+                    salt=salt.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    return t.append_column("bucket", pa.array(b, pa.int64()))
+
+
+def make_tag_primary(cfg: ConflationConfig, salts: dict[int, int]):
+    """Primaries keep ONE row: hot-base-cell rows re-keyed at the fine
+    resolution of their centroid, salted by feature_id hash."""
+    hot = np.array(sorted(salts), dtype=np.int64)
+    fine = fine_res_of(cfg)
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("side"), 0))
+        cell = t.column("cell").to_numpy().copy()
+        salt = np.zeros(len(cell), dtype=np.int64)
+        if len(hot) and len(cell):
+            m = np.isin(cell, hot)
+            if m.any():
+                lon = t.column("lon").to_numpy()
+                lat = t.column("lat").to_numpy()
+                base = cell[m]
+                cell[m] = C.lonlat_to_cell(lon[m], lat[m], fine)
+                ids = t.column("feature_id").to_numpy()[m]
+                h = splitmix64(ids.view(np.uint64))
+                nsalt = np.ones(int(m.sum()), dtype=np.uint64)
+                for c, k in salts.items():
+                    nsalt[base == c] = k
+                salt[m] = (h % nsalt).astype(np.int64)
+        out = t.set_column(t.schema.get_field_index("cell"), "cell",
+                           pa.array(cell, pa.int64()))
+        out = out.append_column("salt", pa.array(salt, pa.int64()))
+        return _with_bucket(out, cfg)
+
+    return tag
+
+
+def make_replicate_secondary(cfg: ConflationConfig, salts: dict[int, int],
+                             band_m: float):
+    """Secondaries ship to every base cell their banded bbox overlaps;
+    targets landing in a HOT base cell are re-emitted as the fine-res
+    banded cover (restricted to hot parents) x every salt of that
+    parent. Replication factor ~1 + O(band/edge) instead of 9x."""
+    hot = np.array(sorted(salts), dtype=np.int64)
+    fine = fine_res_of(cfg)
+
+    def rep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("side"), 1))
+        x0 = t.column("x0").to_numpy()
+        y0 = t.column("y0").to_numpy()
+        x1 = t.column("x1").to_numpy()
+        y1 = t.column("y1").to_numpy()
+        idx, tgt = bbox_band_targets(x0, y0, x1, y1, cfg.cell_res, band_m)
+
+        is_hot_t = np.isin(tgt, hot) if len(hot) else np.zeros(len(tgt), dtype=bool)
+        base_idx = idx[~is_hot_t]
+        base_tgt = tgt[~is_hot_t]
+        base_salt = np.zeros(len(base_idx), dtype=np.int64)
+
+        fine_idx = np.empty(0, dtype=np.int64)
+        fine_tgt = np.empty(0, dtype=np.int64)
+        fine_salt = np.empty(0, dtype=np.int64)
+        if is_hot_t.any():
+            rows_hot = np.unique(idx[is_hot_t])
+            f_rel, f_tgt = bbox_band_targets(
+                x0[rows_hot], y0[rows_hot], x1[rows_hot], y1[rows_hot],
+                fine, band_m,
+            )
+            parents = C.parent(f_tgt, cfg.cell_res)
+            keep_f = np.isin(parents, hot)  # non-hot parents are covered
+            f_idx = rows_hot[f_rel[keep_f]]
+            f_tgt = f_tgt[keep_f]
+            parents = parents[keep_f]
+            nsalt = np.ones(len(f_tgt), dtype=np.int64)
+            for c, k in salts.items():
+                nsalt[parents == c] = k
+            fine_idx = np.repeat(f_idx, nsalt)
+            fine_tgt = np.repeat(f_tgt, nsalt)
+            offs = np.concatenate(([0], np.cumsum(nsalt)[:-1]))
+            fine_salt = (np.arange(int(nsalt.sum()), dtype=np.int64)
+                         - np.repeat(offs, nsalt))
+
+        all_idx = np.concatenate([base_idx, fine_idx])
+        all_tgt = np.concatenate([base_tgt, fine_tgt])
+        all_salt = np.concatenate([base_salt, fine_salt])
+        out = t.take(all_idx)
+        out = out.set_column(out.schema.get_field_index("cell"), "cell",
+                             pa.array(all_tgt, pa.int64()))
+        out = out.append_column("salt", pa.array(all_salt, pa.int64()))
+        return _with_bucket(out, cfg)
+
+    return rep
+
+
+def group_key(cell: np.ndarray, salt: np.ndarray) -> np.ndarray:
+    """64-bit mixed (cell, salt) join key for in-bucket pair generation
+    (same construction as the flagship matcher)."""
+    return splitmix64(
+        cell.astype(np.int64).view(np.uint64) + splitmix64(salt.astype(np.uint64))
+    ).view(np.int64)
+
+
+def shuffle_match(p_light, s_light, cfg: ConflationConfig, band_extra_m: float,
+                  match_fn, skew_salting: bool = True):
+    """Assemble the one-shuffle pattern: union light sides → (max-reach
+    + hot-cell plan over the materialized LIGHT projection, ~100 B/row)
+    → tag/replicate → bucket groupby → ``match_fn`` per bucket.
+
+    ``match_fn(df)`` sees light rows of one bucket with ``cell`` and
+    ``salt`` columns and must join sides on (cell, salt) — use
+    ``group_key``. ``band_extra_m`` is the match distance (0 for
+    pure-overlap joins); the primary max reach is added automatically.
+    """
+    from osm_merge_ray.stages.conflate import plan_salts
+
+    light = p_light.union(s_light).materialize()
+    band = band_extra_m + max_primary_reach_m(light)
+    salts = plan_salts(light, cfg) if skew_salting else {}
+    p = light.map_batches(make_tag_primary(cfg, salts), batch_format="pyarrow")
+    s = light.map_batches(make_replicate_secondary(cfg, salts, band),
+                          batch_format="pyarrow")
+    return (
+        p.union(s)
+        .groupby("bucket")
+        .map_groups(match_fn, batch_format="pandas")
+    )

@@ -28,8 +28,8 @@ from osm_merge_ray.config import ConflationConfig
 from osm_merge_ray.geo import cells as C
 from osm_merge_ray.geo.distance import haversine_m
 from osm_merge_ray.ops import first_in_groups, same_key_pairs
+from osm_merge_ray.stages import partition as P
 from osm_merge_ray.text.fuzz import batch_indel_ratio
-from osm_merge_ray.util import splitmix64
 
 #: keys compared by the POI scorer (conflator.py:359 / conflatePOI.py:129-131)
 ANALYZE_KEYS = ("building", "name", "amenity", "landuse", "cuisine", "tourism", "leisure")
@@ -56,6 +56,12 @@ def _poi_prepare(t: pa.Table, cfg: ConflationConfig, side: int) -> pa.Table:
         "props_json": t.column("props_json"),
         "lon": pa.array(lon, pa.float64()),
         "lat": pa.array(lat, pa.float64()),
+        # distance is centroid-to-centroid here, so the partition bbox
+        # is the centroid point (reach 0, band = tolerance alone)
+        "x0": pa.array(lon, pa.float64()),
+        "y0": pa.array(lat, pa.float64()),
+        "x1": pa.array(lon, pa.float64()),
+        "y1": pa.array(lat, pa.float64()),
         "cell": pa.array(cell, pa.int64()),
         "is_node": pa.array(is_node),
         "side": pa.array(np.full(len(coords), side, dtype=np.int8), pa.int8()),
@@ -77,23 +83,6 @@ def conflate_pois(poi_ds, osm_ds, cfg: ConflationConfig | None = None,
     p = poi_ds.map_batches(lambda t: _poi_prepare(t, cfg, 0), batch_format="pyarrow")
     s = osm_ds.map_batches(lambda t: _poi_prepare(t, cfg, 1), batch_format="pyarrow")
 
-    def replicate(t: pa.Table) -> pa.Table:
-        cell = t.column("cell").to_numpy()
-        ring = C.k_ring(cell, include_self=True)
-        n, r = ring.shape
-        out = t.take(np.repeat(np.arange(n), r))
-        return out.set_column(out.schema.get_field_index("cell"), "cell",
-                              pa.array(ring.reshape(-1), pa.int64()))
-
-    both = p.union(s.map_batches(replicate, batch_format="pyarrow"))
-
-    def with_bucket(t: pa.Table) -> pa.Table:
-        b = (splitmix64(t.column("cell").to_numpy().view(np.uint64))
-             % np.uint64(cfg.num_buckets)).astype(np.int64)
-        return t.append_column("bucket", pa.array(b, pa.int64()))
-
-    both = both.map_batches(with_bucket, batch_format="pyarrow")
-
     def match(df: pd.DataFrame) -> pd.DataFrame:
         prim = df[df["side"] == 0]
         sec = df[df["side"] == 1]
@@ -107,7 +96,10 @@ def conflate_pois(poi_ds, osm_ds, cfg: ConflationConfig | None = None,
                 "dist_mm": pd.Series(dtype=np.int64),
                 "merged_json": pd.Series(dtype="string"),
             })
-        pi, si = same_key_pairs(prim["cell"].to_numpy(), sec["cell"].to_numpy())
+        pi, si = same_key_pairs(
+            P.group_key(prim["cell"].to_numpy(), prim["salt"].to_numpy()),
+            P.group_key(sec["cell"].to_numpy(), sec["salt"].to_numpy()),
+        )
         p_lon = prim["lon"].to_numpy()
         p_lat = prim["lat"].to_numpy()
         s_lon = sec["lon"].to_numpy()
@@ -188,4 +180,4 @@ def conflate_pois(poi_ds, osm_ds, cfg: ConflationConfig | None = None,
             "merged_json": pd.array(merged, dtype="string"),
         })
 
-    return both.groupby("bucket").map_groups(match, batch_format="pandas")
+    return P.shuffle_match(p, s, cfg, tolerance_m, match)

@@ -56,18 +56,25 @@ def render_tiles(source_path: str, out_dir: str, grid: TileGrid,
     import ray
     import ray.data as rd
 
-    from osm_merge_ray.ops import BloomFilter
+    from osm_merge_ray.ops import build_bloom_distributed
     from osm_merge_ray.util import hash64_str
 
     bloom_ref = None
     if decisions_ds is not None:
-        ids: list[str] = []
-        for batch in decisions_ds.iter_batches(batch_format="pyarrow", batch_size=65536):
-            mask = np.isin(np.asarray(batch.column("decision").to_pylist(), dtype=object),
-                           np.asarray(keep_decisions, dtype=object))
-            ids.extend(np.asarray(batch.column("image_id").to_pylist(), dtype=object)[mask])
-        bloom = BloomFilter(capacity=max(len(ids), 1), fp_rate=1e-4)
-        bloom.add_hashes(hash64_str(ids))
+        import pyarrow.compute as pc
+
+        def kept_ids(t: pa.Table) -> pa.Table:
+            m = pc.is_in(t.column("decision"),
+                         value_set=pa.array(list(keep_decisions)))
+            return t.filter(m).select(["image_id"])
+
+        kept = decisions_ds.map_batches(kept_ids, batch_format="pyarrow")
+        # distributed build: the driver sees only per-block BITMAPS
+        # (fixed size), never the id stream (VERDICT r1 #3)
+        bloom = build_bloom_distributed(
+            kept, lambda t: hash64_str(t.column("image_id").to_pylist()),
+            capacity=max(kept.count(), 1), fp_rate=1e-4,
+        )
         bloom_ref = ray.put(bloom)
 
     def assign_and_filter(t: pa.Table) -> pa.Table:

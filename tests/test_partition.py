@@ -1,0 +1,126 @@
+"""Shared partition machinery (stages/partition.py): band-cover
+replication factor, point equivalence with the flagship border band,
+hot-cell refinement correctness, and the scale-path anti-join/Bloom
+builds that replaced round-1 driver materializations."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from osm_merge_ray.config import ConflationConfig
+from osm_merge_ray.stages import partition as P
+from osm_merge_ray.stages.conflate import border_band_targets
+
+
+def test_bbox_band_targets_point_equals_border_band():
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-120, -100, 500)
+    lat = rng.uniform(35, 45, 500)
+    res, d = 15, 7.0
+    r1, c1 = border_band_targets(lon, lat, res, d)
+    r2, c2 = P.bbox_band_targets(lon, lat, lon, lat, res, d)
+    k1 = np.sort(r1 * (1 << 60) + c1)
+    k2 = np.sort(r2 * (1 << 60) + c2)
+    assert np.array_equal(k1, k2)
+
+
+def test_band_cover_replication_factor_is_near_one():
+    """The point of replacing blanket 9x k-ring: typical features small
+    vs the cell edge replicate ~1x, not 9x."""
+    rng = np.random.default_rng(5)
+    n = 2000
+    lon = rng.uniform(-106, -105.6, n)
+    lat = rng.uniform(39, 39.4, n)
+    ext = 0.0002  # ~20 m features at res 12 (~8.8 km edge)
+    rows, cells = P.bbox_band_targets(lon, lat, lon + ext, lat + ext, 12, 7.0)
+    factor = len(rows) / n
+    assert factor < 1.2, factor  # was exactly 9.0 with k_ring
+
+
+def test_band_cover_straddling_features_replicate():
+    """A bbox crossing a cell boundary must land in both cells."""
+    res = 12
+    edge = 360.0 / (1 << res)
+    x_edge = -180.0 + 1000 * edge  # a cell boundary longitude
+    lon0 = np.array([x_edge - edge * 0.01])
+    lon1 = np.array([x_edge + edge * 0.01])
+    lat = np.array([10.0])
+    rows, cells = P.bbox_band_targets(lon0, lat, lon1, lat, res, 0.0)
+    assert len(np.unique(cells)) == 2
+
+
+def test_lines_hot_cell_refinement_matches_unsalted(ray_session):
+    """Planted dense cluster: every feature in ONE cell with a tiny hot
+    threshold → the refined+salted run must produce identical decisions
+    to the plain run."""
+    import json
+
+    from osm_merge_ray.stages.lines import conflate_lines
+
+    rng = np.random.default_rng(11)
+    n = 120
+    prim_rows, sec_rows = [], []
+    base_lon, base_lat = -105.95, 39.05  # one res-12 cell
+    for i in range(n):
+        lon = base_lon + rng.uniform(0, 0.003)
+        lat = base_lat + rng.uniform(0, 0.003)
+        coords = [[lon + k * 1e-4, lat] for k in range(5)]
+        prim_rows.append({
+            "feature_id": i, "geom_type": "LineString",
+            "coords_json": json.dumps(coords),
+            "props_json": json.dumps({"name": f"Road {i}", "ref": f"FR {i}"}),
+        })
+        off = 3.0 / 111194.9
+        sec_rows.append({
+            "feature_id": 10_000 + i, "geom_type": "LineString",
+            "coords_json": json.dumps([[x, y + off] for x, y in coords]),
+            "props_json": json.dumps({"name": f"Road {i}", "ref": f"FR {i}"}),
+        })
+    tp = pa.Table.from_pylist(prim_rows)
+    ts = pa.Table.from_pylist(sec_rows)
+    cfg = ConflationConfig(cell_res=12, num_buckets=8, hot_cell_rows=20)
+    plain = conflate_lines(rd.from_arrow(tp), rd.from_arrow(ts),
+                           ConflationConfig(cell_res=12, num_buckets=8),
+                           skew_salting=False).to_pandas()
+    salted = conflate_lines(rd.from_arrow(tp), rd.from_arrow(ts), cfg,
+                            skew_salting=True).to_pandas()
+    cols = ["feature_id", "matched_id", "decision", "hits"]
+    a = plain[cols].sort_values("feature_id").reset_index(drop=True)
+    b = salted[cols].sort_values("feature_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert (a["decision"] == "merged").all()
+
+
+def test_new_buildings_bucketed_anti_join_matches_broadcast(ray_session):
+    from osm_merge_ray.stages.overlap import new_buildings
+
+    prim = pa.table({"feature_id": pa.array(np.arange(50), pa.int64()),
+                     "payload": pa.array([f"p{i}" for i in range(50)])})
+    pairs = pa.table({"id_a": pa.array([3, 7, 7, 20, 41], pa.int64()),
+                      "id_b": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    broad = new_buildings(rd.from_arrow(prim), rd.from_arrow(pairs)).to_pandas()
+    antij = new_buildings(rd.from_arrow(prim), rd.from_arrow(pairs),
+                          broadcast_limit=0).to_pandas()
+    want = sorted(set(range(50)) - {3, 7, 20, 41})
+    assert sorted(broad["feature_id"]) == want
+    assert sorted(antij["feature_id"]) == want
+
+
+def test_build_bloom_distributed_equals_local(ray_session):
+    from osm_merge_ray.ops import BloomFilter, build_bloom_distributed
+    from osm_merge_ray.util import hash64_str
+
+    ids = [f"img_{i}" for i in range(5000)]
+    t = pa.table({"image_id": pa.array(ids)})
+    ds = rd.from_arrow(t).repartition(8)
+    dist = build_bloom_distributed(
+        ds, lambda b: hash64_str(b.column("image_id").to_pylist()),
+        capacity=len(ids), fp_rate=1e-4)
+    local = BloomFilter(capacity=len(ids), fp_rate=1e-4)
+    local.add_hashes(hash64_str(ids))
+    assert np.array_equal(dist.bits, local.bits)
+    assert dist.contains_hashes(hash64_str(ids[:100])).all()
+    misses = dist.contains_hashes(hash64_str([f"zz_{i}" for i in range(2000)]))
+    assert misses.mean() < 0.01
