@@ -150,13 +150,14 @@ def train_centroids_distributed(ds, n_centroids: int, iters: int = 8,
 def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
              n_centroids: int = 16, nprobe: int = 4, sample_size: int = 2048,
              id_column: str = "vec_id", vec_column: str = "embedding",
-             exclude_self: bool = True, distributed_train: bool = False):
+             exclude_self: bool = True, distributed_train: bool = True):
     """IVF-style approximate top-k: rows in non-probed lists are skipped
     inside each map task (at cluster scale the list id becomes the
-    partition key so non-probed lists are never read). With
-    ``distributed_train`` the quantizer is trained by distributed Lloyd
-    iterations (train_centroids_distributed) instead of a driver-side
-    sample."""
+    partition key so non-probed lists are never read). The quantizer is
+    trained by distributed Lloyd iterations by default
+    (train_centroids_distributed — only k seed vectors ever reach the
+    driver); pass ``distributed_train=False`` for the small-data
+    driver-sample fast path."""
     import ray
 
     if distributed_train:

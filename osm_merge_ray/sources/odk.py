@@ -62,3 +62,56 @@ def read_odk_csv(paths, geopoint_column: str = "gps"):
     return rd.read_csv(paths).map_batches(
         lambda t: normalize_odk(t, geopoint_column), batch_format="pyarrow"
     )
+
+
+def _flatten_odk(entry: dict, prefix: str = "") -> dict:
+    """Flatten nested ODK-Central JSON groups with ':' separators
+    (ODK group paths); GeoJSON-style geopoint dicts collapse to the
+    "lat lon" string the CSV path produces, so one normalizer serves
+    both parsers (conflator.py:836-845 wires CSVparser and JSONparser
+    to the same createEntry)."""
+    out: dict = {}
+    for k, v in entry.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            if v.get("type") == "Point" and "coordinates" in v:
+                c = v["coordinates"]
+                out[key] = f"{c[1]} {c[0]}" + (f" {c[2]}" if len(c) > 2 else "")
+            else:
+                out.update(_flatten_odk(v, prefix=f"{key}:"))
+        elif isinstance(v, list):
+            out[key] = json.dumps(v)
+        elif v is not None:
+            out[key] = v
+    return out
+
+
+def read_odk_json(paths, geopoint_column: str = "gps"):
+    """ODK JSON submissions → feature table (S3 JSON branch).
+
+    Accepts both an ODK Central export (``{"value": [...]}``) and a
+    plain JSON array of submissions; one parse task per file (the
+    file-is-the-shard pattern — Central exports are per-form and
+    modest), flattened then run through the same ``normalize_odk`` as
+    the CSV branch."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths)
+
+    def parse(t: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for b in t.column("bytes").to_pylist():
+            doc = json.loads(b)
+            vals = doc.get("value", []) if isinstance(doc, dict) else doc
+            for entry in vals:
+                rows.append(_flatten_odk(entry))
+        keys = sorted({k for r in rows for k in r})
+        if not rows:
+            return normalize_odk(
+                pa.table({geopoint_column: pa.array([], pa.string())}),
+                geopoint_column)
+        cols = {k: pa.array([None if r.get(k) is None else str(r.get(k))
+                             for r in rows], pa.string()) for k in keys}
+        return normalize_odk(pa.table(cols), geopoint_column)
+
+    return ds.map_batches(parse, batch_format="pyarrow")

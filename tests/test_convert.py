@@ -235,3 +235,38 @@ def test_osm_xml_writer_semantics():
     noref = new.set_column(2, "geom_type", pa.array(["LineString"], pa.string()))
     xml3, rej = render_osm_xml(noref)
     assert rej == 1 and "<way" not in xml3
+
+
+def test_yaml_mapping_override(tmp_path):
+    """VERDICT r1 #7: loading a trimmed mvum.yaml-shaped file changes
+    converter output tags; restoring brings the defaults back."""
+    from osm_merge_ray.stages import convert as CV
+
+    y = tmp_path / "custom.yaml"
+    y.write_text(
+        "- abbreviations:\n"
+        "    - Cr: Canyon\n"
+        "- tags:\n"
+        "  - surface:\n"
+        "    - NAT: surface=sand\n"
+        "  - operator:\n"
+        "    - FS: Custom Forest Operator\n"
+    )
+    tables = CV.load_yaml_mapping(str(y))
+    assert tables["ABBREVIATIONS"] == {"Cr": "Canyon"}
+    assert tables["SURFACE"] == {"NAT": "sand"}
+    prev = CV.apply_yaml_mapping(str(y))
+    try:
+        out = CV.convert_mvum({"ID": "123", "NAME": "Bear Cr",
+                               "SURFACETYPE": "NAT",
+                               "PRIMARY_MAINTAINER": "FS"})
+        assert out["name"] == "Bear Canyon Road"
+        assert out["surface"] == "sand"
+        assert out["operator"] == "Custom Forest Operator"
+    finally:
+        for k, v in prev.items():
+            setattr(CV, k, v)
+    out2 = CV.convert_mvum({"ID": "123", "NAME": "Bear Cr",
+                            "SURFACETYPE": "NAT"})
+    assert out2["name"] == "Bear Creek Road"
+    assert out2["surface"] == "dirt"

@@ -1,0 +1,79 @@
+
+
+def test_read_odk_json_matches_csv(ray_session, tmp_path):
+    """S3 JSON branch parity: the same submissions through the JSON
+    reader (ODK Central export shape, nested group + geopoint dict)
+    and the CSV reader produce identical features."""
+    import json as J
+
+    import ray.data as rd
+
+    from osm_merge_ray.sources.odk import read_odk_csv, read_odk_json
+
+    csv_p = tmp_path / "subs.csv"
+    csv_p.write_text(
+        "gps,amenity,name,meta:instanceid\n"
+        "39.1 -105.2 2500 4.0,cafe,Moose Cafe,uuid:1\n"
+        "39.2 -105.3,shop,Trail Store,uuid:2\n"
+    )
+    json_p = tmp_path / "subs.json"
+    json_p.write_text(J.dumps({"value": [
+        {"gps": {"type": "Point", "coordinates": [-105.2, 39.1, 2500]},
+         "details": {"amenity": "cafe", "name": "Moose Cafe"},
+         "meta:instanceid": "uuid:1"},
+        {"gps": "39.2 -105.3", "details": {"amenity": "shop", "name": "Trail Store"},
+         "meta:instanceid": "uuid:2"},
+    ]}))
+    from_csv = read_odk_csv([str(csv_p)]).to_pandas()
+    from_json = read_odk_json([str(json_p)]).to_pandas()
+    assert len(from_json) == 2
+    for i in range(2):
+        pc = J.loads(from_csv.loc[i, "props_json"])
+        pj = J.loads(from_json.loc[i, "props_json"])
+        # JSON groups flatten with a prefix; values + geometry must match
+        assert pj[f"details:amenity"] == pc["amenity"]
+        assert pj[f"details:name"] == pc["name"]
+        assert "meta:instanceid" not in pj  # bookkeeping dropped
+        ccsv = J.loads(from_csv.loc[i, "coords_json"])
+        cjson = J.loads(from_json.loc[i, "coords_json"])
+        assert ccsv == cjson
+
+
+def test_chunked_osm_xml_equals_single_task(ray_session, tmp_path):
+    """VERDICT r1 #10: one large file parsed as many byte-range tasks
+    (with the distributed node-cache deref) must yield the same rows as
+    the single-task parse — including ways whose nd refs live in a
+    DIFFERENT chunk."""
+    import numpy as np
+
+    from osm_merge_ray.sources.osm_xml import parse_osm_bytes, read_osm_xml_chunked
+
+    rng = np.random.default_rng(4)
+    parts = ["<?xml version='1.0'?>", "<osm version='0.6'>"]
+    n_nodes = 400
+    for i in range(1, n_nodes + 1):
+        lon = -105.0 + rng.uniform(0, 0.5)
+        lat = 39.0 + rng.uniform(0, 0.5)
+        tag = f"<tag k='name' v='POI {i}'/>" if i % 7 == 0 else ""
+        parts.append(f"<node id='{i}' lat='{lat}' lon='{lon}' version='2'>{tag}</node>")
+    for w in range(1, 40):
+        # refs deliberately span the whole id range (cross-chunk deref)
+        refs = "".join(f"<nd ref='{r}'/>"
+                       for r in [w, n_nodes - w, (w * 37) % n_nodes + 1])
+        parts.append(f"<way id='{10_000 + w}' version='3'>{refs}"
+                     f"<tag k='highway' v='track'/><tag k='tiger:cfcc' v='x'/></way>")
+    parts.append("<way id='99999' version='1'><nd ref='999999'/></way>")  # all-missing refs
+    parts.append("</osm>")
+    xml = "\n".join(parts).encode()
+    p = tmp_path / "big.osm"
+    p.write_bytes(xml)
+
+    single = parse_osm_bytes(xml).to_pandas()
+    chunk_sz = len(xml) // 7  # force ~7 range tasks
+    multi = read_osm_xml_chunked(str(p), chunk_bytes=chunk_sz,
+                                 overlap=chunk_sz, num_buckets=8).to_pandas()
+    a = single.sort_values("osm_id").reset_index(drop=True)
+    b = multi[a.columns].sort_values("osm_id").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        a, b.astype(a.dtypes.to_dict()), check_like=True)
