@@ -60,14 +60,6 @@ class MinHasher:
         self.text_column = text_column
         self.seeds = splitmix64(np.arange(1, num_perm + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = shingle_hashes(text, self.k)
-        if len(sh) == 0:
-            return np.zeros(self.num_perm, dtype=np.uint64)
-        # h_i(x) = splitmix64(x ^ seed_i): (n_shingles, num_perm)
-        m = splitmix64(sh[:, None] ^ self.seeds[None, :])
-        return m.min(axis=0)
-
     def signatures_batch(self, texts) -> np.ndarray:
         """Vectorized (n_docs, num_perm) signatures for a whole batch:
         word-level batched FNV, window-combined gram hashes across doc

@@ -91,8 +91,11 @@ def grouped_reduce(ds, key_cols: list[str], reduce_fn, num_buckets: int = 64):
         b = (h % np.uint64(num_buckets)).astype(np.int64)
         return t.append_column("_rbucket", pa.array(b, pa.int64()))
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return reduce_fn(df.drop(columns=["_rbucket"]))
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        # emit Arrow so downstream consumers (joins, sorts) see real
+        # Arrow types instead of pandas-block numpy dtypes
+        return pa.Table.from_pandas(reduce_fn(df.drop(columns=["_rbucket"])),
+                                    preserve_index=False)
 
     return (
         ds.map_batches(with_bucket, batch_format="pyarrow")
@@ -173,6 +176,29 @@ def bucketed_hash_join(ds_left, ds_right, key: str, num_buckets: int = 64,
 
     from osm_merge_ray.util import hash64_str, splitmix64
 
+    def _arrow_schema_of(ds):
+        """Ray's Schema.types are numpy dtypes for pandas-block
+        datasets; resolve a real Arrow schema (tiny sample conversion
+        as the fallback)."""
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return base
+        return pa.Table.from_pandas(ds.limit(16).to_pandas(),
+                                    preserve_index=False).schema
+
+    left_schema = _arrow_schema_of(ds_left)
+    right_schema = _arrow_schema_of(ds_right)
+    left_cols = list(left_schema.names)
+    right_cols = list(right_schema.names)
+    # Ray's sort-based groupby concatenates blocks WITHOUT null-filling
+    # missing columns, so both union sides must carry the full union
+    # schema explicitly (nulls for the other side's columns).
+    types = {n: t for n, t in zip(left_schema.names, left_schema.types)}
+    for n, t in zip(right_schema.names, right_schema.types):
+        types.setdefault(n, t)
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
     def with_bucket(side_flag):
         def fn(t: pa.Table) -> pa.Table:
             col = t.column(key)
@@ -181,26 +207,45 @@ def bucketed_hash_join(ds_left, ds_right, key: str, num_buckets: int = 64,
             else:
                 v = hash64_str(col.to_pylist())
             b = (splitmix64(v) % np.uint64(num_buckets)).astype(np.int64)
-            t = t.append_column("_jbucket", pa.array(b, pa.int64()))
-            return t.append_column("_jside", pa.array(
-                np.full(len(t), side_flag, dtype=np.int8), pa.int8()))
+            cols = {}
+            for c in all_cols:
+                cols[c] = (t.column(c) if c in t.column_names
+                           else pa.nulls(len(t), types[c]))
+            cols["_jbucket"] = pa.array(b, pa.int64())
+            cols["_jside"] = pa.array(np.full(len(t), side_flag, dtype=np.int8), pa.int8())
+            return pa.table(cols)
         return fn
-
-    left_cols = list(ds_left.schema().names)
-    right_cols = list(ds_right.schema().names)
 
     both = ds_left.map_batches(with_bucket(0), batch_format="pyarrow").union(
         ds_right.map_batches(with_bucket(1), batch_format="pyarrow")
     )
 
-    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        # the union null-fills the other side's columns — re-project
-        # each side to its own schema before the merge
+    # expected output schema (mirrors pandas merge suffix rules); the
+    # merge result is rebuilt as Arrow with these exact types because
+    # pandas upcasts dtypes on empty/NaN-bearing groups and Ray's sort
+    # groupby refuses blocks whose schemas disagree
+    right_types = {n: t for n, t in zip(right_schema.names, right_schema.types)}
+    out_fields = [(c, types[c]) for c in left_cols]
+    if how != "anti":
+        for c in right_cols:
+            if c == key:
+                continue
+            name = c + suffix if c in left_cols else c
+            out_fields.append((name, right_types[c]))
+
+    def _col(series, typ):
+        vals = [None if x is None or (isinstance(x, float) and np.isnan(x)) else x
+                for x in series.tolist()]
+        return pa.array(vals, type=typ)
+
+    def join_bucket(df: pd.DataFrame) -> pa.Table:
         left = df[df["_jside"] == 0][left_cols]
         right = df[df["_jside"] == 1][right_cols]
         if how == "anti":  # left rows whose key has no right match
-            return left[~left[key].isin(right[key].unique())]
-        return left.merge(right, on=key, how=how, suffixes=("", suffix))
+            m = left[~left[key].isin(right[key].unique())]
+        else:
+            m = left.merge(right, on=key, how=how, suffixes=("", suffix))
+        return pa.table({n: _col(m[n], t) for n, t in out_fields})
 
     return both.groupby("_jbucket").map_groups(join_bucket, batch_format="pandas")
 

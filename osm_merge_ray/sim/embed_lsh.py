@@ -27,7 +27,11 @@ def _planes(dim: int, bits: int = 64, seed: int = 42) -> np.ndarray:
 
 class EmbedCoder:
     """Actor-pool stage: hyperplanes drawn once per actor (seeded →
-    identical across actors); emits (band_id, band_hash, id, embedding)."""
+    identical across actors); emits (band_id, band_hash, id) ONLY —
+    the embedding never rides the band fan-out (the old design shipped
+    the full vector once per band = 8x vector bytes through the
+    exchange; vectors are fetched later just for surviving candidate
+    ids, VERDICT r1)."""
 
     def __init__(self, dim: int, bits: int = 64, bands: int = 8, seed: int = 42,
                  id_column: str = "vec_id", vec_column: str = "embedding"):
@@ -52,9 +56,6 @@ class EmbedCoder:
             "band_hash": pa.array(bh.reshape(-1).astype(np.int64), pa.int64()),
             self.id_column: pa.array(np.repeat(
                 t.column(self.id_column).to_numpy(zero_copy_only=False), self.bands)),
-            self.vec_column: pa.array(
-                [v for v in t.column(self.vec_column).to_pylist() for _ in range(self.bands)],
-                t.column(self.vec_column).type),
         })
 
 
@@ -63,8 +64,14 @@ def embedding_neardup_lsh(ds, dim: int, threshold: float = 0.9,
                           id_column: str = "vec_id", vec_column: str = "embedding",
                           num_buckets: int = 64):
     """Near-dup pairs with cosine >= threshold via banded hyperplane LSH.
-    One shuffle on hashed band buckets; cosine verified exactly (f64)
-    inside the bucket; global pair dedup via grouped_reduce."""
+
+    Shape: one LIGHT shuffle of (band_hash, id) rows → candidate id
+    pairs → global pair dedup → vectors fetched by bucketed hash join
+    ONLY for surviving candidate ids → exact f64 cosine verify. The
+    exchange never carries an embedding that isn't needed for a
+    candidate (the band fan-out is 3 int64s per row)."""
+
+    from osm_merge_ray.ops import bucketed_hash_join
 
     coded = ds.map_batches(
         EmbedCoder,
@@ -79,36 +86,53 @@ def embedding_neardup_lsh(ds, dim: int, threshold: float = 0.9,
              % np.uint64(num_buckets)).astype(np.int64)
         return t.append_column("bucket", pa.array(b, pa.int64()))
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
+    def cand_pairs(df: pd.DataFrame) -> pd.DataFrame:
         key = df["band_hash"].to_numpy()
         ids = df[id_column].to_numpy()
         ia, ib = same_key_pairs(key, key)
         keep = ids[ia] < ids[ib]
         ia, ib = ia[keep], ib[keep]
-        empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                              "id_b": pd.Series(dtype=np.int64),
-                              "sim": pd.Series(dtype=np.float64)})
         if len(ia) == 0:
-            return empty
-        vecs = df[vec_column].to_numpy()
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
         packed = (ids[ia].astype(np.int64) << np.int64(31)) | ids[ib].astype(np.int64)
-        _, first = np.unique(packed, return_index=True)
-        ia, ib = ia[first], ib[first]
-        va = np.vstack([np.asarray(vecs[i], dtype=np.float64) for i in ia])
-        vb = np.vstack([np.asarray(vecs[i], dtype=np.float64) for i in ib])
+        u = np.unique(packed)
+        return pd.DataFrame({"id_a": (u >> np.int64(31)).astype(np.int64),
+                             "id_b": (u & np.int64((1 << 31) - 1)).astype(np.int64)})
+
+    cand = (
+        coded.map_batches(with_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cand_pairs, batch_format="pandas")
+    )
+    cand = grouped_reduce(cand, ["id_a", "id_b"],
+                          lambda df: df.drop_duplicates(["id_a", "id_b"]))
+
+    def side(name):
+        def proj(t: pa.Table) -> pa.Table:
+            return pa.table({name: t.column(id_column),
+                             f"vec_{name[-1]}": t.column(vec_column)})
+        return proj
+
+    with_a = bucketed_hash_join(
+        cand, ds.map_batches(side("id_a"), batch_format="pyarrow"),
+        key="id_a", num_buckets=num_buckets)
+    with_ab = bucketed_hash_join(
+        with_a, ds.map_batches(side("id_b"), batch_format="pyarrow"),
+        key="id_b", num_buckets=num_buckets)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 "sim": pd.Series(dtype=np.float64)})
+        va = np.vstack([np.asarray(v, dtype=np.float64) for v in df["vec_a"]])
+        vb = np.vstack([np.asarray(v, dtype=np.float64) for v in df["vec_b"]])
         dots = (va * vb).sum(axis=1)
         sim = np.round(dots / (np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)), 6)
         ok = sim >= threshold
-        return pd.DataFrame({"id_a": ids[ia[ok]].astype(np.int64),
-                             "id_b": ids[ib[ok]].astype(np.int64),
+        return pd.DataFrame({"id_a": df["id_a"].to_numpy()[ok].astype(np.int64),
+                             "id_b": df["id_b"].to_numpy()[ok].astype(np.int64),
                              "sim": sim[ok]})
 
-    pairs = (
-        coded.map_batches(with_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pandas")
-    )
-    return grouped_reduce(
-        pairs, ["id_a", "id_b"],
-        lambda df: df.drop_duplicates(["id_a", "id_b"]),
-    )
+    return with_ab.map_batches(score, batch_format="pandas")

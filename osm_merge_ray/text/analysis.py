@@ -106,7 +106,8 @@ class LangId:
 
 
 def tfidf_top_terms(ds, k: int = 3, id_column: str = "doc_id",
-                    text_column: str = "text", n_docs: int | None = None):
+                    text_column: str = "text", n_docs: int | None = None,
+                    min_df: int = 1, max_vocab: int | None = None):
     """Top-k TF-IDF terms per document.
 
     Two passes: (1) document frequencies via bucketed combine (one
@@ -114,6 +115,12 @@ def tfidf_top_terms(ds, k: int = 3, id_column: str = "doc_id",
     df table is small (vocabulary-sized) and broadcast via ``ray.put``;
     (2) per-doc term counts scored tf * ln(N/df), ranked with a
     quantized score (round 6) and term tie-break for determinism.
+
+    At web scale the raw vocabulary is unbounded (typos, ids, urls):
+    ``min_df`` prunes hapax-style terms before the broadcast and
+    ``max_vocab`` keeps only the most frequent terms (ties by term) —
+    terms outside the broadcast table are simply never ranked. Defaults
+    keep the exact oracle-parity behavior (no pruning).
     """
     import ray
     import ray.data as rd  # noqa: F401
@@ -136,11 +143,23 @@ def tfidf_top_terms(ds, k: int = 3, id_column: str = "doc_id",
         return pa.table({"term": pa.array(terms, pa.string()),
                          "df": pa.array(counts, pa.int64())})
 
-    df_tbl = grouped_reduce(
+    df_ds = grouped_reduce(
         ds.map_batches(df_partial, batch_format="pyarrow"),
         ["term"],
         lambda d: d.groupby("term", as_index=False)["df"].sum(),
-    ).to_pandas()
+    )
+    if min_df > 1:
+        lim = min_df
+
+        def prune(t: pa.Table) -> pa.Table:
+            keep = np.asarray(t.column("df")) >= lim
+            return t.filter(pa.array(keep))
+
+        df_ds = df_ds.map_batches(prune, batch_format="pyarrow")
+    df_tbl = df_ds.to_pandas()
+    if max_vocab is not None and len(df_tbl) > max_vocab:
+        df_tbl = df_tbl.sort_values(["df", "term"], ascending=[False, True]
+                                    ).head(max_vocab)
     df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"])))
 
     def score(t: pa.Table) -> pa.Table:
@@ -154,7 +173,7 @@ def tfidf_top_terms(ds, k: int = 3, id_column: str = "doc_id",
                 tf[w] = tf.get(w, 0) + 1
             scored = sorted(
                 ((round(c * float(np.log(n_docs / dfs[w])), 6), w)
-                 for w, c in tf.items()),
+                 for w, c in tf.items() if w in dfs),
                 key=lambda x: (-x[0], x[1]),
             )[:k]
             for r, (sc, w) in enumerate(scored, 1):
