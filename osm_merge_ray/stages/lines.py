@@ -53,31 +53,50 @@ MATCH_KEYS = ("name", "ref", "ref:usfs")  # conflator.py:549
 
 
 def score_tags(ext: dict, osm: dict, cfg: ConflationConfig) -> tuple[int, dict]:
-    """``checkTags`` analog (conflator.py:533-629). Returns (hits,
-    merged properties). Primary (ext) values win; displaced secondary
-    values are kept as ``old_<key>``; ``highway`` comes from OSM."""
+    """``checkTags`` parity (conflator.py:533-629). Returns (hits,
+    merged properties).
+
+    Semantics mirrored from the reference:
+    * base merge is ``ext | osm`` — the OSM (secondary) value wins on
+      every key that is not an explicit fuzzy match (:554);
+    * per match key, a fuzzy hit (ratio > threshold AND length diff
+      <= 3, :596-598) scores +1 and takes the ext value;
+    * at ratio != 100 a ref-style key whose SECOND whitespace token
+      matches uppercased scores ANOTHER +1 (:605-615) — one ref key
+      can contribute two hits;
+    * the FS-prefix rule (:620-622): when the OSM ref starts "FS " and
+      80 < ratio < 90, only the prefix changed, so the displaced value
+      is NOT cached as ``old_<key>``; every other imperfect hit caches
+      it;
+    * ``highway`` always comes from the OSM side (:579-582).
+
+    Divergence (documented): the reference indexes
+    ``properties["ref:usfs"]`` unconditionally inside the ref branch
+    and crashes when ``key == "ref"`` but ``ref:usfs`` is absent — we
+    compare the key's own tokens instead."""
     hits = 0
-    merged = dict(osm)
+    merged = {**ext, **osm}  # OSM wins the base union (conflator.py:554)
     for key in MATCH_KEYS:
         a = ext.get(key)
         b = osm.get(key)
         if a is None or b is None:
             continue
-        ratio = indel_ratio(str(a).lower(), str(b).lower())
-        if ratio > cfg.fuzz_threshold and abs(len(str(a)) - len(str(b))) <= cfg.len_diff_max:
+        sa, sb = str(a), str(b)
+        ratio = indel_ratio(sa.lower(), sb.lower())
+        if ratio > cfg.fuzz_threshold and abs(len(sa) - len(sb)) <= cfg.len_diff_max:
             hits += 1
-        elif key.startswith("ref"):
-            # second-token comparison for refs (conflator.py:605-615)
-            ta = str(a).split()
-            tb = str(b).split()
-            if len(ta) > 1 and len(tb) > 1 and ta[1].upper() == tb[1].upper():
-                hits += 1
-    for k, v in ext.items():
-        if k == "highway" and "highway" in osm:
-            continue  # highway kept from OSM (conflator.py:579-582)
-        if k in merged and merged[k] != v:
-            merged[f"old_{k}"] = merged[k]
-        merged[k] = v
+            merged[key] = a
+            if ratio != 100:
+                no_cache = False
+                if key.startswith("ref"):
+                    ta = sa.split()
+                    tb = sb.split()
+                    if len(ta) > 1 and len(tb) > 1 and ta[1].upper() == tb[1].upper():
+                        hits += 1
+                        if sb[:3] == "FS " and 80 < ratio < 90:
+                            no_cache = True
+                if not no_cache:
+                    merged[f"old_{key}"] = b
     return hits, merged
 
 

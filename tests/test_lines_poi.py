@@ -116,11 +116,23 @@ def test_score_tags_rules():
         {"name": "Badgxr Maple Loop Road", "ref:usfs": "FS 505.1A", "highway": "track"},
         cfg,
     )
-    assert hits == 2  # fuzz hit on name, second-token hit on ref
+    # reference semantics (conflator.py:596-629): name fuzzy hit (+1),
+    # ref fuzzy hit (+1) AND its second-token match (+1) = 3
+    assert hits == 3
     assert merged["highway"] == "track"
     assert merged["old_name"] == "Badgxr Maple Loop Road"
+    # FS-prefix no-cache rule (conflator.py:620-622): FR vs FS ratio
+    # ~88.9 is in (80, 90) and the OSM ref starts "FS " → no old_ kept
+    assert "old_ref:usfs" not in merged
+    assert merged["ref:usfs"] == "FR 505.1A"
     hits2, _ = score_tags({"name": "Alpha"}, {"name": "Omega Something"}, cfg)
     assert hits2 == 0
+    # a non-"FS "-prefixed displaced ref IS cached (rule is FS-specific)
+    hits3, m3 = score_tags({"ref:usfs": "FR 505.1A"},
+                           {"ref:usfs": "FRX 505.1A"}, cfg)
+    assert hits3 == 2  # fuzzy hit + second-token hit
+    assert m3["old_ref:usfs"] == "FRX 505.1A"
+    assert m3["ref:usfs"] == "FR 505.1A"
 
 
 @pytest.fixture(scope="module")
