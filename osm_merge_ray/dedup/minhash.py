@@ -210,3 +210,143 @@ def verify_jaccard(pairs_df: pd.DataFrame, texts: dict, k: int = 3,
     out["jaccard"] = jac
     out["is_dup"] = keep
     return out
+
+
+def verify_jaccard_distributed(pairs_ds, docs_ds, k: int = 3,
+                               threshold: float = 0.5,
+                               id_column: str = "doc_id",
+                               text_column: str = "text",
+                               num_buckets: int = 64):
+    """Exact shingle-Jaccard verify at scale: candidate pairs fetch
+    their texts back via bucketed hash joins (texts move only for
+    candidate ids, never all-to-all), then the exact word-k-gram
+    Jaccard is computed per surviving pair. This replaces the
+    driver-side ``verify_jaccard`` texts-dict helper for corpora that
+    don't fit one machine (VERDICT r1)."""
+    from osm_merge_ray.ops import bucketed_hash_join
+
+    def side(name):
+        def proj(t: pa.Table) -> pa.Table:
+            return pa.table({name: t.column(id_column),
+                             f"text_{name[-1]}": t.column(text_column)})
+        return proj
+
+    with_a = bucketed_hash_join(
+        pairs_ds, docs_ds.map_batches(side("id_a"), batch_format="pyarrow"),
+        key="id_a", num_buckets=num_buckets)
+    with_ab = bucketed_hash_join(
+        with_a, docs_ds.map_batches(side("id_b"), batch_format="pyarrow"),
+        key="id_b", num_buckets=num_buckets)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        jac = np.empty(len(df), dtype=np.float64)
+        for i, (ta, tb) in enumerate(zip(df["text_a"], df["text_b"])):
+            sa = shingle_hashes(ta or "", k)
+            sb = shingle_hashes(tb or "", k)
+            inter = len(np.intersect1d(sa, sb))
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / union if union else 1.0
+        ok = jac >= threshold
+        return pd.DataFrame({
+            "id_a": df["id_a"].to_numpy()[ok].astype(np.int64),
+            "id_b": df["id_b"].to_numpy()[ok].astype(np.int64),
+            "jaccard": jac[ok],
+        })
+
+    return with_ab.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SQL-mirrorable variant (poly41 char-grams + affine permutations)
+# ---------------------------------------------------------------------------
+
+def minhash_poly_perms(num_perm: int = 32, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation constants h_i(x) = (a*x+b) % M
+    with a < 2^20 so a*x + b stays < 2^62 — exact in int64 AND in a
+    DuckDB BIGINT expression (the constants are inlined into the
+    oracle SQL)."""
+    from osm_merge_ray.util import POLY41_MOD
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 20, size=num_perm)
+    b = rng.integers(0, POLY41_MOD, size=num_perm)
+    return [(int(x), int(y)) for x, y in zip(a, b)]
+
+
+def minhash_pairs_poly(ds, num_perm: int = 32, bands: int = 8, k: int = 8,
+                       id_column: str = "doc_id", text_column: str = "text",
+                       num_buckets: int = 64, seed: int = 7):
+    """MinHash-LSH candidate pairs with every ingredient SQL-mirrorable
+    (DuckDB recomputes the identical pair set bit-for-bit): poly41
+    char-k-gram hashes, affine perms, band key = comma-joined minima.
+    Docs shorter than k chars emit no bands (no grams → no signature).
+    The FNV/splitmix ``minhash_lsh_pairs`` stays the scale default."""
+    from osm_merge_ray.ops import grouped_reduce
+    from osm_merge_ray.util import POLY41_MOD, poly41_grams
+
+    perms = minhash_poly_perms(num_perm, seed)
+    a_arr = np.array([p[0] for p in perms], dtype=np.int64)
+    b_arr = np.array([p[1] for p in perms], dtype=np.int64)
+    rpb = num_perm // bands
+    mod = np.int64(POLY41_MOD)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids_out, band_out, key_out = [], [], []
+        for did, s in zip(t.column(id_column).to_pylist(),
+                          t.column(text_column).to_pylist()):
+            g = poly41_grams(s or "", k)
+            if len(g) == 0:
+                continue
+            sig = ((g[:, None] * a_arr[None, :] + b_arr[None, :]) % mod).min(axis=0)
+            for bd in range(bands):
+                ids_out.append(did)
+                band_out.append(bd)
+                key_out.append(",".join(str(v) for v in sig[bd * rpb:(bd + 1) * rpb]))
+        return pa.table({
+            id_column: pa.array(ids_out, pa.int64()),
+            "band_id": pa.array(band_out, pa.int64()),
+            "bkey": pa.array(key_out, pa.string()),
+        })
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        from osm_merge_ray.util import hash64_str
+
+        key = splitmix64(
+            hash64_str(t.column("bkey").to_pylist())
+            ^ splitmix64(t.column("band_id").to_numpy().astype(np.uint64))
+        )
+        b = (key % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        from osm_merge_ray.util import hash64_str as h64
+
+        keys = splitmix64(
+            h64(df["bkey"].tolist())
+            ^ splitmix64(df["band_id"].to_numpy().astype(np.uint64))
+        ).view(np.int64)
+        ids = df[id_column].to_numpy()
+        bkeys = df["bkey"].to_numpy()
+        from osm_merge_ray.ops import same_key_pairs
+
+        ia, ib = same_key_pairs(keys, keys)
+        # guard against 64-bit mix collisions with the exact key
+        keep = (ids[ia] < ids[ib]) & (bkeys[ia] == bkeys[ib])
+        ia, ib = ia[keep], ib[keep]
+        packed = np.unique((ids[ia].astype(np.int64) << np.int64(31))
+                           | ids[ib].astype(np.int64))
+        return pd.DataFrame({
+            "id_a": (packed >> np.int64(31)),
+            "id_b": packed & np.int64((1 << 31) - 1),
+        })
+
+    pairs = (
+        ds.map_batches(band_rows, batch_format="pyarrow")
+        .map_batches(with_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return grouped_reduce(
+        pairs, ["id_a", "id_b"],
+        lambda df: df.drop_duplicates(["id_a", "id_b"]),
+    )

@@ -648,12 +648,46 @@ WHERE CAST(j.inter AS DOUBLE) / (na.ng + nb.ng - j.inter) >= 0.2
 
 
 def dedup_minhash_q(sf_dir: str):
-    """MinHash-LSH candidate pairs — rows-only check (hash functions are
-    engine-internal); verified against exact Jaccard in pytest."""
-    from osm_merge_ray.dedup.minhash import minhash_lsh_pairs
+    """MinHash-LSH candidate pairs with the SQL-mirrorable variant:
+    poly41 char-8-gram hashes, affine permutations (a*x+b) % (2^41-1)
+    with constants inlined into the oracle SQL, band key = ordered
+    minima. The FNV/splitmix ``minhash_lsh_pairs`` stays the scale
+    default (pytest recall-verified)."""
+    from osm_merge_ray.dedup.minhash import minhash_pairs_poly
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_lsh_pairs(ds).select_columns(["id_a", "id_b"])
+    return minhash_pairs_poly(ds).select_columns(["id_a", "id_b"])
+
+
+def _sql_minhash() -> str:
+    from osm_merge_ray.dedup.minhash import minhash_poly_perms
+
+    perms = minhash_poly_perms(32)
+    vals = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(perms))
+    gram = "CAST(0 AS BIGINT)"
+    for j in range(8):
+        gram = (f"(({gram}) * 1000003 "
+                f"+ unicode(substr(text, i + {j}, 1))) % 2199023255551")
+    return f"""
+WITH g AS (
+  SELECT doc_id, {gram} AS h
+  FROM documents, unnest(generate_series(1, greatest(length(text) - 7, 0))) AS t(i)
+), sig AS (
+  SELECT doc_id, p.pid, min((p.a * g.h + p.b) % 2199023255551) AS m
+  FROM g CROSS JOIN (VALUES {vals}) AS p(pid, a, b)
+  GROUP BY doc_id, p.pid
+), band AS (
+  SELECT doc_id, pid // 4 AS band_id,
+         string_agg(CAST(m AS VARCHAR), ',' ORDER BY pid) AS bkey
+  FROM sig GROUP BY 1, 2
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM band a JOIN band b
+  ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+"""
+
+
+SQL_MINHASH = _sql_minhash()
 
 
 def dedup_simhash_q(sf_dir: str):
@@ -1623,4 +1657,5 @@ ORACLE_SQL = {
     "dedup_simhash": SQL_SIMHASH,
     "text_langid": SQL_LANGID,
     "text_fingerprint": SQL_FINGERPRINT,
+    "dedup_minhash_lsh": SQL_MINHASH,
 }

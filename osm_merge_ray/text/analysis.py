@@ -204,20 +204,9 @@ class Fingerprint:
         self.window = window
 
     def _gram_hashes(self, s: str) -> np.ndarray:
-        from osm_merge_ray.util import POLY41_BASE, POLY41_MOD
+        from osm_merge_ray.util import poly41_grams
 
-        cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
-        k = self.k
-        if len(cp) < k:
-            return np.zeros(0, dtype=np.int64)
-        n = len(cp) - k + 1
-        acc = np.zeros(n, dtype=np.int64)
-        base = np.int64(POLY41_BASE)
-        mod = np.int64(POLY41_MOD)
-        # k vectorized fold steps, modulo at every step like the SQL twin
-        for j in range(k):
-            acc = (acc * base + cp[j : j + n]) % mod
-        return acc
+        return poly41_grams(s, self.k)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         fps = np.zeros(len(df), dtype=np.int64)

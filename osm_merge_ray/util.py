@@ -111,3 +111,19 @@ def poly41_str(values) -> np.ndarray:
         alive = lens > j
         acc[alive] = (acc[alive] * base + mat[alive, j].astype(np.int64)) % mod
     return acc
+
+
+def poly41_grams(s: str, k: int) -> np.ndarray:
+    """poly41 hash of every character k-gram of ``s`` (int64 array of
+    len(s)-k+1 values, empty when shorter than k). Same left-fold the
+    SQL twins unroll as k nested (acc*B + codepoint) % M steps."""
+    cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    if len(cp) < k:
+        return np.zeros(0, dtype=np.int64)
+    n = len(cp) - k + 1
+    acc = np.zeros(n, dtype=np.int64)
+    base = np.int64(POLY41_BASE)
+    mod = np.int64(POLY41_MOD)
+    for j in range(k):
+        acc = (acc * base + cp[j : j + n]) % mod
+    return acc

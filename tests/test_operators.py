@@ -227,3 +227,34 @@ def test_frame_sample_stage_direct():
     # deterministic: same input → same frame hashes
     out2 = FrameSample(k=4)(t)
     assert out.column("frame_phash").to_pylist() == out2.column("frame_phash").to_pylist()
+
+
+def test_verify_jaccard_distributed_matches_local(ray_session, docs_with_dups):
+    """The scale-path exact-Jaccard verify (texts joined back per
+    candidate) must agree with the driver-side helper."""
+    import pandas as pd
+
+    from osm_merge_ray.dedup.minhash import (
+        minhash_lsh_pairs, verify_jaccard, verify_jaccard_distributed)
+
+    ds = rd.from_pandas(docs_with_dups)
+    pairs = minhash_lsh_pairs(ds).materialize()
+    texts = dict(zip(docs_with_dups["doc_id"], docs_with_dups["text"]))
+    local = verify_jaccard(pairs.to_pandas(), texts, threshold=0.5)
+    local = local[local["is_dup"]][["id_a", "id_b", "jaccard"]]
+    dist = verify_jaccard_distributed(pairs, ds, threshold=0.5).to_pandas()
+    a = local.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = dist.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
+def test_minhash_poly_sql_variant_recall(ray_session, docs_with_dups):
+    """The SQL-mirrorable poly-minhash variant still finds the planted
+    near-dups."""
+    from osm_merge_ray.dedup.minhash import minhash_pairs_poly
+
+    out = minhash_pairs_poly(rd.from_pandas(docs_with_dups)).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    exact_dups = {(0, 4), (1, 5), (2, 6), (3, 7)}  # fixture's exact copies
+    assert exact_dups <= got, sorted(got)[:10]
