@@ -395,6 +395,123 @@ def spatial_conflate(sf_dir: str):
     return _spatial_join_pipeline(sf_dir, ["text", "lang"], per_bucket)
 
 
+def spatial_conflate_cascade(sf_dir: str):
+    """SQL-checkable restatement of the POI cascade join (J5,
+    conflatePOI.py:294-450): candidates within radius ranked by
+    (hits desc, CLASS asc, distance asc, id) — the node-before-way
+    priority — and a primary with MULTIPLE scoring candidates is a
+    'duplicate' (the fixme rule). Class derived as (doc_id // 2) % 2
+    (node-analog = 0)."""
+    from osm_merge_ray.text.fuzz import batch_levenshtein
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 0]
+        b = df[df["side"] == 1]
+        a_lon, a_lat = a["lon"].to_numpy(), a["lat"].to_numpy()
+        b_lon, b_lat = b["lon"].to_numpy(), b["lat"].to_numpy()
+        a_id, b_id = a["doc_id"].to_numpy(), b["doc_id"].to_numpy()
+        a_txt = a["text"].str.slice(0, CAP_LEN).to_numpy()
+        b_txt = b["text"].str.slice(0, CAP_LEN).to_numpy()
+        a_lang, b_lang = a["lang"].to_numpy(), b["lang"].to_numpy()
+
+        pi, si, d2s = [], [], []
+
+        def emit(ai, bi):
+            dx = (a_lon[ai][:, None] - b_lon[bi][None, :]) * KX
+            dy = (a_lat[ai][:, None] - b_lat[bi][None, :]) * KY
+            d2 = dx * dx + dy * dy
+            rr, cc = np.nonzero(d2 <= D2_MAX)
+            pi.extend(ai[rr].tolist())
+            si.extend(bi[cc].tolist())
+            d2s.extend(d2[rr, cc].tolist())
+
+        _pair_groups(a, b, emit)
+        pi_a = np.asarray(pi, dtype=np.int64)
+        si_a = np.asarray(si, dtype=np.int64)
+        d2_a = np.asarray(d2s, dtype=np.float64)
+
+        n_p = len(a_id)
+        matched = np.full(n_p, -1, dtype=np.int64)
+        hits_out = np.zeros(n_p, dtype=np.int64)
+        klass_out = np.full(n_p, -1, dtype=np.int64)
+        n_cands = np.zeros(n_p, dtype=np.int64)
+        if len(pi_a):
+            np.add.at(n_cands, pi_a, 1)
+            lev = batch_levenshtein(a_txt[pi_a], b_txt[si_a], maxlen=CAP_LEN)
+            la = np.fromiter((len(s) for s in a_txt[pi_a]), np.int64, len(pi_a))
+            lb = np.fromiter((len(s) for s in b_txt[si_a]), np.int64, len(pi_a))
+            sim = 100.0 * (1.0 - lev / np.maximum(np.maximum(la, lb), 1).astype(np.float64))
+            cap_hit = (sim > CAP_SIM_MIN) & (np.abs(la - lb) <= 3)
+            lang_hit = a_lang[pi_a] == b_lang[si_a]
+            hits = cap_hit.astype(np.int64) + lang_hit.astype(np.int64)
+            klass = (b_id[si_a] // 2) % 2  # 0 = node analog, 1 = way analog
+            order = np.lexsort((b_id[si_a], d2_a, klass, -hits, pi_a))
+            po = pi_a[order]
+            first = np.ones(len(po), dtype=bool)
+            first[1:] = po[1:] != po[:-1]
+            best = order[first]
+            matched[pi_a[best]] = b_id[si_a[best]]
+            hits_out[pi_a[best]] = hits[best]
+            klass_out[pi_a[best]] = klass[best]
+        decision = np.where(
+            matched < 0, "new",
+            np.where((n_cands > 1) & (hits_out > 0), "duplicate", "merged"),
+        )
+        return pd.DataFrame({
+            "doc_id": a_id,
+            "matched_id": matched,
+            "decision": pd.array(decision, dtype="string"),
+            "hits": hits_out,
+            "matched_class": klass_out,
+        })
+
+    return _spatial_join_pipeline(sf_dir, ["text", "lang"], per_bucket)
+
+
+SQL_CONFLATE_CASCADE = f"""
+WITH pts AS (
+  SELECT doc_id, lang, substr(text, 1, 30) AS cap,
+         {_DERIVE_SQL[0].format(id='doc_id')} AS lon,
+         {_DERIVE_SQL[1].format(id='doc_id')} AS lat
+  FROM documents
+), c AS (
+  SELECT *, CAST(floor((lon + 180.0) / 0.25) AS BIGINT) AS cx,
+            CAST(floor((lat + 90.0) / 0.25) AS BIGINT) AS cy
+  FROM pts
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ((a.lon - b.lon) * 85263.0) * ((a.lon - b.lon) * 85263.0)
+       + ((a.lat - b.lat) * 111195.0) * ((a.lat - b.lat) * 111195.0) AS d2,
+         (CASE WHEN 100.0 * (1.0 - levenshtein(a.cap, b.cap)
+                 / CAST(greatest(length(a.cap), length(b.cap), 1) AS DOUBLE)) > 60.0
+                AND abs(length(a.cap) - length(b.cap)) <= 3
+               THEN 1 ELSE 0 END)
+       + (CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END) AS hits,
+         (b.doc_id // 2) % 2 AS klass
+  FROM c a JOIN c b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+    AND ((a.lon - b.lon) * 85263.0) * ((a.lon - b.lon) * 85263.0)
+      + ((a.lat - b.lat) * 111195.0) * ((a.lat - b.lat) * 111195.0) <= {D2_MAX}
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id_a
+              ORDER BY hits DESC, klass ASC, d2 ASC, id_b ASC) AS rn,
+         count(*) OVER (PARTITION BY id_a) AS n_cands
+  FROM cand
+)
+SELECT d.doc_id,
+       coalesce(r.id_b, -1) AS matched_id,
+       CASE WHEN r.id_b IS NULL THEN 'new'
+            WHEN r.n_cands > 1 AND r.hits > 0 THEN 'duplicate'
+            ELSE 'merged' END AS decision,
+       CAST(coalesce(r.hits, 0) AS BIGINT) AS hits,
+       CAST(coalesce(r.klass, -1) AS BIGINT) AS matched_class
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d
+LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON d.doc_id = r.id_a
+"""
+
+
 SQL_CONFLATE = f"""
 WITH pts AS (
   SELECT doc_id, lang, substr(text, 1, 30) AS cap,
@@ -806,16 +923,70 @@ FROM u WHERE round(dot / (sqrt(sx) * sqrt(sy)), 6) >= 0.35
 # ---------------------------------------------------------------------------
 
 def dedup_embedding_lsh_q(sf_dir: str):
-    """Hyperplane-LSH near-dup (scale path) — rows-only; recall vs the
-    exact path is asserted in pytest."""
+    """Hyperplane-LSH near-dup with the SQL-mirrorable INTEGER-plane
+    variant: quantized sign arithmetic is exact int64 both in numpy and
+    in the DuckDB twin, so the candidate set (and the round-6 cosine
+    verify) match bit-for-bit. The float-plane ``embedding_neardup_lsh``
+    stays the general path (pytest recall-verified)."""
     import pyarrow.parquet as pq
 
-    from osm_merge_ray.sim.embed_lsh import embedding_neardup_lsh
+    from osm_merge_ray.sim.embed_lsh import embedding_neardup_lsh_int
 
     dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
               .column("embedding")[0].as_py())
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return embedding_neardup_lsh(ds, dim=dim, threshold=0.35, bands=16)
+    return embedding_neardup_lsh_int(ds, dim=dim, threshold=0.35, bands=16)
+
+
+def _sql_embed_lsh(dim: int = 64, bits: int = 64, bands: int = 16) -> str:
+    from osm_merge_ray.sim.embed_lsh import int_planes
+
+    w = int_planes(dim, bits)
+    vals = ", ".join(f"({d + 1}, {b}, {int(w[d, b])})"
+                     for d in range(dim) for b in range(bits))
+    rpb = bits // bands
+    return f"""
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+), ei AS (
+  SELECT vec_id, d,
+         CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) AS xq
+  FROM e
+), dots AS (
+  SELECT ei.vec_id, p.bit, CAST(sum(ei.xq * p.w) AS BIGINT) AS dot
+  FROM ei JOIN (VALUES {vals}) AS p(d, bit, w) ON ei.d = p.d
+  GROUP BY ei.vec_id, p.bit
+), bands AS (
+  SELECT vec_id, bit // {rpb} AS band_id,
+         CAST(sum(CASE WHEN dot >= 0
+                       THEN (CAST(1 AS BIGINT) << (bit % {rpb}))
+                       ELSE 0 END) AS BIGINT) AS bval
+  FROM dots GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bval = b.bval AND a.vec_id < b.vec_id
+), pz AS (
+  SELECT c.id_a, c.id_b, ea.embedding AS ea, eb.embedding AS eb
+  FROM cand c JOIN embeddings ea ON c.id_a = ea.vec_id
+              JOIN embeddings eb ON c.id_b = eb.vec_id
+), z AS (
+  SELECT id_a, id_b, unnest(ea) AS x, unnest(eb) AS y FROM pz
+), u AS (
+  SELECT id_a, id_b,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sx,
+         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sy
+  FROM z GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(dot / (sqrt(sx) * sqrt(sy)), 6) AS sim
+FROM u WHERE round(dot / (sqrt(sx) * sqrt(sy)), 6) >= 0.35
+"""
+
+
+SQL_EMBED_LSH = _sql_embed_lsh()
 
 
 def convert_nps_q(sf_dir: str):
@@ -1050,14 +1221,73 @@ SELECT qid AS query_id, nid AS neighbor_id, sim, rank FROM (
 
 
 def knn_ivf_q(sf_dir: str, k: int = 5):
-    """IVF approximate top-k — rows-only (recall vs brute force is
-    asserted in pytest, not SQL-expressible)."""
-    from osm_merge_ray.sim.knn import ivf_topk
+    """IVF top-k under the bit-exact gate: FIXED quantizer (the first 8
+    vectors by id, integer-quantized) so list assignment and probing
+    are exact int64 arithmetic a DuckDB twin reproduces; ranking is the
+    round-6 cosine. The trained `ivf_topk` (distributed Lloyd) stays
+    the production path, recall-verified in pytest."""
+    import pyarrow.parquet as pq
+
+    from osm_merge_ray.sim.knn import ivf_fixed_topk
 
     qm, qids = _load_queries(sf_dir)
+    cents = (pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+             .to_pandas().sort_values("vec_id").head(8))
+    cm = np.vstack([np.asarray(v, dtype=np.float64) for v in cents["embedding"]])
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = ivf_topk(ds, qm, qids, k=k, n_centroids=8, nprobe=3)
+    out = ivf_fixed_topk(ds, qm, qids, cm, k=k, nprobe=3)
     return out.select_columns(["query_id", "neighbor_id", "sim", "rank"])
+
+
+SQL_KNN_IVF = """
+WITH ei AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576.0) AS BIGINT) AS xq
+  FROM embeddings
+), cq AS (
+  SELECT vec_id AS cid, d, xq FROM ei
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+), adots AS (
+  SELECT ei.vec_id, cq.cid, CAST(sum(ei.xq * cq.xq) AS BIGINT) AS dot
+  FROM ei JOIN cq ON ei.d = cq.d
+  GROUP BY 1, 2
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+    FROM adots) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS qid FROM embeddings ORDER BY vec_id LIMIT 10
+), probe AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, a.cid,
+           row_number() OVER (PARTITION BY q.qid ORDER BY a.dot DESC, a.cid ASC) AS rn
+    FROM q JOIN adots a ON a.vec_id = q.qid) WHERE rn <= 3
+), cand AS (
+  SELECT p.qid, s.vec_id AS nid
+  FROM probe p JOIN assign s ON s.cid = p.cid
+  WHERE s.vec_id != p.qid
+), z AS (
+  SELECT c.qid, c.nid, unnest(eq.embedding) AS x, unnest(en.embedding) AS y
+  FROM cand c JOIN embeddings eq ON eq.vec_id = c.qid
+              JOIN embeddings en ON en.vec_id = c.nid
+), u AS (
+  SELECT qid, nid,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sx,
+         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sy
+  FROM z GROUP BY 1, 2
+), r AS (
+  SELECT qid AS query_id, nid AS neighbor_id,
+         round(dot / (sqrt(sx) * sqrt(sy)), 6) AS sim,
+         row_number() OVER (PARTITION BY qid
+             ORDER BY round(dot / (sqrt(sx) * sqrt(sy)), 6) DESC, nid ASC) AS rnk
+  FROM u
+)
+SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rank
+FROM r WHERE rnk <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1595,6 +1825,7 @@ QUERIES = {
     "spatial_knn_join": spatial_knn_join,
     "spatial_sample_join": spatial_sample_join,
     "spatial_conflate": spatial_conflate,
+    "spatial_conflate_cascade": spatial_conflate_cascade,
     "spatial_tile_assign": spatial_tile_assign,
     "spatial_point_in_polygon": spatial_point_in_polygon,
     "spatial_polygon_overlap": spatial_polygon_overlap,
@@ -1635,6 +1866,7 @@ ORACLE_SQL = {
     "spatial_knn_join": SQL_KNN_JOIN,
     "spatial_sample_join": SQL_SAMPLE_JOIN,
     "spatial_conflate": SQL_CONFLATE,
+    "spatial_conflate_cascade": SQL_CONFLATE_CASCADE,
     "spatial_tile_assign": SQL_TILE_ASSIGN,
     "spatial_point_in_polygon": SQL_POINT_IN_POLYGON,
     "spatial_polygon_overlap": SQL_POLYGON_OVERLAP,
@@ -1658,4 +1890,6 @@ ORACLE_SQL = {
     "text_langid": SQL_LANGID,
     "text_fingerprint": SQL_FINGERPRINT,
     "dedup_minhash_lsh": SQL_MINHASH,
+    "dedup_embedding_lsh": SQL_EMBED_LSH,
+    "knn_ivf": SQL_KNN_IVF,
 }

@@ -108,6 +108,16 @@ def embedding_neardup_lsh(ds, dim: int, threshold: float = 0.9,
     cand = grouped_reduce(cand, ["id_a", "id_b"],
                           lambda df: df.drop_duplicates(["id_a", "id_b"]))
 
+    return fetch_and_score(cand, ds, threshold, id_column=id_column,
+                           vec_column=vec_column, num_buckets=num_buckets)
+
+
+def fetch_and_score(cand, ds, threshold: float, id_column: str = "vec_id",
+                    vec_column: str = "embedding", num_buckets: int = 64):
+    """Fetch vectors for candidate (id_a, id_b) pairs via bucketed hash
+    joins and keep pairs with exact f64 cosine (round 6) >= threshold."""
+    from osm_merge_ray.ops import bucketed_hash_join
+
     def side(name):
         def proj(t: pa.Table) -> pa.Table:
             return pa.table({name: t.column(id_column),
@@ -136,3 +146,88 @@ def embedding_neardup_lsh(ds, dim: int, threshold: float = 0.9,
                              "sim": sim[ok]})
 
     return with_ab.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SQL-mirrorable variant: integer-quantized hyperplanes
+# ---------------------------------------------------------------------------
+
+QUANT = 1 << 20  # embedding quantization scale (floor(x * 2^20))
+
+
+def int_planes(dim: int, bits: int = 64, seed: int = 99,
+               scale: int = 1 << 19) -> np.ndarray:
+    """Deterministic INTEGER hyperplane weights in [-2^19, 2^19): sign
+    bits become exact int64 arithmetic (|xq*w| sums < 2^50) that a
+    DuckDB BIGINT expression reproduces bit-for-bit — float matmul sign
+    boundaries can't flip between numpy and SQL summation order."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(-scale, scale, size=(dim, bits)).astype(np.int64)
+
+
+def embedding_neardup_lsh_int(ds, dim: int, threshold: float = 0.35,
+                              bits: int = 64, bands: int = 16, seed: int = 99,
+                              id_column: str = "vec_id",
+                              vec_column: str = "embedding",
+                              num_buckets: int = 64):
+    """Hyperplane LSH with integer sign arithmetic so a SQL oracle can
+    recompute the exact candidate set: xq = floor(f64(x) * 2^20),
+    bit_j = (sum_d xq_d * w_dj >= 0), band value = packed bit chunk.
+    Verification is the same round-6 f64 cosine as the float path."""
+    from osm_merge_ray.ops import grouped_reduce
+
+    planes = int_planes(dim, bits, seed)
+    rpb = bits // bands
+
+    def code(t: pa.Table) -> pa.Table:
+        m = np.vstack([np.asarray(v, dtype=np.float64)
+                       for v in t.column(vec_column).to_pylist()])
+        xq = np.floor(m * QUANT).astype(np.int64)
+        dots = xq @ planes  # exact int64
+        sbits = (dots >= 0).astype(np.int64)  # (n, bits)
+        codes = sbits.reshape(len(m), bands, rpb)
+        pw = (np.int64(1) << np.arange(rpb, dtype=np.int64))
+        bval = codes @ pw  # (n, bands)
+        n = len(m)
+        return pa.table({
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int64), n), pa.int64()),
+            "band_val": pa.array(bval.reshape(-1), pa.int64()),
+            id_column: pa.array(np.repeat(
+                t.column(id_column).to_numpy(zero_copy_only=False), bands)),
+        })
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        key = splitmix64(
+            t.column("band_val").to_numpy().view(np.uint64)
+            ^ splitmix64(t.column("band_id").to_numpy().view(np.uint64))
+        )
+        b = (key % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def cand_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        key = splitmix64(
+            df["band_val"].to_numpy().view(np.uint64)
+            ^ splitmix64(df["band_id"].to_numpy().view(np.uint64))
+        ).view(np.int64)
+        ids = df[id_column].to_numpy()
+        ia, ib = same_key_pairs(key, key)
+        keep = ids[ia] < ids[ib]
+        ia, ib = ia[keep], ib[keep]
+        if len(ia) == 0:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        u = np.unique((ids[ia].astype(np.int64) << np.int64(31))
+                      | ids[ib].astype(np.int64))
+        return pd.DataFrame({"id_a": (u >> np.int64(31)).astype(np.int64),
+                             "id_b": (u & np.int64((1 << 31) - 1)).astype(np.int64)})
+
+    cand = (
+        ds.map_batches(code, batch_format="pyarrow")
+        .map_batches(with_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(cand_pairs, batch_format="pandas")
+    )
+    cand = grouped_reduce(cand, ["id_a", "id_b"],
+                          lambda df: df.drop_duplicates(["id_a", "id_b"]))
+    return fetch_and_score(cand, ds, threshold, id_column=id_column,
+                           vec_column=vec_column, num_buckets=num_buckets)

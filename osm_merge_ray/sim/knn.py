@@ -205,3 +205,68 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
     return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def ivf_fixed_topk(ds, queries: np.ndarray, query_ids: np.ndarray,
+                   cents: np.ndarray, k: int = 5, nprobe: int = 3,
+                   id_column: str = "vec_id", vec_column: str = "embedding"):
+    """IVF top-k with a FIXED quantizer and integer assignment — the
+    SQL-mirrorable oracle twin of ``ivf_topk``:
+
+    * centroids are given (the caller passes e.g. the first n vectors
+      by id — no training), quantized ``floor(f64(x) * 2^20)``;
+    * list assignment / probing use exact int64 dot products with a
+      deterministic (dot desc, centroid asc) tie-break — no float
+      argmax boundary can differ from the DuckDB twin;
+    * final ranking is the round-6 f64 cosine, (sim desc, id asc).
+
+    The trained/probed ``ivf_topk`` stays the production path; this
+    pins the IVF *structure* (inverted lists, probing, per-list rank)
+    under the driver's bit-exact gate."""
+    import ray
+
+    q = np.asarray(queries, dtype=np.float64)
+    qq = np.floor(q * (1 << 20)).astype(np.int64)
+    cq = np.floor(np.asarray(cents, dtype=np.float64) * (1 << 20)).astype(np.int64)
+    # probe lists per query: top nprobe by (int dot desc, cid asc)
+    qdots = qq @ cq.T  # (nq, nc) exact
+    probe = np.apply_along_axis(
+        lambda row: np.lexsort((np.arange(len(row)), -row))[:nprobe], 1, qdots)
+    qn = np.linalg.norm(q, axis=1)
+    state = ray.put((q, qn, np.asarray(query_ids), cq, probe))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qm, qnorm, qids, cqm, pr = ray.get(state)
+        m = np.vstack([np.asarray(v, dtype=np.float64)
+                       for v in t.column(vec_column).to_pylist()])
+        ids = t.column(id_column).to_numpy()
+        mq = np.floor(m * (1 << 20)).astype(np.int64)
+        adots = mq @ cqm.T                      # (n, nc) exact
+        lists = np.argmax(adots, axis=1)        # first max = cid-asc tie-break
+        sims = np.round((m @ qm.T) / (np.linalg.norm(m, axis=1)[:, None]
+                                      * qnorm[None, :]), 6)
+        out_q, out_n, out_s = [], [], []
+        for j in range(qm.shape[0]):
+            mask = np.isin(lists, pr[j]) & (ids != qids[j])
+            idx = np.flatnonzero(mask)
+            if len(idx) == 0:
+                continue
+            s = sims[:, j]
+            top = idx[np.lexsort((ids[idx], -s[idx]))][: len(idx)][:64]
+            out_q.extend([qids[j]] * len(top))
+            out_n.extend(ids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "neighbor_id"],
+                            ascending=[False, True]).head(k).copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
