@@ -69,7 +69,8 @@ def _poi_prepare(t: pa.Table, cfg: ConflationConfig, side: int) -> pa.Table:
 
 
 def conflate_pois(poi_ds, osm_ds, cfg: ConflationConfig | None = None,
-                  tolerance_m: float = 7.0, fuzz_threshold: float = 80.0):
+                  tolerance_m: float = 7.0, fuzz_threshold: float = 80.0,
+                  id_lookup: bool = True):
     """Per-POI decision over co-located OSM candidates.
 
     Cascade priority (J5): OSM *nodes* with an amenity/building tag
@@ -77,11 +78,100 @@ def conflate_pois(poi_ds, osm_ds, cfg: ConflationConfig | None = None,
     (the ORDER BY ST_Distance take-first, conflatePOI.py:318). Output
     one row per POI: matched_id (-1 = new), decision
     (new / merged / duplicate), hits, dist_mm, merged tags JSON.
+
+    ``id_lookup``: a POI whose tags carry a positive ``id`` is an edit
+    of a known OSM object — it matches DIRECTLY by id (bucketed hash
+    join, no spatial search), the reference's ``queryById`` intent at
+    conflatePOI.py:417 (the referenced method is undefined there — a
+    latent crash we define instead of replicate). An id that matches
+    nothing emits decision 'new' with a fixme (the referenced object is
+    gone); divergence documented here.
     """
     cfg = cfg or ConflationConfig(cell_res=C.res_for_distance(tolerance_m))
 
     p = poi_ds.map_batches(lambda t: _poi_prepare(t, cfg, 0), batch_format="pyarrow")
     s = osm_ds.map_batches(lambda t: _poi_prepare(t, cfg, 1), batch_format="pyarrow")
+
+    if id_lookup:
+        def with_ref(t: pa.Table) -> pa.Table:
+            refs = np.full(len(t), -1, dtype=np.int64)
+            for i, pj in enumerate(t.column("props_json").to_pylist()):
+                try:
+                    v = json.loads(pj).get("id")
+                    if v is not None and int(v) > 0:
+                        refs[i] = int(v)
+                except (ValueError, TypeError):
+                    pass
+            return t.append_column("osm_ref", pa.array(refs, pa.int64()))
+
+        p_tagged = p.map_batches(with_ref, batch_format="pyarrow")
+        p_direct = p_tagged.filter(expr="osm_ref > 0")
+        p = p_tagged.filter(expr="osm_ref <= 0").drop_columns(["osm_ref"])
+
+        def osm_side(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "osm_ref": t.column("feature_id"),
+                "s_props": t.column("props_json"),
+                "s_lon": t.column("lon"),
+                "s_lat": t.column("lat"),
+            })
+
+        from osm_merge_ray.ops import bucketed_hash_join
+
+        joined = bucketed_hash_join(
+            p_direct, s.map_batches(osm_side, batch_format="pyarrow"),
+            key="osm_ref", how="left", num_buckets=cfg.num_buckets)
+
+        def direct_rows(t: pa.Table) -> pd.DataFrame:
+            n = t.num_rows
+            fid = t.column("feature_id").to_numpy()
+            ref = t.column("osm_ref").to_numpy()
+            s_lon = t.column("s_lon").to_numpy(zero_copy_only=False)
+            s_lat = t.column("s_lat").to_numpy(zero_copy_only=False)
+            p_lon = t.column("lon").to_numpy()
+            p_lat = t.column("lat").to_numpy()
+            found = ~np.isnan(s_lon)
+            matched = np.where(found, ref, -1).astype(np.int64)
+            dist = np.full(n, -1, dtype=np.int64)
+            if found.any():
+                d = haversine_m(p_lon[found], p_lat[found],
+                                s_lon[found], s_lat[found])
+                dist[found] = np.round(d * 1000.0).astype(np.int64)
+            hits = np.zeros(n, dtype=np.int64)
+            merged = [None] * n
+            p_props = [json.loads(x) for x in t.column("props_json").to_pylist()]
+            s_props_col = t.column("s_props").to_pylist()
+            for i in range(n):
+                if not found[i]:
+                    m = dict(p_props[i])
+                    m["fixme"] = "id referenced a missing OSM object"
+                    merged[i] = json.dumps(m, sort_keys=True)
+                    continue
+                sp = json.loads(s_props_col[i])
+                for key in ANALYZE_KEYS:
+                    a, b = p_props[i].get(key), sp.get(key)
+                    if a is not None and b is not None:
+                        r = batch_indel_ratio([str(a).lower()], [str(b).lower()])
+                        hits[i] += int(r[0] > fuzz_threshold)
+                m = dict(sp)
+                for k, v in p_props[i].items():
+                    if k in m and m[k] != v:
+                        m[f"old_{k}"] = m[k]
+                    m[k] = v
+                merged[i] = json.dumps(m, sort_keys=True)
+            return pd.DataFrame({
+                "feature_id": fid.astype(np.int64),
+                "matched_id": matched,
+                "decision": pd.array(
+                    np.where(found, "merged", "new"), dtype="string"),
+                "hits": hits,
+                "dist_mm": dist,
+                "merged_json": pd.array(merged, dtype="string"),
+            })
+
+        direct = joined.map_batches(direct_rows, batch_format="pyarrow")
+    else:
+        direct = None
 
     def match(df: pd.DataFrame) -> pd.DataFrame:
         prim = df[df["side"] == 0]
@@ -180,4 +270,5 @@ def conflate_pois(poi_ds, osm_ds, cfg: ConflationConfig | None = None,
             "merged_json": pd.array(merged, dtype="string"),
         })
 
-    return P.shuffle_match(p, s, cfg, tolerance_m, match)
+    spatial = P.shuffle_match(p, s, cfg, tolerance_m, match)
+    return spatial.union(direct) if direct is not None else spatial

@@ -174,3 +174,41 @@ def test_poi_cascade(poi_sets):
     assert (out.loc[cat == 2, "decision"] == "new").all()
     m = json.loads(matched_nodes.iloc[0]["merged_json"])
     assert m["amenity"] == "bench"
+
+
+def test_poi_id_direct_lookup(ray_session):
+    """J5 positive-id path (conflatePOI.py:417 queryById intent): a POI
+    carrying a positive `id` matches that OSM object directly — no
+    spatial search; a dangling id emits 'new' with a fixme."""
+    import json as J
+
+    osm = [{"geometry": {"type": "Point", "coordinates": [-105.5, 39.5]},
+            "properties": {"amenity": "cafe", "name": "Moose Cafe"}},
+           {"geometry": {"type": "Point", "coordinates": [-105.6, 39.6]},
+            "properties": {"amenity": "shop", "name": "Trail Store"}}]
+    # OSM ids come from features_to_table start ids
+    pois = [
+        # direct id match, FAR from the object (id wins over distance)
+        {"geometry": {"type": "Point", "coordinates": [-104.0, 38.0]},
+         "properties": {"id": "5000", "amenity": "cafe", "name": "Moose Cafe"}},
+        # dangling id
+        {"geometry": {"type": "Point", "coordinates": [-104.1, 38.1]},
+         "properties": {"id": "99999", "name": "Ghost"}},
+        # no id → spatial path, near OSM feature 5001
+        {"geometry": {"type": "Point", "coordinates": [-105.6, 39.60001]},
+         "properties": {"amenity": "shop", "name": "Trail Store"}},
+    ]
+    tp = features_to_table(pois, start_id=1)
+    ts = features_to_table(osm, start_id=5000)
+    out = conflate_pois(rd.from_arrow(tp), rd.from_arrow(ts),
+                        ConflationConfig(cell_res=14, num_buckets=8),
+                        tolerance_m=10.0).to_pandas()
+    out = out.set_index("feature_id")
+    assert out.loc[1, "matched_id"] == 5000
+    assert out.loc[1, "decision"] == "merged"
+    assert out.loc[1, "hits"] >= 2  # amenity + name exact
+    assert out.loc[2, "matched_id"] == -1
+    assert out.loc[2, "decision"] == "new"
+    assert "fixme" in J.loads(out.loc[2, "merged_json"])
+    assert out.loc[3, "matched_id"] == 5001
+    assert out.loc[3, "decision"] == "merged"
