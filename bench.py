@@ -39,6 +39,10 @@ def _bench_queries():
         "spatial_distance_join", "spatial_conflate",
         "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
         "knn_cosine_topk", "text_quality_score",
+        # r2 scale paths: light-band embedding LSH, 40-bit simhash,
+        # winnowing fingerprints, fixed-quantizer IVF
+        "dedup_embedding_lsh", "dedup_simhash", "text_fingerprint",
+        "knn_ivf",
     ]
     return [(n, lambda n=n: consume(Q.QUERIES[n](SF_DIR))) for n in names]
 

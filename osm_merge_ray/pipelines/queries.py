@@ -935,10 +935,13 @@ def dedup_embedding_lsh_q(sf_dir: str):
     dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
               .column("embedding")[0].as_py())
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return embedding_neardup_lsh_int(ds, dim=dim, threshold=0.35, bands=16)
+    # 8 bands x 8 bits: random (cos~0) pairs collide at ~0.5^8 per band,
+    # keeping candidates ~30x below the degenerate 16x4-bit banding;
+    # the price is lower recall at this loose threshold (LSH tradeoff)
+    return embedding_neardup_lsh_int(ds, dim=dim, threshold=0.35, bands=8)
 
 
-def _sql_embed_lsh(dim: int = 64, bits: int = 64, bands: int = 16) -> str:
+def _sql_embed_lsh(dim: int = 64, bits: int = 64, bands: int = 8) -> str:
     from osm_merge_ray.sim.embed_lsh import int_planes
 
     w = int_planes(dim, bits)

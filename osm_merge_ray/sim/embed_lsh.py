@@ -113,10 +113,50 @@ def embedding_neardup_lsh(ds, dim: int, threshold: float = 0.9,
 
 
 def fetch_and_score(cand, ds, threshold: float, id_column: str = "vec_id",
-                    vec_column: str = "embedding", num_buckets: int = 64):
-    """Fetch vectors for candidate (id_a, id_b) pairs via bucketed hash
-    joins and keep pairs with exact f64 cosine (round 6) >= threshold."""
+                    vec_column: str = "embedding", num_buckets: int = 64,
+                    broadcast_limit: int = 200_000):
+    """Fetch vectors for candidate (id_a, id_b) pairs and keep pairs
+    with exact f64 cosine (round 6) >= threshold.
+
+    Small vector tables (<= broadcast_limit rows, bounded driver
+    transfer) are broadcast once via ``ray.put`` and probed map-side —
+    no shuffle at all; larger tables fetch per-candidate vectors via
+    two bucketed hash joins (nothing unbounded on the driver)."""
     from osm_merge_ray.ops import bucketed_hash_join
+
+    if ds.count() <= broadcast_limit:
+        import ray
+
+        ids_parts, vec_parts = [], []
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            ids_parts.append(b.column(id_column).to_numpy())
+            vec_parts.append(np.vstack([np.asarray(v, dtype=np.float64)
+                                        for v in b.column(vec_column).to_pylist()]))
+        ids = np.concatenate(ids_parts) if ids_parts else np.empty(0, np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = (np.vstack(vec_parts)[order] if vec_parts
+               else np.empty((0, 1)))
+        norms = np.linalg.norm(mat, axis=1)
+        ref = ray.put((ids, mat, norms))
+
+        def score_b(df: pd.DataFrame) -> pd.DataFrame:
+            bids, bmat, bnorm = ray.get(ref)
+            if len(df) == 0:
+                return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                     "id_b": pd.Series(dtype=np.int64),
+                                     "sim": pd.Series(dtype=np.float64)})
+            ia = np.searchsorted(bids, df["id_a"].to_numpy())
+            ib = np.searchsorted(bids, df["id_b"].to_numpy())
+            va, vb = bmat[ia], bmat[ib]
+            sim = np.round((va * vb).sum(axis=1) / (bnorm[ia] * bnorm[ib]), 6)
+            ok = sim >= threshold
+            return pd.DataFrame({
+                "id_a": df["id_a"].to_numpy()[ok].astype(np.int64),
+                "id_b": df["id_b"].to_numpy()[ok].astype(np.int64),
+                "sim": sim[ok]})
+
+        return cand.map_batches(score_b, batch_format="pandas")
 
     def side(name):
         def proj(t: pa.Table) -> pa.Table:

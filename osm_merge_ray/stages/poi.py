@@ -11,9 +11,10 @@ per key (:205-235), displaced values kept as ``old_<key>``
 two SQL round trips per POI — the scalability cliff its own docs admit
 (poidup.py:19-28).
 
-Engine: the same single-shuffle cell pattern — POIs and OSM features
-co-located per cell with k-ring replication; the node/way cascade is a
-priority in the per-cell candidate scorer rather than two queries.
+Engine: the same single-shuffle cell pattern (stages/partition.py —
+border-band cover, hot-cell refinement + salting); the node/way
+cascade is a priority in the per-cell candidate scorer rather than two
+queries, and positive-id POIs take a direct hash-join path.
 """
 
 from __future__ import annotations
