@@ -189,24 +189,30 @@ def match_lines_group(df: pd.DataFrame, cfg: ConflationConfig) -> pd.DataFrame:
     p_types = prim["geom_type"].to_numpy()
     s_types = sec["geom_type"].to_numpy()
 
-    pi, si = same_key_pairs(
+    from osm_merge_ray.ops import first_in_groups, rank_within_groups
+
+    def bboxes(lines):
+        b = np.empty((len(lines), 4))
+        for i, ln in enumerate(lines):
+            b[i] = (ln[:, 0].min(), ln[:, 1].min(), ln[:, 0].max(), ln[:, 1].max())
+        return b
+
+    pb = bboxes(p_lines)
+    sb = bboxes(s_lines)
+    # local band: match distance + this group's max primary reach
+    p_cx = prim["lon"].to_numpy()
+    p_cy = prim["lat"].to_numpy()
+    reach = P.reach_m(p_cx, p_cy, pb[:, 0], pb[:, 1], pb[:, 2], pb[:, 3])
+    band = cfg.distance_m + (float(reach.max()) if len(reach) else 0.0)
+    pi, si = P.local_refined_pairs(
         P.group_key(prim["cell"].to_numpy(), prim["salt"].to_numpy()),
         P.group_key(sec["cell"].to_numpy(), sec["salt"].to_numpy()),
+        p_cx, p_cy, sb[:, 0], sb[:, 1], sb[:, 2], sb[:, 3], band,
     )
-
-    from osm_merge_ray.ops import first_in_groups, rank_within_groups
 
     # vectorized bbox lower-bound pre-gate: cut pairs whose bbox gap
     # already exceeds the threshold (the STRtree-style gate, batch form)
     if len(pi):
-        def bboxes(lines):
-            b = np.empty((len(lines), 4))
-            for i, ln in enumerate(lines):
-                b[i] = (ln[:, 0].min(), ln[:, 1].min(), ln[:, 0].max(), ln[:, 1].max())
-            return b
-
-        pb = bboxes(p_lines)
-        sb = bboxes(s_lines)
         lat0 = np.radians(pb[pi, 1])
         kx = 111320.0 * np.maximum(np.abs(np.cos(lat0)), 1e-3)
         gap_x = np.maximum(np.maximum(pb[pi, 0], sb[si, 0])

@@ -213,6 +213,69 @@ def group_key(cell: np.ndarray, salt: np.ndarray) -> np.ndarray:
     ).view(np.int64)
 
 
+def local_refined_pairs(kp: np.ndarray, ks: np.ndarray,
+                        p_lon: np.ndarray, p_lat: np.ndarray,
+                        s_x0: np.ndarray, s_y0: np.ndarray,
+                        s_x1: np.ndarray, s_y1: np.ndarray,
+                        band_m: float,
+                        pair_budget: int = 2_000_000) -> tuple[np.ndarray, np.ndarray]:
+    """``same_key_pairs`` with IN-MEMORY fine-grid refinement for
+    oversized groups.
+
+    The shuffle-level hot-cell refinement is capped at cell_res+3 (an
+    extended feature must not cover hundreds of fine cells in the
+    exchange), so a dense cluster SMALLER than that fine cell still
+    lands in one group — where enumerating P*S pairs explodes (a
+    60k x 60k urban blob is 3.6e9 pairs). Groups whose P*S product
+    exceeds ``pair_budget`` are re-keyed here, locally and without any
+    shuffle, on a grid sized to the match band
+    (``res_for_distance(band_m)``, uncapped): primaries by centroid
+    cell, secondaries by banded bbox cover. Pairs within the band are
+    never lost (same cover-completeness argument as the exchange), and
+    each surviving pair appears exactly once.
+    """
+    from osm_merge_ray.ops import same_key_pairs
+
+    if len(kp) == 0 or len(ks) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    # per-group side counts to find oversized groups
+    up, cp = np.unique(kp, return_counts=True)
+    us, cs = np.unique(ks, return_counts=True)
+    common, ip, is_ = np.intersect1d(up, us, return_indices=True)
+    prod = cp[ip].astype(np.float64) * cs[is_].astype(np.float64)
+    big = common[prod > pair_budget]
+    if len(big) == 0:
+        return same_key_pairs(kp, ks)
+
+    p_big = np.isin(kp, big)
+    s_big = np.isin(ks, big)
+    pi0, si0 = same_key_pairs(kp[~p_big], ks[~s_big])
+    p_small_idx = np.flatnonzero(~p_big)
+    s_small_idx = np.flatnonzero(~s_big)
+    out_p = [p_small_idx[pi0]]
+    out_s = [s_small_idx[si0]]
+
+    fine = C.res_for_distance(max(band_m, 1e-3))
+    p_idx = np.flatnonzero(p_big)
+    s_idx = np.flatnonzero(s_big)
+    kp2 = splitmix64(
+        kp[p_idx].view(np.uint64)
+        ^ C.lonlat_to_cell(p_lon[p_idx], p_lat[p_idx], fine).view(np.uint64)
+    ).view(np.int64)
+    rows, cells = bbox_band_targets(
+        s_x0[s_idx], s_y0[s_idx], s_x1[s_idx], s_y1[s_idx], fine, band_m,
+        cap=64,  # local arrays only — a wide cover costs memory, not shuffle
+    )
+    s_rep = s_idx[rows]
+    ks2 = splitmix64(ks[s_rep].view(np.uint64) ^ cells.view(np.uint64)).view(np.int64)
+    pi1, si1 = same_key_pairs(kp2, ks2)
+    out_p.append(p_idx[pi1])
+    out_s.append(s_rep[si1])
+    pi = np.concatenate(out_p)
+    si = np.concatenate(out_s)
+    return pi, si
+
+
 def shuffle_match(p_light, s_light, cfg: ConflationConfig, band_extra_m: float,
                   match_fn, skew_salting: bool = True):
     """Assemble the one-shuffle pattern: union light sides → (max-reach

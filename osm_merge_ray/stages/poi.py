@@ -187,14 +187,17 @@ def conflate_pois(poi_ds, osm_ds, cfg: ConflationConfig | None = None,
                 "dist_mm": pd.Series(dtype=np.int64),
                 "merged_json": pd.Series(dtype="string"),
             })
-        pi, si = same_key_pairs(
-            P.group_key(prim["cell"].to_numpy(), prim["salt"].to_numpy()),
-            P.group_key(sec["cell"].to_numpy(), sec["salt"].to_numpy()),
-        )
         p_lon = prim["lon"].to_numpy()
         p_lat = prim["lat"].to_numpy()
         s_lon = sec["lon"].to_numpy()
         s_lat = sec["lat"].to_numpy()
+        # point geometry (centroid distance): band = tolerance; dense
+        # sub-cell clusters refine on an in-memory fine grid
+        pi, si = P.local_refined_pairs(
+            P.group_key(prim["cell"].to_numpy(), prim["salt"].to_numpy()),
+            P.group_key(sec["cell"].to_numpy(), sec["salt"].to_numpy()),
+            p_lon, p_lat, s_lon, s_lat, s_lon, s_lat, tolerance_m,
+        )
         if len(pi):
             dist = haversine_m(p_lon[pi], p_lat[pi], s_lon[si], s_lat[si])
             gate = dist <= tolerance_m

@@ -124,3 +124,43 @@ def test_build_bloom_distributed_equals_local(ray_session):
     assert dist.contains_hashes(hash64_str(ids[:100])).all()
     misses = dist.contains_hashes(hash64_str([f"zz_{i}" for i in range(2000)]))
     assert misses.mean() < 0.01
+
+
+def test_local_refined_pairs_dense_cluster(ray_session):
+    """A dense sub-cell cluster must refine on the in-memory fine grid,
+    not enumerate P*S pairs — and produce the same decisions as the
+    unrefined path (tiny budget forces refinement)."""
+    import json
+
+    from osm_merge_ray.stages import partition as P
+    from osm_merge_ray.stages.lines import conflate_lines
+
+    rng = np.random.default_rng(3)
+    n = 400
+    prim_rows, sec_rows = [], []
+    for i in range(n):
+        lon = -105.0005 + rng.uniform(0, 0.001)   # ~100 m blob, one cell
+        lat = 39.0005 + rng.uniform(0, 0.001)
+        coords = [[lon + k * 1e-5, lat] for k in range(5)]
+        prim_rows.append({"feature_id": i, "geom_type": "LineString",
+                          "coords_json": json.dumps(coords),
+                          "props_json": json.dumps({"name": f"R {i}", "ref": f"F {i}"})})
+        off = 2.0 / 111194.9
+        sec_rows.append({"feature_id": 10_000 + i, "geom_type": "LineString",
+                         "coords_json": json.dumps([[x, y + off] for x, y in coords]),
+                         "props_json": json.dumps({"name": f"R {i}", "ref": f"F {i}"})})
+    tp, ts = pa.Table.from_pylist(prim_rows), pa.Table.from_pylist(sec_rows)
+    cfg = ConflationConfig(cell_res=12, num_buckets=4, hot_cell_rows=50)
+    base = conflate_lines(rd.from_arrow(tp), rd.from_arrow(ts), cfg).to_pandas()
+    old_budget = P.local_refined_pairs.__defaults__
+    try:
+        # force the refinement path with a 1-pair budget
+        P.local_refined_pairs.__defaults__ = (1,)
+        refined = conflate_lines(rd.from_arrow(tp), rd.from_arrow(ts), cfg).to_pandas()
+    finally:
+        P.local_refined_pairs.__defaults__ = old_budget
+    cols = ["feature_id", "matched_id", "decision", "hits"]
+    a = base[cols].sort_values("feature_id").reset_index(drop=True)
+    b = refined[cols].sort_values("feature_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert (a["decision"] == "merged").all()
