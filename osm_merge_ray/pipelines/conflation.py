@@ -126,7 +126,6 @@ def run_checkpointed(primary_ds, secondary_ds, out_dir: str,
     """
     cfg = cfg or ConflationConfig()
     grid = default_grid(cfg)
-    CK.check_run_manifest(out_dir, cfg)  # refuse resume under a changed config
     done = CK.finished_buckets(out_dir) if resume else set()
 
     prep = lambda t: CF.prepare(t, cfg)  # noqa: E731
@@ -134,6 +133,9 @@ def run_checkpointed(primary_ds, secondary_ds, out_dir: str,
     light = union.map_batches(prep, batch_format="pyarrow", batch_size=cfg.batch_size)
     if skew_salting:
         light = light.materialize()  # one upstream pass feeds count + shuffle
+    # refuse resume under a changed config or (when cheaply known) input
+    CK.check_run_manifest(out_dir, cfg,
+                          input_rows=light.count() if skew_salting else None)
     salts = CF.plan_salts(light, cfg) if skew_salting else {}
     p_tag = light.map_batches(CF.make_tag_primary(cfg, salts), batch_format="pyarrow",
                               batch_size=cfg.batch_size)

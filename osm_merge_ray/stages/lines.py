@@ -45,7 +45,6 @@ from osm_merge_ray.geo.distance import (
     batch_slope_angle_offset2,
     pack_polylines,
 )
-from osm_merge_ray.ops import same_key_pairs
 from osm_merge_ray.stages import partition as P
 from osm_merge_ray.text.fuzz import indel_ratio
 

@@ -27,7 +27,6 @@ import pyarrow as pa
 from osm_merge_ray.config import ConflationConfig
 from osm_merge_ray.geo import cells as C
 from osm_merge_ray.geo.polygons import bbox_of, intersection_area, shoelace_area
-from osm_merge_ray.ops import same_key_pairs
 from osm_merge_ray.stages import partition as P
 
 

@@ -28,7 +28,7 @@ import pyarrow as pa
 from osm_merge_ray.config import ConflationConfig
 from osm_merge_ray.geo import cells as C
 from osm_merge_ray.geo.distance import haversine_m
-from osm_merge_ray.ops import first_in_groups, same_key_pairs
+from osm_merge_ray.ops import first_in_groups
 from osm_merge_ray.stages import partition as P
 from osm_merge_ray.text.fuzz import batch_indel_ratio
 

@@ -40,13 +40,14 @@ def config_fingerprint(cfg) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
-def check_run_manifest(out_dir: str, cfg) -> None:
+def check_run_manifest(out_dir: str, cfg, input_rows: int | None = None) -> None:
     """Write (first run) or validate (resume) the run-level manifest.
 
     A resume against an out_dir produced under a DIFFERENT config
-    (num_buckets, cell_res, thresholds...) would silently skip buckets
-    computed under incompatible partitioning and emit mixed, corrupt
-    output — refuse instead.
+    (num_buckets, cell_res, thresholds...) or different INPUT would
+    silently skip buckets computed under incompatible partitioning and
+    emit mixed, corrupt output — refuse instead. ``input_rows`` (total
+    light rows, both sides) is the cheap input fingerprint.
     """
     fp = config_fingerprint(cfg)
     path = os.path.join(manifest_dir(out_dir), "run.json")
@@ -64,11 +65,20 @@ def check_run_manifest(out_dir: str, cfg) -> None:
                 "partitioning is incompatible with this run — use a fresh "
                 "out_dir or delete the old one"
             )
+        prior_rows = rec.get("input_rows")
+        if (input_rows is not None and prior_rows is not None
+                and prior_rows != input_rows):
+            raise ValueError(
+                f"checkpoint dir {out_dir!r} was written for a different "
+                f"input ({prior_rows} rows != {input_rows}); finished buckets "
+                "would not cover this input — use a fresh out_dir"
+            )
         return
     os.makedirs(manifest_dir(out_dir), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w") as fh:
-        json.dump({"config_fingerprint": fp, "ts": time.time()}, fh)
+        json.dump({"config_fingerprint": fp, "input_rows": input_rows,
+                   "ts": time.time()}, fh)
     os.replace(tmp, path)
 
 
