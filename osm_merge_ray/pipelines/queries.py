@@ -512,6 +512,153 @@ LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON d.doc_id = r.id_a
 """
 
 
+# poly41 token hash as a DuckDB expression: identical left-fold, modulo
+# applied at every step. Empty-token guard: unicode('') is -1 in DuckDB
+# while the engine folds zero characters -> 0.
+_POLY41_TOKEN = """CASE WHEN w = '' THEN 0 ELSE list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(w, ''), c -> CAST(unicode(c) AS BIGINT))),
+      (a, b) -> (a * 1000003 + b) % 2199023255551) END"""
+
+
+def spatial_conflate_flagship(sf_dir: str):
+    """The FLAGSHIP decision table under the bit-exact gate: three hit
+    dimensions (caption similarity, lang equality, perceptual-hash
+    hamming — the 40-bit poly41 simhash standing in for the image
+    phash) and the dup-distance rule (hits >= 2 AND dist <= dup
+    threshold → 'duplicate', mirroring stages/conflate.py's
+    min_hits_accept + dup_distance_m gate)."""
+    from osm_merge_ray.dedup.simhash import simhash
+    from osm_merge_ray.text.fuzz import batch_levenshtein
+    from osm_merge_ray.util import poly41_str
+
+    DUP_D2 = 3000.0 * 3000.0  # dup distance analog (m^2, planar)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 0]
+        b = df[df["side"] == 1]
+        a_lon, a_lat = a["lon"].to_numpy(), a["lat"].to_numpy()
+        b_lon, b_lat = b["lon"].to_numpy(), b["lat"].to_numpy()
+        a_id, b_id = a["doc_id"].to_numpy(), b["doc_id"].to_numpy()
+        a_txt = a["text"].str.slice(0, CAP_LEN).to_numpy()
+        b_txt = b["text"].str.slice(0, CAP_LEN).to_numpy()
+        a_lang, b_lang = a["lang"].to_numpy(), b["lang"].to_numpy()
+        a_ph = simhash(a["text"].tolist(), n_bits=40, hasher=poly41_str)
+        b_ph = simhash(b["text"].tolist(), n_bits=40, hasher=poly41_str)
+
+        pi, si, d2s = [], [], []
+
+        def emit(ai, bi):
+            dx = (a_lon[ai][:, None] - b_lon[bi][None, :]) * KX
+            dy = (a_lat[ai][:, None] - b_lat[bi][None, :]) * KY
+            d2 = dx * dx + dy * dy
+            rr, cc = np.nonzero(d2 <= D2_MAX)
+            pi.extend(ai[rr].tolist())
+            si.extend(bi[cc].tolist())
+            d2s.extend(d2[rr, cc].tolist())
+
+        _pair_groups(a, b, emit)
+        pi_a = np.asarray(pi, dtype=np.int64)
+        si_a = np.asarray(si, dtype=np.int64)
+        d2_a = np.asarray(d2s, dtype=np.float64)
+
+        n_p = len(a_id)
+        matched = np.full(n_p, -1, dtype=np.int64)
+        hits_out = np.zeros(n_p, dtype=np.int64)
+        d2_out = np.full(n_p, -1.0, dtype=np.float64)
+        if len(pi_a):
+            lev = batch_levenshtein(a_txt[pi_a], b_txt[si_a], maxlen=CAP_LEN)
+            la = np.fromiter((len(s) for s in a_txt[pi_a]), np.int64, len(pi_a))
+            lb = np.fromiter((len(s) for s in b_txt[si_a]), np.int64, len(pi_a))
+            sim = 100.0 * (1.0 - lev / np.maximum(np.maximum(la, lb), 1).astype(np.float64))
+            cap_hit = (sim > CAP_SIM_MIN) & (np.abs(la - lb) <= 3)
+            lang_hit = a_lang[pi_a] == b_lang[si_a]
+            from osm_merge_ray.image.phash import hamming64
+
+            ph_hit = hamming64(a_ph[pi_a], b_ph[si_a]) <= 10
+            hits = (cap_hit.astype(np.int64) + lang_hit.astype(np.int64)
+                    + ph_hit.astype(np.int64))
+            order = np.lexsort((b_id[si_a], d2_a, -hits, pi_a))
+            po = pi_a[order]
+            first = np.ones(len(po), dtype=bool)
+            first[1:] = po[1:] != po[:-1]
+            best = order[first]
+            matched[pi_a[best]] = b_id[si_a[best]]
+            hits_out[pi_a[best]] = hits[best]
+            d2_out[pi_a[best]] = d2_a[best]
+        decision = np.where(
+            matched < 0, "new",
+            np.where((hits_out >= 2) & (d2_out <= DUP_D2), "duplicate", "merged"),
+        )
+        return pd.DataFrame({
+            "doc_id": a_id,
+            "matched_id": matched,
+            "decision": pd.array(decision, dtype="string"),
+            "hits": hits_out,
+            "d2": d2_out,
+        })
+
+    return _spatial_join_pipeline(sf_dir, ["text", "lang"], per_bucket)
+
+
+_SIMHASH40 = f"""
+  SELECT doc_id,
+         CAST(sum(CASE WHEN wgt > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS s
+  FROM (
+    SELECT doc_id, j,
+           sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS wgt
+    FROM (
+      SELECT doc_id, {{poly}} AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    ) CROSS JOIN (SELECT unnest(generate_series(0, 39)) AS j) js
+    GROUP BY doc_id, j
+  ) GROUP BY doc_id
+"""
+
+SQL_CONFLATE_FLAGSHIP = f"""
+WITH sh AS ({_SIMHASH40.format(poly=_POLY41_TOKEN)}
+), pts AS (
+  SELECT d.doc_id, d.lang, substr(d.text, 1, 30) AS cap, sh.s,
+         {_DERIVE_SQL[0].format(id='d.doc_id')} AS lon,
+         {_DERIVE_SQL[1].format(id='d.doc_id')} AS lat
+  FROM documents d JOIN sh ON d.doc_id = sh.doc_id
+), c AS (
+  SELECT *, CAST(floor((lon + 180.0) / 0.25) AS BIGINT) AS cx,
+            CAST(floor((lat + 90.0) / 0.25) AS BIGINT) AS cy
+  FROM pts
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ((a.lon - b.lon) * 85263.0) * ((a.lon - b.lon) * 85263.0)
+       + ((a.lat - b.lat) * 111195.0) * ((a.lat - b.lat) * 111195.0) AS d2,
+         (CASE WHEN 100.0 * (1.0 - levenshtein(a.cap, b.cap)
+                 / CAST(greatest(length(a.cap), length(b.cap), 1) AS DOUBLE)) > 60.0
+                AND abs(length(a.cap) - length(b.cap)) <= 3
+               THEN 1 ELSE 0 END)
+       + (CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END)
+       + (CASE WHEN bit_count(xor(a.s, b.s)) <= 10 THEN 1 ELSE 0 END) AS hits
+  FROM c a JOIN c b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+    AND ((a.lon - b.lon) * 85263.0) * ((a.lon - b.lon) * 85263.0)
+      + ((a.lat - b.lat) * 111195.0) * ((a.lat - b.lat) * 111195.0) <= {D2_MAX}
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id_a
+              ORDER BY hits DESC, d2 ASC, id_b ASC) AS rn
+  FROM cand
+)
+SELECT d.doc_id,
+       coalesce(r.id_b, -1) AS matched_id,
+       CASE WHEN r.id_b IS NULL THEN 'new'
+            WHEN r.hits >= 2 AND r.d2 <= 9000000.0 THEN 'duplicate'
+            ELSE 'merged' END AS decision,
+       CAST(coalesce(r.hits, 0) AS BIGINT) AS hits,
+       coalesce(r.d2, -1.0) AS d2
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d
+LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON d.doc_id = r.id_a
+"""
+
+
 SQL_CONFLATE = f"""
 WITH pts AS (
   SELECT doc_id, lang, substr(text, 1, 30) AS cap,
@@ -820,14 +967,6 @@ def dedup_simhash_q(sf_dir: str):
     return simhash_pairs(ds, max_hamming=10, n_bits=40, hasher=poly41_str
                          ).select_columns(["id_a", "id_b", "hamming"])
 
-
-# poly41 token hash as a DuckDB expression: identical left-fold, modulo
-# applied at every step. Empty-token guard: unicode('') is -1 in DuckDB
-# while the engine folds zero characters -> 0.
-_POLY41_TOKEN = """CASE WHEN w = '' THEN 0 ELSE list_reduce(
-      list_prepend(CAST(0 AS BIGINT),
-        list_transform(string_split(w, ''), c -> CAST(unicode(c) AS BIGINT))),
-      (a, b) -> (a * 1000003 + b) % 2199023255551) END"""
 
 SQL_SIMHASH = f"""
 WITH tok AS (
@@ -1829,6 +1968,7 @@ QUERIES = {
     "spatial_sample_join": spatial_sample_join,
     "spatial_conflate": spatial_conflate,
     "spatial_conflate_cascade": spatial_conflate_cascade,
+    "spatial_conflate_flagship": spatial_conflate_flagship,
     "spatial_tile_assign": spatial_tile_assign,
     "spatial_point_in_polygon": spatial_point_in_polygon,
     "spatial_polygon_overlap": spatial_polygon_overlap,
@@ -1870,6 +2010,7 @@ ORACLE_SQL = {
     "spatial_sample_join": SQL_SAMPLE_JOIN,
     "spatial_conflate": SQL_CONFLATE,
     "spatial_conflate_cascade": SQL_CONFLATE_CASCADE,
+    "spatial_conflate_flagship": SQL_CONFLATE_FLAGSHIP,
     "spatial_tile_assign": SQL_TILE_ASSIGN,
     "spatial_point_in_polygon": SQL_POINT_IN_POLYGON,
     "spatial_polygon_overlap": SQL_POLYGON_OVERLAP,
