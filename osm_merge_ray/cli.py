@@ -34,9 +34,12 @@ def _ray():
 
 def cmd_convert(args) -> int:
     from osm_merge_ray.sources.geojson import read_geojson, write_geojson
-    from osm_merge_ray.stages.convert import make_converter
+    from osm_merge_ray.stages.convert import apply_yaml_mapping, make_converter
 
     _ray()
+    if args.mapping_yaml:
+        # the reference's declarative hook (yamlfile.py / mvum.yaml)
+        apply_yaml_mapping(args.mapping_yaml)
     ds = read_geojson(args.infile)
     kwargs = {"state": args.state} if args.type == "usgs" else {}
     out = ds.map_batches(make_converter(args.type, **kwargs), batch_format="pyarrow")
@@ -252,6 +255,9 @@ def main(argv=None) -> int:
     c.add_argument("-i", "--infile", required=True)
     c.add_argument("-o", "--outfile", required=True)
     c.add_argument("--state", default="CO")
+    c.add_argument("--mapping-yaml", default=None,
+                   help="override the converter mapping tables from a "
+                        "reference-shaped YAML file (mvum.yaml)")
     c.set_defaults(fn=cmd_convert)
 
     c = sub.add_parser("conflate-lines", help="highway conflation (conflator.py analog)")

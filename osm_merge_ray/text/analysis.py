@@ -209,6 +209,13 @@ class Fingerprint:
         return poly41_grams(s, self.k)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        # Per-doc loop kept DELIBERATELY: a fully batched
+        # (concat + reduceat) formulation was built and measured slower
+        # on real block sizes (0.73s vs 0.49s for 5k docs; the bench
+        # entry's wall is Ray overhead, not this loop) — the per-doc
+        # numpy ops are already vectorized within each document.
+        from numpy.lib.stride_tricks import sliding_window_view
+
         fps = np.zeros(len(df), dtype=np.int64)
         sizes = np.zeros(len(df), dtype=np.int64)
         for i, s in enumerate(df["text"].tolist()):
@@ -219,9 +226,6 @@ class Fingerprint:
             if len(h) <= w:
                 sel = np.array([h.min()], dtype=np.int64)
             else:
-                # sliding-window minima via stride trick
-                from numpy.lib.stride_tricks import sliding_window_view
-
                 sel = np.unique(sliding_window_view(h, w).min(axis=1))
             fps[i] = np.bitwise_xor.reduce(sel)
             sizes[i] = len(sel)
