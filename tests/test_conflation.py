@@ -153,3 +153,32 @@ def test_checkpoint_refuses_changed_config(ray_session, sides, tmp_path):
     with pytest.raises(ValueError, match="different"):
         run_checkpointed(rd.from_arrow(tp), rd.from_arrow(ts), d,
                          ConflationConfig(cell_res=15, num_buckets=8, hot_cell_rows=200))
+
+
+def test_empty_secondary_all_new(ray_session, sides):
+    """Verify-skill probe: an empty secondary side → every primary is
+    'new' (the no-candidate fallback, conflator.py:318-325)."""
+    tp, _ = sides
+    empty = synth_table(0, "secondary", with_bytes=False)
+    out = conflate_datasets(rd.from_arrow(tp), rd.from_arrow(empty), CFG,
+                            skew_salting=False).to_pandas()
+    assert len(out) == N
+    assert (out["decision"] == "new").all()
+    assert (out["matched_id"].isna()).all()
+
+
+def test_derived_centroid_path(ray_session):
+    """Verify-skill probe: inputs WITHOUT lon/lat columns take the
+    derived-centroid path (hash of image_id) and still conflate —
+    identical ids on both sides land at identical positions."""
+    import pyarrow as pa
+
+    tp = synth_table(100, "primary", with_bytes=False)
+    tp = tp.drop_columns(["lon", "lat"])
+    ts = synth_table(100, "primary", with_bytes=False).drop_columns(["lon", "lat"])
+    out = conflate_datasets(rd.from_arrow(tp), rd.from_arrow(ts), CFG,
+                            skew_salting=False).to_pandas()
+    assert len(out) == 100
+    # same ids → same derived centroid + caption + phash → duplicates
+    assert (out["decision"] == "duplicate").all()
+    assert (out["dist_mm"] == 0).all()
