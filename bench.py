@@ -106,6 +106,11 @@ def run_bench() -> dict:
         thunk()
         timings[name] = round(time.time() - t0, 3)
 
+    # skewed line conflation: 50k lines/side with 30% planted into ONE
+    # ~5 km urban cluster (a hot cell at res 12) — exercises the
+    # border-band cover + hot-cell salting + in-memory fine refinement
+    timings["conflate_lines_skewed"] = round(_bench_lines_skewed(), 3)
+
     total = sum(timings.values())
     result = {
         "metric": "conflation throughput (matched feature-pairs/sec + tiles/sec) over synthetic image+caption tables + operator suite seconds",
@@ -119,6 +124,51 @@ def run_bench() -> dict:
     }
     ray.shutdown()
     return result
+
+
+def _bench_lines_skewed(n_side: int = 50_000) -> float:
+    """Timed skewed line conflation over a cached deterministic fixture."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from osm_merge_ray.config import ConflationConfig
+    from osm_merge_ray.stages.lines import conflate_lines
+
+    d = f"/tmp/graft_bench/lines_n{n_side}"
+
+    def make_side(seed, n, id0, offset):
+        rng = np.random.default_rng(seed)
+        hot = rng.random(n) < 0.3
+        lon = np.where(hot, -105.04 + rng.random(n) * 0.05,
+                       -108.0 + rng.random(n) * 4.0)
+        lat = np.where(hot, 39.01 + rng.random(n) * 0.05,
+                       37.0 + rng.random(n) * 4.0) + offset
+        rows = []
+        for i in range(n):
+            coords = [[lon[i] + k * 1e-4, lat[i]] for k in range(5)]
+            rows.append({"feature_id": id0 + i, "geom_type": "LineString",
+                         "coords_json": json.dumps(coords),
+                         "props_json": json.dumps({"name": f"Road {i}",
+                                                   "ref": f"FR {i}"})})
+        return pa.Table.from_pylist(rows)
+
+    for side, seed, id0, off in (("primary", 1, 0, 0.0),
+                                 ("secondary", 1, 10_000_000, 3.0 / 111194.9)):
+        p = f"{d}/{side}.parquet"
+        if not os.path.exists(p):
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(make_side(seed, n_side, id0, off), p)
+
+    tp = pq.read_table(f"{d}/primary.parquet")
+    ts = pq.read_table(f"{d}/secondary.parquet")
+    cfg = ConflationConfig(cell_res=12, num_buckets=128, hot_cell_rows=2000)
+    t0 = time.time()
+    conflate_lines(rd.from_arrow(tp), rd.from_arrow(ts), cfg).materialize()
+    return time.time() - t0
 
 
 def run_scaling():
