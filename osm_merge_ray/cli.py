@@ -34,14 +34,16 @@ def _ray():
 
 def cmd_convert(args) -> int:
     from osm_merge_ray.sources.geojson import read_geojson, write_geojson
-    from osm_merge_ray.stages.convert import apply_yaml_mapping, make_converter
+    from osm_merge_ray.stages.convert import load_yaml_mapping, make_converter
 
     _ray()
-    if args.mapping_yaml:
-        # the reference's declarative hook (yamlfile.py / mvum.yaml)
-        apply_yaml_mapping(args.mapping_yaml)
     ds = read_geojson(args.infile)
     kwargs = {"state": args.state} if args.type == "usgs" else {}
+    if args.mapping_yaml:
+        # the reference's declarative hook (yamlfile.py / mvum.yaml);
+        # tables travel BY VALUE in the converter closure — a module-
+        # level override would never reach Ray worker processes
+        kwargs["tables"] = load_yaml_mapping(args.mapping_yaml)
     out = ds.map_batches(make_converter(args.type, **kwargs), batch_format="pyarrow")
     n = write_geojson(out, args.outfile)
     print(f"wrote {n} features to {args.outfile}")

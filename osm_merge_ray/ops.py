@@ -234,9 +234,16 @@ def bucketed_hash_join(ds_left, ds_right, key: str, num_buckets: int = 64,
             out_fields.append((name, right_types[c]))
 
     def _col(series, typ):
-        vals = [None if x is None or (isinstance(x, float) and np.isnan(x)) else x
-                for x in series.tolist()]
-        return pa.array(vals, type=typ)
+        # from_pandas=True maps NaN/None → null vectorized (no Python
+        # per-element loop on the join hot path); the explicit type
+        # pins the schema against pandas' empty-group dtype upcasts
+        try:
+            return pa.array(series, type=typ, from_pandas=True)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            # rare mixed-object fallbacks (e.g. float-cast ints)
+            vals = [None if x is None or (isinstance(x, float) and np.isnan(x))
+                    else x for x in series.tolist()]
+            return pa.array(vals, type=typ)
 
     def join_bucket(df: pd.DataFrame) -> pa.Table:
         left = df[df["_jside"] == 0][left_cols]

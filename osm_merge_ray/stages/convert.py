@@ -57,32 +57,45 @@ OPERATOR = {"BLM": "Bureau Of Land Management", "FS": "Forest Service"}
 SEASONAL = {"yearlong": "no", "yes": "yes", "no": "no"}
 
 
-def expand_name(raw: str) -> str:
+def expand_name(raw: str, abbreviations: dict | None = None) -> str:
     """Title-case + abbreviation expansion + " Road" suffix
     (mvum.py:126-144). Clean word-joining — the reference glues
     expanded words without spaces, a formatting bug not replicated."""
-    words = [ABBREVIATIONS.get(w, w) for w in raw.title().split()]
+    abbr = ABBREVIATIONS if abbreviations is None else abbreviations
+    words = [abbr.get(w, w) for w in raw.title().split()]
     name = " ".join(words)
     if " Road" not in name:
         name = f"{name} Road"
     return re.sub(r"\s+", " ", name).strip().replace("<50", "&lt;50")
 
 
-def convert_mvum(props: dict) -> dict:
-    """USFS MVUM / RoadCore → OSM (mvum.py:90-224)."""
+def convert_mvum(props: dict, tables: dict | None = None) -> dict:
+    """USFS MVUM / RoadCore → OSM (mvum.py:90-224).
+
+    ``tables`` overrides any of the module mapping tables BY VALUE —
+    the way the YAML hook must reach Ray workers: the converter closure
+    pickles this dict, whereas ``apply_yaml_mapping``'s module mutation
+    only affects the driver process."""
+    t = tables or {}
+    ABBR = t.get("ABBREVIATIONS", ABBREVIATIONS)
+    MAINT = t.get("MAINT_LEVEL", MAINT_LEVEL)
+    SURF = t.get("SURFACE", SURFACE)
+    SYM = t.get("SYMBOL", SYMBOL)
+    OPER = t.get("OPERATOR", OPERATOR)
+    SEAS = t.get("SEASONAL", SEASONAL)
     fmt = "RoadCore" if "OPER_MAINT_LEVEL" in props else "MVUM"
     out: dict[str, str] = {}
     if props.get("ID") is not None:
         out["ref:usfs"] = f"FR {props['ID']}".upper()
     if props.get("NAME"):
-        out["name"] = expand_name(props["NAME"])
+        out["name"] = expand_name(props["NAME"], ABBR)
 
     key = "OPERATIONALMAINTLEVEL" if fmt == "MVUM" else "OPER_MAINT_LEVEL"
     lvl = props.get(key)
     if lvl and len(str(lvl)) > 1:
         field = str(lvl).split()[0]
-        if field != "NA" and field.isdigit() and int(field) in MAINT_LEVEL:
-            k, v = MAINT_LEVEL[int(field)]
+        if field != "NA" and field.isdigit() and int(field) in MAINT:
+            k, v = MAINT[int(field)]
             out[k] = v
             if int(field) == 2:
                 out["4wd_only"] = "yes"
@@ -90,8 +103,8 @@ def convert_mvum(props: dict) -> dict:
     maintainer = props.get("PRIMARY_MAINTAINER")
     if maintainer:
         field = str(maintainer).split()[0]
-        if field in OPERATOR:
-            out["operator"] = OPERATOR[field]
+        if field in OPER:
+            out["operator"] = OPER[field]
     else:
         out["operator"] = "US Forest Service"
 
@@ -99,13 +112,13 @@ def convert_mvum(props: dict) -> dict:
     sval = props.get(key)
     if sval and sval != " " and "surface" not in out:
         field = str(sval).split()[0]
-        if field in SURFACE:
-            out["surface"] = SURFACE[field]
+        if field in SURF:
+            out["surface"] = SURF[field]
 
     key = "SBS_SYMBOL_NAME" if fmt == "MVUM" else "SYMBOL_NAME"
     sym = props.get(key)
-    if sym and str(sym)[:4] in SYMBOL:
-        k, v = SYMBOL[str(sym)[:4]]
+    if sym and str(sym)[:4] in SYM:
+        k, v = SYM[str(sym)[:4]]
         out[k] = v
         # 5-digit ref fixup (mvum.py:196-202): a 5-digit numeric ref
         # drops its 2-digit region prefix, flagged for validation
@@ -121,8 +134,8 @@ def convert_mvum(props: dict) -> dict:
         out["4wd_only"] = "yes"
 
     seas = props.get("SEASONAL")
-    if seas and str(seas) in SEASONAL:
-        out["seasonal"] = SEASONAL[str(seas)]
+    if seas and str(seas) in SEAS:
+        out["seasonal"] = SEAS[str(seas)]
 
     out["highway"] = "unclassified"  # mvum.py:219-221
     return out
@@ -520,7 +533,11 @@ def load_yaml_mapping(path: str) -> dict:
 
 def apply_yaml_mapping(path: str) -> dict:
     """Override the module mapping tables from a YAML file; returns the
-    previous tables so a caller (or test) can restore them."""
+    previous tables so a caller (or test) can restore them.
+
+    DRIVER-PROCESS ONLY: Ray workers re-import the pristine module, so
+    a distributed converter must receive the tables BY VALUE instead —
+    ``make_converter("mvum", tables=load_yaml_mapping(path))``."""
     import sys
 
     mod = sys.modules[__name__]

@@ -137,7 +137,7 @@ def new_buildings(primary_ds, pairs_ds, id_column: str = "feature_id",
     dups = grouped_reduce(
         pairs_ds.select_columns(["id_a"]), ["id_a"],
         lambda df: df.drop_duplicates("id_a"),
-    )
+    ).materialize()  # consumed twice (count + broadcast/join) — one shuffle
     if dups.count() > broadcast_limit:
         dup_keyed = dups.map_batches(
             lambda t: pa.table({id_column: t.column("id_a")}),

@@ -175,9 +175,13 @@ def make_replicate_secondary(cfg: ConflationConfig, salts: dict[int, int],
         fine_salt = np.empty(0, dtype=np.int64)
         if is_hot_t.any():
             rows_hot = np.unique(idx[is_hot_t])
+            # cap scaled by the refinement factor: the fine cover must
+            # reach as far (in base cells) as the base cover does, or a
+            # secondary spanning several base cells loses its hot-cell
+            # candidates beyond the trim (code-review r2 finding)
             f_rel, f_tgt = bbox_band_targets(
                 x0[rows_hot], y0[rows_hot], x1[rows_hot], y1[rows_hot],
-                fine, band_m,
+                fine, band_m, cap=AXIS_CAP << (fine - cfg.cell_res),
             )
             parents = C.parent(f_tgt, cfg.cell_res)
             keep_f = np.isin(parents, hot)  # non-hot parents are covered

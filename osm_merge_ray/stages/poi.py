@@ -142,19 +142,27 @@ def conflate_pois(poi_ds, osm_ds, cfg: ConflationConfig | None = None,
             merged = [None] * n
             p_props = [json.loads(x) for x in t.column("props_json").to_pylist()]
             s_props_col = t.column("s_props").to_pylist()
+            s_props = [json.loads(x) if x is not None else None
+                       for x in s_props_col]
+            # batched DP per key across all matched rows (same pattern
+            # as the spatial scorer) instead of one kernel call per row
+            for key in ANALYZE_KEYS:
+                idx = [i for i in range(n) if found[i]
+                       and p_props[i].get(key) is not None
+                       and s_props[i].get(key) is not None]
+                if idx:
+                    r = batch_indel_ratio(
+                        [str(p_props[i][key]).lower() for i in idx],
+                        [str(s_props[i][key]).lower() for i in idx])
+                    for j, i in enumerate(idx):
+                        hits[i] += int(r[j] > fuzz_threshold)
             for i in range(n):
                 if not found[i]:
                     m = dict(p_props[i])
                     m["fixme"] = "id referenced a missing OSM object"
                     merged[i] = json.dumps(m, sort_keys=True)
                     continue
-                sp = json.loads(s_props_col[i])
-                for key in ANALYZE_KEYS:
-                    a, b = p_props[i].get(key), sp.get(key)
-                    if a is not None and b is not None:
-                        r = batch_indel_ratio([str(a).lower()], [str(b).lower()])
-                        hits[i] += int(r[0] > fuzz_threshold)
-                m = dict(sp)
+                m = dict(s_props[i])
                 for k, v in p_props[i].items():
                     if k in m and m[k] != v:
                         m[f"old_{k}"] = m[k]

@@ -68,7 +68,10 @@ def render_tiles(source_path: str, out_dir: str, grid: TileGrid,
                          value_set=pa.array(list(keep_decisions)))
             return t.filter(m).select(["image_id"])
 
-        kept = decisions_ds.map_batches(kept_ids, batch_format="pyarrow")
+        # materialized light id projection: consumed twice (count sizes
+        # the filter, the build scans it) — avoid re-running upstream
+        kept = decisions_ds.map_batches(kept_ids,
+                                        batch_format="pyarrow").materialize()
         # distributed build: the driver sees only per-block BITMAPS
         # (fixed size), never the id stream (VERDICT r1 #3)
         bloom = build_bloom_distributed(

@@ -270,3 +270,27 @@ def test_yaml_mapping_override(tmp_path):
                             "SURFACETYPE": "NAT"})
     assert out2["name"] == "Bear Creek Road"
     assert out2["surface"] == "dirt"
+
+
+def test_yaml_tables_reach_ray_workers(ray_session, tmp_path):
+    """The YAML override must travel BY VALUE in the converter closure:
+    Ray workers re-import the pristine module, so a module-level
+    setattr never reaches them (code-review r2 finding)."""
+    import json as J
+
+    import ray.data as rd
+
+    from osm_merge_ray.sources.geojson import features_to_table
+    from osm_merge_ray.stages.convert import load_yaml_mapping, make_converter
+
+    y = tmp_path / "m.yaml"
+    y.write_text("- abbreviations:\n    - Cr: Canyon\n")
+    tables = load_yaml_mapping(str(y))
+    feats = [{"geometry": {"type": "LineString",
+                           "coordinates": [[-105.0, 39.0], [-105.0, 39.1]]},
+              "properties": {"ID": "7", "NAME": "Bear Cr"}}]
+    ds = rd.from_arrow(features_to_table(feats))
+    out = ds.map_batches(make_converter("mvum", tables=tables),
+                         batch_format="pyarrow").to_pandas()
+    props = J.loads(out.loc[0, "props_json"])
+    assert props["name"] == "Bear Canyon Road"
