@@ -164,3 +164,114 @@ def test_local_refined_pairs_dense_cluster(ray_session):
     b = refined[cols].sort_values("feature_id").reset_index(drop=True)
     assert a.equals(b)
     assert (a["decision"] == "merged").all()
+
+
+def test_lines_engine_matches_bruteforce_oracle(ray_session):
+    """Engine line conflation ≡ a literal O(N*M) oracle over adversarial
+    geometry: long lines spanning multiple cells, boundary straddlers,
+    a dense cluster, short/degenerate lines — partitioning must be
+    semantically invisible."""
+    import json
+
+    from osm_merge_ray.geo.distance import (
+        batch_slope_angle_offset2, pack_polylines, polyline_min_dist_m)
+    from osm_merge_ray.stages.lines import conflate_lines, score_tags
+
+    rng = np.random.default_rng(17)
+    cfg = ConflationConfig(cell_res=14, num_buckets=8, hot_cell_rows=40)
+    edge = 360.0 / (1 << 14)  # ~2.4 km
+
+    def rand_line(lon, lat, n, length_deg, bearing):
+        step = length_deg / max(n - 1, 1)
+        return [[lon + k * step * np.cos(bearing),
+                 lat + k * step * np.sin(bearing)] for k in range(n)]
+
+    prim_rows, sec_rows = [], []
+    fid = 0
+    for i in range(120):
+        kind = i % 4
+        if kind == 0:    # dense cluster (hot cell)
+            lon = -105.001 + rng.uniform(0, 0.002)
+            lat = 39.001 + rng.uniform(0, 0.002)
+            length = 3e-4
+        elif kind == 1:  # boundary straddler: start just west of a cell edge
+            lon = -105.0 - edge * 0.1 + (i // 4) * edge
+            lat = 39.3
+            length = edge * 0.3
+        elif kind == 2:  # LONG line spanning ~3 cells
+            lon = -105.5 + rng.uniform(0, 0.3)
+            lat = 39.5 + rng.uniform(0, 0.3)
+            length = edge * 3.0
+        else:            # scattered short
+            lon = -106.5 + rng.uniform(0, 1.0)
+            lat = 38.5 + rng.uniform(0, 1.0)
+            length = 5e-4
+        bearing = rng.uniform(0, np.pi)
+        nv = int(rng.integers(2, 9))
+        coords = rand_line(lon, lat, nv, length, bearing)
+        name = f"Road {i}" if i % 3 else f"Trail {i}"
+        prim_rows.append({"feature_id": fid, "geom_type": "LineString",
+                          "coords_json": json.dumps(coords),
+                          "props_json": json.dumps({"name": name, "ref": f"FR {i}"})})
+        fid += 1
+        if i % 5 != 4:  # most primaries get a nearby secondary
+            off = rng.uniform(1.0, 6.0) / 111194.9
+            nm = name if i % 7 else f"Other {i}"
+            sec_rows.append({"feature_id": 10_000 + i, "geom_type": "LineString",
+                             "coords_json": json.dumps(
+                                 [[x, y + off] for x, y in coords]),
+                             "props_json": json.dumps({"name": nm, "ref": f"FR {i}"})})
+    tp = pa.Table.from_pylist(prim_rows)
+    ts = pa.Table.from_pylist(sec_rows)
+
+    # ---- literal O(N*M) oracle using the scalar kernels ----
+    p_lines = [np.asarray(json.loads(r["coords_json"])).reshape(-1, 2)
+               for r in prim_rows]
+    s_lines = [np.asarray(json.loads(r["coords_json"])).reshape(-1, 2)
+               for r in sec_rows]
+    p_props = [json.loads(r["props_json"]) for r in prim_rows]
+    s_props = [json.loads(r["props_json"]) for r in sec_rows]
+    s_ids = np.array([r["feature_id"] for r in sec_rows])
+
+    def slope_angle_1(la, lb):
+        ax, ay, ln_a = pack_polylines([la])
+        bx, by, ln_b = pack_polylines([lb])
+        sl, an = batch_slope_angle_offset2(ax, ay, ln_a, bx, by, ln_b)
+        return float(sl[0]), float(an[0])
+
+    expected = {}
+    for i in range(len(p_lines)):
+        cands = []
+        for j in range(len(s_lines)):
+            d = polyline_min_dist_m(p_lines[i], s_lines[j])
+            if d > cfg.distance_m:
+                continue
+            sl, an = slope_angle_1(p_lines[i], s_lines[j])
+            hits, _ = score_tags(p_props[i], s_props[j], cfg)
+            identical = d == 0.0 and sl == 0.0 and an == 0.0
+            if hits == 0 and not identical and (
+                    abs(an) > cfg.angle_max_deg or abs(sl) > cfg.slope_max):
+                continue
+            cands.append((hits, d, sl, an, j))
+        cands.sort(key=lambda c: (c[1], s_ids[c[4]]))
+        cands = cands[: cfg.max_candidates]
+        if not cands:
+            expected[i] = (-1, "new", 0)
+            continue
+        parallel = any(h == 1 and abs(an) < 15.0 and abs(sl) < 1.0
+                       for h, d, sl, an, j in cands)
+        best = max(cands, key=lambda c: (c[0], -c[1], -s_ids[c[4]]))
+        h, d, sl, an, j = best
+        dec = "parallel" if (parallel and h < cfg.min_hits_accept) else "merged"
+        expected[i] = (int(s_ids[j]), dec, h)
+
+    out = conflate_lines(rd.from_arrow(tp), rd.from_arrow(ts), cfg).to_pandas()
+    out = out.set_index("feature_id")
+    assert len(out) == len(p_lines)
+    mism = []
+    for i, (mid, dec, h) in expected.items():
+        got = (int(out.loc[i, "matched_id"]), out.loc[i, "decision"],
+               int(out.loc[i, "hits"]))
+        if got != (mid, dec, h):
+            mism.append((i, (mid, dec, h), got))
+    assert not mism, mism[:10]
