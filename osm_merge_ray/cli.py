@@ -22,10 +22,16 @@ import sys
 
 
 def _ray():
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # honors RAY_ADDRESS so the same commands run under
+        # `ray job submit` on a real cluster (the north_rule's execution
+        # mode); standalone invocations fall back to a local cluster
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
     import ray.data as rd
 
     rd.DataContext.get_current().enable_progress_bars = False
