@@ -911,6 +911,36 @@ WHERE CAST(j.inter AS DOUBLE) / (na.ng + nb.ng - j.inter) >= 0.2
 """
 
 
+def dedup_clusters_q(sf_dir: str):
+    """Dedup CLUSTERS: transitive closure over the (bit-exact) n-gram
+    Jaccard pair set — one cluster id (min reachable doc id) per
+    document, singletons included. Engine: iterative min-label
+    propagation, one bucketed join + one grouped min per round
+    (dedup/cluster.py); oracle: recursive CTE closure."""
+    from osm_merge_ray.dedup.cluster import connected_components
+    from osm_merge_ray.dedup.jaccard import jaccard_pairs
+
+    docs_txt = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = jaccard_pairs(docs_txt, k=3, threshold=0.2)
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    return connected_components(pairs, docs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE edges AS (
+  SELECT id_a, id_b FROM ({SQL_DEDUP_JACCARD})
+), und AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM edges
+), reach(v, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT u.dst, reach.l FROM reach JOIN und u ON u.src = reach.v
+)
+SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id FROM reach GROUP BY v
+"""
+
+
 def dedup_minhash_q(sf_dir: str):
     """MinHash-LSH candidate pairs with the SQL-mirrorable variant:
     poly41 char-8-gram hashes, affine permutations (a*x+b) % (2^41-1)
@@ -1974,6 +2004,7 @@ QUERIES = {
     "spatial_polygon_overlap": spatial_polygon_overlap,
     "dedup_exact": dedup_exact_q,
     "dedup_ngram_jaccard": dedup_jaccard_q,
+    "dedup_clusters": dedup_clusters_q,
     "dedup_minhash_lsh": dedup_minhash_q,
     "dedup_simhash": dedup_simhash_q,
     "dedup_embedding_cosine": dedup_embedding_q,
@@ -2016,6 +2047,7 @@ ORACLE_SQL = {
     "spatial_polygon_overlap": SQL_POLYGON_OVERLAP,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
     "convert_nps": SQL_CONVERT_NPS,
     "text_token_count": SQL_TOKEN_COUNT,

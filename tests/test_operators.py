@@ -258,3 +258,30 @@ def test_minhash_poly_sql_variant_recall(ray_session, docs_with_dups):
     got = set(zip(out["id_a"], out["id_b"]))
     exact_dups = {(0, 4), (1, 5), (2, 6), (3, 7)}  # fixture's exact copies
     assert exact_dups <= got, sorted(got)[:10]
+
+
+def test_connected_components_chains_and_singletons(ray_session):
+    """Min-label propagation must close multi-hop chains (A-B, B-C,
+    C-D → one cluster) and keep singletons as their own cluster."""
+    import pyarrow as pa
+
+    from osm_merge_ray.dedup.cluster import (
+        connected_components, dedup_keep_representatives)
+
+    edges = pa.table({"id_a": pa.array([1, 2, 3, 10, 20], pa.int64()),
+                      "id_b": pa.array([2, 3, 4, 11, 21], pa.int64())})
+    nodes = pa.table({"doc_id": pa.array(list(range(1, 5)) + [10, 11, 20, 21, 99],
+                                         pa.int64())})
+    out = connected_components(rd.from_arrow(edges), rd.from_arrow(nodes)
+                               ).to_pandas().set_index("doc_id")["cluster_id"]
+    assert all(out[i] == 1 for i in (1, 2, 3, 4))   # 3-hop chain closed
+    assert out[10] == 10 and out[11] == 10
+    assert out[20] == 20 and out[21] == 20
+    assert out[99] == 99                            # singleton
+    docs = pa.table({"doc_id": nodes.column("doc_id"),
+                     "text": pa.array([f"d{i}" for i in range(9)])})
+    kept = dedup_keep_representatives(
+        rd.from_arrow(docs),
+        connected_components(rd.from_arrow(edges), rd.from_arrow(nodes)),
+    ).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 10, 20, 99]
