@@ -911,6 +911,61 @@ WHERE CAST(j.inter AS DOUBLE) / (na.ng + nb.ng - j.inter) >= 0.2
 """
 
 
+def train_val_split_q(sf_dir: str, val_pct: int = 10):
+    """Deterministic, reproducible train/val assignment — the affine
+    integer hash h = (a*id + b) mod M (all < 2^41, exact in int64 AND
+    BIGINT) buckets ids uniformly; 'val' iff h*100 < M*val_pct. The
+    split is a pure projection (no shuffle, no state) and any worker,
+    any round, any engine re-derives the identical assignment."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    A, B, M = 748_151, 997_613_381, (1 << 41) - 1
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        h = (A * ids + B) % M
+        val = h * 100 < M * val_pct
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "split": pa.array(np.where(val, "val", "train"), pa.string()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+SQL_TRAIN_VAL = """
+SELECT doc_id,
+       CASE WHEN ((748151 * doc_id + 997613381) % 2199023255551) * 100
+                 < 2199023255551 * 10
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def source_quota_q(sf_dir: str, k: int = 15):
+    """Per-source quota sampling (cap over-represented sources): keep
+    the first k docs per source by id — rows of one source co-locate
+    via the bucketed combine, ranked deterministically."""
+    from osm_merge_ray.ops import grouped_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def cap(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "doc_id"])
+        df["rank"] = (df.groupby("source").cumcount() + 1).astype("int64")
+        return df[df["rank"] <= k]
+
+    return grouped_reduce(ds, ["source"], cap)
+
+
+SQL_SOURCE_QUOTA = """
+SELECT doc_id, source, rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rank
+  FROM documents
+) WHERE rank <= 15
+"""
+
+
 def dedup_clusters_q(sf_dir: str):
     """Dedup CLUSTERS: transitive closure over the (bit-exact) n-gram
     Jaccard pair set — one cluster id (min reachable doc id) per
@@ -2005,6 +2060,8 @@ QUERIES = {
     "dedup_exact": dedup_exact_q,
     "dedup_ngram_jaccard": dedup_jaccard_q,
     "dedup_clusters": dedup_clusters_q,
+    "train_val_split": train_val_split_q,
+    "source_quota_sample": source_quota_q,
     "dedup_minhash_lsh": dedup_minhash_q,
     "dedup_simhash": dedup_simhash_q,
     "dedup_embedding_cosine": dedup_embedding_q,
@@ -2048,6 +2105,8 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "train_val_split": SQL_TRAIN_VAL,
+    "source_quota_sample": SQL_SOURCE_QUOTA,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
     "convert_nps": SQL_CONVERT_NPS,
     "text_token_count": SQL_TOKEN_COUNT,
