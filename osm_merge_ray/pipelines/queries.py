@@ -1780,6 +1780,72 @@ FROM events
 """
 
 
+def events_asof_join(sf_dir: str):
+    """AS-OF join (the classic stream/temporal join Ray Data lacks as a
+    native op): each ODD event matches the LATEST EVEN event of the
+    same user at-or-before its timestamp. One shuffle co-locates a
+    user's rows (ops.grouped_reduce); inside the group both sides sort
+    once and a vectorized searchsorted resolves every probe — no
+    per-row scanning. Ties on timestamp break by max event_id,
+    mirrored exactly by the oracle's LATERAL ORDER BY ts DESC, id
+    DESC LIMIT 1."""
+    from osm_merge_ray.ops import grouped_reduce
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        eid = df["event_id"].to_numpy()
+        uid = df["user_id"].to_numpy()
+        out_e, out_m, out_lag = [], [], []
+        order = np.lexsort((eid, ts, uid))
+        uid_s, ts_s, eid_s = uid[order], ts[order], eid[order]
+        from osm_merge_ray.ops import first_in_groups
+
+        starts = np.flatnonzero(first_in_groups(uid_s))
+        bounds = np.r_[starts, len(uid_s)]
+        for g in range(len(starts)):
+            lo, hi = bounds[g], bounds[g + 1]
+            t_g, e_g = ts_s[lo:hi], eid_s[lo:hi]
+            right = e_g % 2 == 0
+            left = ~right
+            if not left.any():
+                continue
+            rt, re_ = t_g[right], e_g[right]  # sorted by (ts, eid) already
+            lt, le = t_g[left], e_g[left]
+            if len(rt):
+                pos = np.searchsorted(rt, lt, side="right") - 1
+                ok = pos >= 0
+                m = np.where(ok, re_[np.maximum(pos, 0)], -1)
+                lag = np.where(ok, lt - rt[np.maximum(pos, 0)], -1)
+            else:
+                m = np.full(len(lt), -1, dtype=np.int64)
+                lag = np.full(len(lt), -1, dtype=np.int64)
+            out_e.extend(le.tolist())
+            out_m.extend(m.tolist())
+            out_lag.extend(lag.tolist())
+        return pd.DataFrame({
+            "event_id": pd.array(out_e, dtype=np.int64),
+            "matched_event_id": pd.array(out_m, dtype=np.int64),
+            "lag_us": pd.array(out_lag, dtype=np.int64),
+        })
+
+    return grouped_reduce(ds, ["user_id"], asof)
+
+
+SQL_EVENTS_ASOF = """
+SELECT l.event_id,
+       coalesce(r.event_id, -1) AS matched_event_id,
+       coalesce(CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT), -1) AS lag_us
+FROM (SELECT * FROM events WHERE event_id % 2 = 1) l
+LEFT JOIN LATERAL (
+  SELECT event_id, ts FROM events r
+  WHERE r.user_id = l.user_id AND r.event_id % 2 = 0 AND r.ts <= l.ts
+  ORDER BY r.ts DESC, r.event_id DESC LIMIT 1
+) r ON true
+"""
+
+
 def events_heavy_hitters(sf_dir: str, k: int = 10):
     """Top-k users by event count: per-batch partial counts → bucketed
     combine → global deterministic top-k (count desc, user_id asc)."""
@@ -2080,6 +2146,7 @@ QUERIES = {
     "events_window": events_window,
     "events_sliding_window": events_sliding_window,
     "events_heavy_hitters": events_heavy_hitters,
+    "events_asof_join": events_asof_join,
     "events_running_index": events_running_index,
     "events_sessionize": events_sessionize,
     "conflate_images": conflate_images_q,
@@ -2119,6 +2186,7 @@ ORACLE_SQL = {
     "events_window": SQL_EVENTS_WINDOW,
     "events_sliding_window": SQL_EVENTS_SLIDING,
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
+    "events_asof_join": SQL_EVENTS_ASOF,
     "events_running_index": SQL_EVENTS_RUNNING_INDEX,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "dedup_simhash": SQL_SIMHASH,
