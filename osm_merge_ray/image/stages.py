@@ -177,12 +177,49 @@ class FrameSample:
 
 
 class AudioDecode:
-    """STUB — no audio libs in this container. The Ray-side contract
-    (binary column in, feature columns out, actor-pool stage) is real;
-    the DSP is explicitly not implemented."""
+    """Audio decode + spectral-feature actor stage.
 
-    def __init__(self):
-        raise NotImplementedError(
-            "audio decode requires an audio codec library not present in this "
-            "container; wire a real decoder into this actor's __init__"
-        )
+    The container FORMAT is the deterministic stand-in from
+    ``audio/codec.py`` (no libsndfile/ffmpeg here — real wav/mp3
+    payloads raise NotImplementedError with an honest message, and a
+    deployment swaps only the codec call); the FEATURE DSP is real
+    numpy (framed RFFT → log-spaced band energies). Emits
+    ``decode_ok, n_samples, sample_rate, rms_e6, audio_embedding`` and
+    drops the bytes before anything reaches a shuffle."""
+
+    def __init__(self, n_bands: int = 16):
+        from osm_merge_ray.audio.codec import band_energies, decode
+
+        self.n_bands = n_bands
+        self._decode = decode
+        self._bands = band_energies
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        blobs = t.column("bytes").to_pylist()
+        n = len(blobs)
+        ok = np.zeros(n, dtype=bool)
+        n_samples = np.zeros(n, dtype=np.int64)
+        sr = np.zeros(n, dtype=np.int64)
+        rms = np.zeros(n, dtype=np.int64)
+        feats: list = [None] * n
+        for i, buf in enumerate(blobs):
+            if buf is None:
+                continue
+            try:
+                pcm, rate = self._decode(buf)
+            except (NotImplementedError, ValueError):
+                continue
+            ok[i] = True
+            n_samples[i] = len(pcm)
+            sr[i] = rate
+            x = pcm.astype(np.float64) / 32768.0
+            rms[i] = int(round(float(np.sqrt((x * x).mean())) * 1e6)) if len(x) else 0
+            feats[i] = self._bands(pcm, rate, self.n_bands).tolist()
+        out = t.drop_columns(["bytes"])
+        out = out.append_column("decode_ok", pa.array(ok))
+        out = out.append_column("n_samples", pa.array(n_samples, pa.int64()))
+        out = out.append_column("sample_rate", pa.array(sr, pa.int64()))
+        out = out.append_column("rms_e6", pa.array(rms, pa.int64()))
+        out = out.append_column("audio_embedding",
+                                pa.array(feats, pa.list_(pa.float32())))
+        return out

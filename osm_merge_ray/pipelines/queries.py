@@ -2041,6 +2041,27 @@ def image_pixel_embed_q(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def audio_decode_stats_q(sf_dir: str):
+    """Audio decode + spectral features (multimodal actor-pool stage) —
+    rows-only. Synthetic PCM clips (deterministic stand-in codec,
+    audio/codec.py); features are real framed-RFFT band energies."""
+    import ray.data as rd
+
+    from osm_merge_ray.audio.codec import encode, synth_pcm
+    from osm_merge_ray.image.stages import AudioDecode
+
+    n = 64
+    rows = {
+        "audio_id": [f"aud{i:05d}" for i in range(n)],
+        "bytes": [encode(synth_pcm(i, 8000 + 100 * (i % 7))) for i in range(n)],
+    }
+    ds = rd.from_arrow(pa.table(rows))
+    out = ds.map_batches(AudioDecode, batch_format="pyarrow", batch_size=16,
+                         concurrency=(1, 4))
+    return out.select_columns(["audio_id", "decode_ok", "n_samples",
+                               "sample_rate", "rms_e6"])
+
+
 def video_frame_sample_q(sf_dir: str):
     """Video frame sampling (multimodal fan-out stage) — rows-only.
     Synthetic 'videos': binary header + (n_frames, fps, w, h) metadata."""
@@ -2155,6 +2176,7 @@ QUERIES = {
     "image_decode_stats": image_decode_stats_q,
     "image_pixel_embed": image_pixel_embed_q,
     "video_frame_sample": video_frame_sample_q,
+    "audio_decode_stats": audio_decode_stats_q,
     "text_token_count_bpe": text_token_count_bpe_q,
 }
 

@@ -312,3 +312,34 @@ def test_events_asof_join_semantics(ray_session, tmp_path):
     # event 3 at t=0.5s: no even event at or before → -1
     assert out.loc[3, "matched_event_id"] == -1
     assert out.loc[3, "lag_us"] == -1
+
+
+def test_audio_decode_stage(ray_session):
+    """Audio actor stage: stand-in codec roundtrip exact, RFFT band
+    features deterministic, real containers refuse honestly."""
+    import pyarrow as pa
+    import pytest
+
+    from osm_merge_ray.audio.codec import band_energies, decode, encode, synth_pcm
+    from osm_merge_ray.image.stages import AudioDecode
+
+    pcm = synth_pcm(7, 16000)
+    back, sr = decode(encode(pcm))
+    assert sr == 16000 and np.array_equal(back, pcm)
+    f1 = band_energies(pcm, sr)
+    f2 = band_energies(pcm, sr)
+    assert f1.shape == (16,) and np.array_equal(f1, f2)
+    with pytest.raises(NotImplementedError):
+        decode(b"RIFF" + b"\0" * 64)  # a real wav header refuses honestly
+
+    t = pa.table({"audio_id": [f"a{i}" for i in range(8)],
+                  "bytes": [encode(synth_pcm(i, 4000)) for i in range(8)]})
+    out = AudioDecode()(t)
+    assert out.column("decode_ok").to_pylist() == [True] * 8
+    assert "bytes" not in out.column_names
+    emb = out.column("audio_embedding").to_pylist()
+    assert all(len(e) == 16 for e in emb)
+    from osm_merge_ray.pipelines.queries import audio_decode_stats_q
+
+    q = audio_decode_stats_q("/root/testdata/sf0.001").to_pandas()
+    assert len(q) == 64 and q["decode_ok"].all()
