@@ -64,14 +64,19 @@ def band_energies(pcm: np.ndarray, sample_rate: int, n_bands: int = 16,
     n_frames = 1 + (len(x) - frame) // hop
     idx = (np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None])
     mags = np.abs(np.fft.rfft(x[idx] * np.hanning(frame)[None, :], axis=1))
-    # log-spaced band edges over [2 bins, nyquist]
+    # log-spaced band edges over [2 bins, nyquist]; tiny frames can
+    # collapse edges — every band slice is clamped INSIDE the bin range
+    # (an out-of-range band is silent, 0.0 — never NaN from an empty
+    # mean)
+    nb = mags.shape[1]
     edges = np.unique(np.round(
-        np.logspace(np.log10(2), np.log10(mags.shape[1] - 1), n_bands + 1)
+        np.logspace(np.log10(2), np.log10(max(nb - 1, 3)), n_bands + 1)
     ).astype(np.int64))
-    while len(edges) < n_bands + 1:  # tiny frames: pad edges
+    while len(edges) < n_bands + 1:
         edges = np.r_[edges, edges[-1] + 1]
     e = np.zeros(n_bands)
     for b in range(n_bands):
-        lo, hi = edges[b], max(edges[b + 1], edges[b] + 1)
-        e[b] = (mags[:, lo:hi] ** 2).mean()
+        lo = min(int(edges[b]), nb)
+        hi = min(max(int(edges[b + 1]), lo + 1), nb)
+        e[b] = (mags[:, lo:hi] ** 2).mean() if hi > lo else 0.0
     return np.log1p(e).astype(np.float32)

@@ -46,6 +46,10 @@ def cmd_convert(args) -> int:
     ds = read_geojson(args.infile)
     kwargs = {"state": args.state} if args.type == "usgs" else {}
     if args.mapping_yaml:
+        if args.type not in ("mvum", "roadcore"):
+            print(f"--mapping-yaml targets the MVUM/RoadCore tables and is "
+                  f"not supported for --type {args.type}")
+            return 2
         # the reference's declarative hook (yamlfile.py / mvum.yaml);
         # tables travel BY VALUE in the converter closure — a module-
         # level override would never reach Ray worker processes

@@ -33,8 +33,6 @@ def connected_components(edges_ds, nodes_ds, node_column: str = "doc_id",
     ``nodes_ds``: one row per node (singletons become their own
     cluster). Returns a Dataset of (<node_column>, cluster_id).
     """
-    import ray.data as rd  # noqa: F401
-
     from osm_merge_ray.ops import bucketed_hash_join, grouped_reduce
 
     def und(t: pa.Table) -> pa.Table:
@@ -54,6 +52,7 @@ def connected_components(edges_ds, nodes_ds, node_column: str = "doc_id",
     labels = nodes_ds.map_batches(init_labels, batch_format="pyarrow").materialize()
     prev_sum = labels.sum("label")
 
+    converged = False
     for _ in range(max_iters):
         # neighbor labels: edge (src, dst) joined with label(src) → (dst, label)
         j = bucketed_hash_join(
@@ -75,8 +74,16 @@ def connected_components(edges_ds, nodes_ds, node_column: str = "doc_id",
         ).materialize()
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:  # labels only decrease → sound fixpoint
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(component diameter exceeds the iteration budget); raise "
+            "max_iters — returning partial labels would silently split "
+            "dup clusters"
+        )
 
     return labels.map_batches(
         lambda t: pa.table({node_column: t.column("node"),

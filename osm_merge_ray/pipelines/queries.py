@@ -977,6 +977,8 @@ def dedup_clusters_q(sf_dir: str):
 
     docs_txt = _read(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = jaccard_pairs(docs_txt, k=3, threshold=0.2)
+    # separate pruned read: only the doc_id column leaves storage (a
+    # select on docs_txt would re-read BOTH columns under lineage)
     docs = _read(sf_dir, "documents", columns=["doc_id"])
     return connected_components(pairs, docs)
 
@@ -1797,7 +1799,7 @@ def events_asof_join(sf_dir: str):
         ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
         eid = df["event_id"].to_numpy()
         uid = df["user_id"].to_numpy()
-        out_e, out_m, out_lag = [], [], []
+        out_e, out_m, out_lag = [], [], []  # numpy slices, concatenated once
         order = np.lexsort((eid, ts, uid))
         uid_s, ts_s, eid_s = uid[order], ts[order], eid[order]
         from osm_merge_ray.ops import first_in_groups
@@ -1821,13 +1823,15 @@ def events_asof_join(sf_dir: str):
             else:
                 m = np.full(len(lt), -1, dtype=np.int64)
                 lag = np.full(len(lt), -1, dtype=np.int64)
-            out_e.extend(le.tolist())
-            out_m.extend(m.tolist())
-            out_lag.extend(lag.tolist())
+            out_e.append(le)
+            out_m.append(m)
+            out_lag.append(lag)
+        cat = (lambda xs: np.concatenate(xs).astype(np.int64)
+               if xs else np.empty(0, dtype=np.int64))
         return pd.DataFrame({
-            "event_id": pd.array(out_e, dtype=np.int64),
-            "matched_event_id": pd.array(out_m, dtype=np.int64),
-            "lag_us": pd.array(out_lag, dtype=np.int64),
+            "event_id": cat(out_e),
+            "matched_event_id": cat(out_m),
+            "lag_us": cat(out_lag),
         })
 
     return grouped_reduce(ds, ["user_id"], asof)

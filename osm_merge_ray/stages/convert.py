@@ -316,10 +316,13 @@ def convert_nps(props: dict) -> dict:
     return out
 
 
-def convert_roadcore(props: dict) -> dict:
+def convert_roadcore(props: dict, tables: dict | None = None) -> dict:
     """RoadCore → OSM (roadcore.py:59-140). The reference's
     abbreviation pass operates on an empty string (roadcore.py:88-97, a
-    bug) — intended behavior (expand then suffix) implemented here."""
+    bug) — intended behavior (expand then suffix) implemented here.
+    ``tables`` may override MAINT_LEVEL (same by-value contract as
+    convert_mvum)."""
+    MAINT = (tables or {}).get("MAINT_LEVEL", MAINT_LEVEL)
     out: dict[str, str] = {}
     if "ID" in props:
         out["ref:usfs"] = f"FR {props['ID']}"
@@ -332,8 +335,8 @@ def convert_roadcore(props: dict) -> dict:
             name = f"{name} Road"
         out["name"] = name
     maint = str(props.get("OPER_MAINT") or "")[:1]
-    if maint.isdigit() and int(maint) in MAINT_LEVEL and int(maint) != 0:
-        k, v = MAINT_LEVEL[int(maint)]
+    if maint.isdigit() and int(maint) in MAINT and int(maint) != 0:
+        k, v = MAINT[int(maint)]
         out[k] = v
     surface = props.get("SURFACE_TY")
     if surface:
