@@ -1782,6 +1782,83 @@ FROM events
 """
 
 
+def events_quantiles_q(sf_dir: str):
+    """Exact per-group quantiles (p25/p50/p95 of the integer-quantized
+    value) — corpus statistics without a sketch: all rows of one
+    event_type co-locate via the bucketed combine, the discrete
+    quantile is the sorted element at ceil(q*n)-1, DuckDB's
+    quantile_disc semantics exactly."""
+    from osm_merge_ray.ops import grouped_reduce
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = np.floor(t.column("value").to_numpy() * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"event_type": t.column("event_type"),
+                         "value_e6": pa.array(v, pa.int64())})
+
+    def quants(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=True):
+            v = np.sort(g["value_e6"].to_numpy())
+            n = len(v)
+
+            def q(p):
+                return int(v[max(int(np.ceil(p * n)) - 1, 0)])
+
+            rows.append((et, n, q(0.25), q(0.5), q(0.95)))
+        return pd.DataFrame(rows, columns=["event_type", "n", "p25_e6",
+                                           "p50_e6", "p95_e6"])
+
+    return grouped_reduce(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["event_type"], quants)
+
+
+SQL_EVENTS_QUANTILES = """
+SELECT event_type, count(*) AS n,
+       CAST(quantile_disc(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT), 0.25) AS BIGINT) AS p25_e6,
+       CAST(quantile_disc(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT), 0.5) AS BIGINT) AS p50_e6,
+       CAST(quantile_disc(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT), 0.95) AS BIGINT) AS p95_e6
+FROM events GROUP BY event_type
+"""
+
+
+def text_top_ngrams_q(sf_dir: str, k: int = 20):
+    """Corpus-wide top word-bigrams (occurrence counts): per-batch
+    partial counts (one row per distinct gram per batch) → bucketed
+    combine → tiny global top-k sort."""
+    from osm_merge_ray.ops import grouped_reduce
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg: dict[str, int] = {}
+        for s in t.column("text").to_pylist():
+            ws = (s or "").split(" ")
+            for i in range(len(ws) - 1):
+                g = ws[i] + " " + ws[i + 1]
+                agg[g] = agg.get(g, 0) + 1
+        return pa.table({"gram": pa.array(list(agg.keys()), pa.string()),
+                         "n": pa.array(list(agg.values()), pa.int64())})
+
+    counts = grouped_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), ["gram"],
+        lambda df: df.groupby("gram", as_index=False)["n"].sum())
+    return counts.sort(["n", "gram"], descending=[True, False]).limit(k)
+
+
+SQL_TOP_NGRAMS = """
+WITH w AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+), g AS (
+  SELECT ws[i] || ' ' || ws[i + 1] AS gram
+  FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+)
+SELECT gram, count(*) AS n FROM g GROUP BY gram
+ORDER BY n DESC, gram ASC LIMIT 20
+"""
+
+
 def events_asof_join(sf_dir: str):
     """AS-OF join (the classic stream/temporal join Ray Data lacks as a
     native op): each ODD event matches the LATEST EVEN event of the
@@ -2172,6 +2249,8 @@ QUERIES = {
     "events_sliding_window": events_sliding_window,
     "events_heavy_hitters": events_heavy_hitters,
     "events_asof_join": events_asof_join,
+    "events_quantiles": events_quantiles_q,
+    "text_top_ngrams": text_top_ngrams_q,
     "events_running_index": events_running_index,
     "events_sessionize": events_sessionize,
     "conflate_images": conflate_images_q,
@@ -2213,6 +2292,8 @@ ORACLE_SQL = {
     "events_sliding_window": SQL_EVENTS_SLIDING,
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
     "events_asof_join": SQL_EVENTS_ASOF,
+    "events_quantiles": SQL_EVENTS_QUANTILES,
+    "text_top_ngrams": SQL_TOP_NGRAMS,
     "events_running_index": SQL_EVENTS_RUNNING_INDEX,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "dedup_simhash": SQL_SIMHASH,
