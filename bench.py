@@ -1,8 +1,9 @@
 """Benchmark harness.
 
 ``python bench.py``            one JSON line with headline + per-query seconds
-``python bench.py --scaling``  same pipeline at 8 and 32 CPUs in fresh
-                               processes → throughputs + scaling efficiency
+``python bench.py --scaling``  flagship at 4 and 16 CPUs in fresh
+                               processes (best-of-2 legs) → throughputs
+                               + scaling efficiency
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32),
@@ -101,15 +102,16 @@ def run_bench() -> dict:
     n_rows = pq.read_table(out_dir, columns=["decision"]).num_rows
     timings["flagship_conflation"] = round(headline, 3)
 
-    for name, thunk in _bench_queries():
-        t0 = time.time()
-        thunk()
-        timings[name] = round(time.time() - t0, 3)
+    if not os.environ.get("GRAFT_SCALING"):
+        for name, thunk in _bench_queries():
+            t0 = time.time()
+            thunk()
+            timings[name] = round(time.time() - t0, 3)
 
-    # skewed line conflation: 50k lines/side with 30% planted into ONE
-    # ~5 km urban cluster (a hot cell at res 12) — exercises the
-    # border-band cover + hot-cell salting + in-memory fine refinement
-    timings["conflate_lines_skewed"] = round(_bench_lines_skewed(), 3)
+        # skewed line conflation: 50k lines/side with 30% planted into
+        # ONE ~5 km urban cluster (a hot cell at res 12) — exercises the
+        # border-band cover + hot-cell salting + fine refinement
+        timings["conflate_lines_skewed"] = round(_bench_lines_skewed(), 3)
 
     total = sum(timings.values())
     result = {
@@ -178,14 +180,25 @@ def run_scaling():
     # BASELINE.md microbenchmarks: even bare parquet-read ray tasks
     # anti-scale at 32). The engine pipeline itself is layout-fixed
     # across levels (same blocks, same buckets).
+    # Best-of-2 per level: this is a SHARED host (load average 3-4
+    # with the sandbox idle) and a single noisy leg can swing the
+    # ratio by +-0.15; min-of-repeats measures the engine, not the
+    # tenant du jour. Scaling legs run the flagship only
+    # (GRAFT_SCALING=1 skips the operator suite).
     lo, hi = 4, 16
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
     out = {}
     for n in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
-        env.pop("GRAFT_SCALING", None)
-        p = subprocess.run([sys.executable, os.path.join(_REPO, "bench.py")],
-                           env=env, capture_output=True, text=True, check=True)
-        out[n] = json.loads(p.stdout.strip().splitlines()[-1])
+        best = None
+        for _ in range(repeats):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SCALING="1")
+            p = subprocess.run([sys.executable, os.path.join(_REPO, "bench.py")],
+                               env=env, capture_output=True, text=True, check=True)
+            res = json.loads(p.stdout.strip().splitlines()[-1])
+            if (best is None or res["queries"]["flagship_conflation"]
+                    < best["queries"]["flagship_conflation"]):
+                best = res
+        out[n] = best
     t_lo = out[lo]["queries"]["flagship_conflation"]
     t_hi = out[hi]["queries"]["flagship_conflation"]
     speedup = t_lo / t_hi
@@ -201,6 +214,7 @@ def run_scaling():
         "scaling_efficiency": round(eff, 3),
         "total_sec_lo": out[lo]["value"],
         "total_sec_hi": out[hi]["value"],
+        "repeats": repeats,
     }))
 
 
