@@ -64,3 +64,48 @@ def test_haversine_properties(lon1, lat1, lon2, lat2):
     assert abs(d - float(haversine_m(lon2, lat2, lon1, lat1))) < 1e-6
     if (lon1, lat1) == (lon2, lat2):
         assert d == 0.0
+
+
+def test_poly41_matches_duckdb_on_unicode():
+    """Property: poly41 (numpy + scalar) equals the DuckDB fold for
+    arbitrary unicode strings — the foundation every SQL-parity twin
+    rests on."""
+    import duckdb
+
+    from osm_merge_ray.util import poly41, poly41_str
+
+    con = duckdb.connect()
+    samples = ["", "a", "hello world", "Grüße aus Köln", "naïve café",
+               "日本語のテキスト", "мир", "🙂 emoji", "tab\tsep", "ünïcödé mix 123",
+               "x" * 200]
+    for s in samples:
+        got = poly41(s)
+        vec = int(poly41_str([s])[0])
+        sql = con.execute(
+            """SELECT CASE WHEN ? = '' THEN 0 ELSE list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(?, ''),
+                                  c -> CAST(unicode(c) AS BIGINT))),
+                 (a, b) -> (a * 1000003 + b) % 2199023255551) END""",
+            [s, s]).fetchone()[0]
+        assert got == vec == sql, (s, got, vec, sql)
+
+
+def test_batch_fuzz_property_unicode():
+    """Batched DP kernels equal the scalar DPs on random unicode pairs."""
+    import random
+
+    from osm_merge_ray.text import fuzz as F
+
+    rng = random.Random(5)
+    alphabet = "abXY äöü 東京 πφ 🙂"
+    pairs = [("".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30))),
+              "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30))))
+             for _ in range(80)]
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    bl = F.batch_levenshtein(a, b)
+    bi = F.batch_indel_ratio(a, b)
+    for (x, y), d, r in zip(pairs, bl, bi):
+        assert d == F.levenshtein(x, y)
+        assert abs(r - F.indel_ratio(x, y)) < 1e-9
