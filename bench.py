@@ -186,7 +186,7 @@ def run_scaling():
     # tenant du jour. Scaling legs run the flagship only
     # (GRAFT_SCALING=1 skips the operator suite).
     lo, hi = 4, 16
-    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    repeats = max(1, int(os.environ.get("GRAFT_SCALING_REPEATS", "2")))
     out = {}
     for n in (lo, hi):
         best = None

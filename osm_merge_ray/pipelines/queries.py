@@ -1823,7 +1823,10 @@ FROM events GROUP BY event_type
 """
 
 
-def text_top_ngrams_q(sf_dir: str, k: int = 20):
+TOP_NGRAMS_K = 20
+
+
+def text_top_ngrams_q(sf_dir: str, k: int = TOP_NGRAMS_K):
     """Corpus-wide top word-bigrams (occurrence counts): per-batch
     partial counts (one row per distinct gram per batch) → bucketed
     combine → tiny global top-k sort."""
@@ -1847,7 +1850,7 @@ def text_top_ngrams_q(sf_dir: str, k: int = 20):
     return counts.sort(["n", "gram"], descending=[True, False]).limit(k)
 
 
-SQL_TOP_NGRAMS = """
+SQL_TOP_NGRAMS = f"""
 WITH w AS (
   SELECT string_split(text, ' ') AS ws FROM documents
 ), g AS (
@@ -1855,7 +1858,7 @@ WITH w AS (
   FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
 )
 SELECT gram, count(*) AS n FROM g GROUP BY gram
-ORDER BY n DESC, gram ASC LIMIT 20
+ORDER BY n DESC, gram ASC LIMIT {TOP_NGRAMS_K}
 """
 
 

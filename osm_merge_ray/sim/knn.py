@@ -32,6 +32,51 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.where(n == 0, 1.0, n)
 
 
+def _emit_topk(sims: np.ndarray, ids: np.ndarray, qids: np.ndarray,
+               mask_fn, cap: int) -> pa.Table:
+    """Shared per-batch top-k emission — THE determinism contract every
+    kNN variant (and its SQL oracle) pins: round-6 sims, (sim desc,
+    id asc) selection via lexsort, at most ``cap`` rows per query.
+    ``mask_fn(j) -> bool[n]`` selects each query's eligible rows."""
+    out_q, out_n, out_s = [], [], []
+    for j in range(sims.shape[1]):
+        idx = np.flatnonzero(mask_fn(j))
+        if len(idx) == 0:
+            continue
+        s = sims[:, j]
+        top = idx[np.lexsort((ids[idx], -s[idx]))][:cap]
+        out_q.extend([qids[j]] * len(top))
+        out_n.extend(ids[top].tolist())
+        out_s.extend(s[top].tolist())
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "neighbor_id": pa.array(out_n, pa.int64()),
+        "sim": pa.array(out_s, pa.float64()),
+    })
+
+
+def _final_topk(k: int):
+    """Shared per-query global reducer: (sim desc, neighbor asc), rank."""
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "neighbor_id"],
+                            ascending=[False, True]).head(k).copy()
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return final
+
+
+def _empty_topk():
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "neighbor_id": pa.array([], pa.int64()),
+        "sim": pa.array([], pa.float64()),
+        "rank": pa.array([], pa.int64()),
+    }))
+
+
 def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
                      id_column: str = "vec_id", vec_column: str = "embedding",
                      exclude_self: bool = True):
@@ -47,33 +92,15 @@ def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
         m = _normalize(_as_matrix(t.column(vec_column)))
         ids = t.column(id_column).to_numpy()
         sims = np.round(m @ qm.T, 6)  # (n, nq), quantized for determinism
-        out_q, out_n, out_s = [], [], []
-        for j in range(sims.shape[1]):
-            s = sims[:, j]
-            mask = np.ones(len(ids), dtype=bool)
-            if exclude_self:
-                mask &= ids != qids[j]
-            idx = np.where(mask)[0]
-            if len(idx) == 0:
-                continue
-            top = idx[np.lexsort((ids[idx], -s[idx]))][:k]
-            out_q.extend([qids[j]] * len(top))
-            out_n.extend(ids[top].tolist())
-            out_s.extend(s[top].tolist())
-        return pa.table({
-            "query_id": pa.array(out_q, pa.int64()),
-            "neighbor_id": pa.array(out_n, pa.int64()),
-            "sim": pa.array(out_s, pa.float64()),
-        })
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        df = df.copy()
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df
+        def mask(j):
+            return ids != qids[j] if exclude_self else np.ones(len(ids), bool)
+
+        return _emit_topk(sims, ids, qids, mask, k)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
-    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(_final_topk(k),
+                                                   batch_format="pandas")
 
 
 def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
@@ -178,33 +205,18 @@ def ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
         ids = t.column(id_column).to_numpy()
         lists = np.argmax(m @ c.T, axis=1)
         sims = np.round(m @ qm.T, 6)
-        out_q, out_n, out_s = [], [], []
-        for j in range(qm.shape[0]):
-            mask = np.isin(lists, pr[j])
-            if exclude_self:
-                mask &= ids != qids[j]
-            idx = np.where(mask)[0]
-            if len(idx) == 0:
-                continue
-            s = sims[:, j]
-            top = idx[np.lexsort((ids[idx], -s[idx]))][:k]
-            out_q.extend([qids[j]] * len(top))
-            out_n.extend(ids[top].tolist())
-            out_s.extend(s[top].tolist())
-        return pa.table({
-            "query_id": pa.array(out_q, pa.int64()),
-            "neighbor_id": pa.array(out_n, pa.int64()),
-            "sim": pa.array(out_s, pa.float64()),
-        })
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
-        df = df.copy()
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df
+        def mask(j):
+            mk = np.isin(lists, pr[j])
+            if exclude_self:
+                mk &= ids != qids[j]
+            return mk
+
+        return _emit_topk(sims, ids, qids, mask, k)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
-    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(_final_topk(k),
+                                                   batch_format="pandas")
 
 
 def ivf_fixed_topk(ds, queries: np.ndarray, query_ids: np.ndarray,
@@ -245,43 +257,33 @@ def ivf_fixed_topk(ds, queries: np.ndarray, query_ids: np.ndarray,
         lists = np.argmax(adots, axis=1)        # first max = cid-asc tie-break
         sims = np.round((m @ qm.T) / (np.linalg.norm(m, axis=1)[:, None]
                                       * qnorm[None, :]), 6)
-        out_q, out_n, out_s = [], [], []
-        for j in range(qm.shape[0]):
-            mask = np.isin(lists, pr[j]) & (ids != qids[j])
-            idx = np.flatnonzero(mask)
-            if len(idx) == 0:
-                continue
-            s = sims[:, j]
-            top = idx[np.lexsort((ids[idx], -s[idx]))][: len(idx)][:64]
-            out_q.extend([qids[j]] * len(top))
-            out_n.extend(ids[top].tolist())
-            out_s.extend(s[top].tolist())
-        return pa.table({
-            "query_id": pa.array(out_q, pa.int64()),
-            "neighbor_id": pa.array(out_n, pa.int64()),
-            "sim": pa.array(out_s, pa.float64()),
-        })
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["sim", "neighbor_id"],
-                            ascending=[False, True]).head(k).copy()
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df
+        def mask(j):
+            return np.isin(lists, pr[j]) & (ids != qids[j])
+
+        # per-batch cap 64 >= global k keeps partials small, never lossy
+        return _emit_topk(sims, ids, qids, mask, 64)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
-    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(_final_topk(k),
+                                                   batch_format="pandas")
 
 
 def ivf_build_index(ds, out_dir: str, n_centroids: int = 16,
-                    id_column: str = "vec_id", vec_column: str = "embedding",
+                    vec_column: str = "embedding",
                     distributed_train: bool = True) -> np.ndarray:
     """Materialize the IVF inverted lists as a PARTITIONED parquet index
     (one hive partition per list id) — the cluster-scale layout where a
     probed query READS only its nprobe partitions and non-probed lists
     never leave storage (previously a per-task filter, now real
     partition pruning). Centroids (tiny) are saved next to the data.
-    Returns the centroid matrix."""
+    A pre-existing ``out_dir`` is removed first — Ray's write_parquet
+    APPENDS uniquely-named files, so rebuilding in place would silently
+    mix stale and fresh list assignments. Returns the centroid matrix."""
     import os
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
 
     if distributed_train:
         cents = train_centroids_distributed(ds, n_centroids, vec_column=vec_column)
@@ -302,7 +304,6 @@ def ivf_build_index(ds, out_dir: str, n_centroids: int = 16,
 
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         out_dir, partition_cols=["list_id"])
-    os.makedirs(out_dir, exist_ok=True)
     np.save(os.path.join(out_dir, "centroids.npy"), cents)
     return cents
 
@@ -336,6 +337,8 @@ def ivf_query_index(index_dir: str, queries: np.ndarray, query_ids: np.ndarray,
         f for lid in sorted(probed)
         for f in glob.glob(os.path.join(index_dir, f"list_id={lid}", "*.parquet"))
     )
+    if not files:  # every probed list is empty — parity with ivf_topk
+        return _empty_topk()
     ds = rd.read_parquet(files,
                          partitioning=Partitioning("hive", base_dir=index_dir))
     state = ray.put((qn, np.asarray(query_ids), probe))
@@ -348,28 +351,12 @@ def ivf_query_index(index_dir: str, queries: np.ndarray, query_ids: np.ndarray,
         lists = np.asarray(
             [int(x) for x in t.column("list_id").to_pylist()], dtype=np.int64)
         sims = np.round(m @ qm.T, 6)
-        out_q, out_n, out_s = [], [], []
-        for j in range(qm.shape[0]):
-            mask = np.isin(lists, pr[j]) & (ids != qids[j])
-            idx = np.flatnonzero(mask)
-            if len(idx) == 0:
-                continue
-            s = sims[:, j]
-            top = idx[np.lexsort((ids[idx], -s[idx]))][:k]
-            out_q.extend([qids[j]] * len(top))
-            out_n.extend(ids[top].tolist())
-            out_s.extend(s[top].tolist())
-        return pa.table({
-            "query_id": pa.array(out_q, pa.int64()),
-            "neighbor_id": pa.array(out_n, pa.int64()),
-            "sim": pa.array(out_s, pa.float64()),
-        })
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["sim", "neighbor_id"],
-                            ascending=[False, True]).head(k).copy()
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df
+        def mask(j):
+            return np.isin(lists, pr[j]) & (ids != qids[j])
+
+        return _emit_topk(sims, ids, qids, mask, k)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
-    return partials.groupby("query_id").map_groups(final, batch_format="pandas")
+    return partials.groupby("query_id").map_groups(_final_topk(k),
+                                                   batch_format="pandas")
