@@ -71,9 +71,24 @@ def cmd_conflate_lines(args) -> int:
     from osm_merge_ray.sources.osm_xml import write_osm_xml
     from osm_merge_ray.stages.lines import conflate_lines
 
+    def read_side(path):
+        # parseFile suffix dispatch (conflator.py:811-846): .osm goes
+        # through the XML reader (node-deref'd geometry + way refs —
+        # a GeoJSON roundtrip would lose the refs the writer needs)
+        if str(path).endswith(".osm"):
+            from osm_merge_ray.sources.osm_xml import read_osm_xml
+
+            ds = read_osm_xml([str(path)])
+            return ds.map_batches(
+                lambda t: t.rename_columns(
+                    ["feature_id" if c == "osm_id" else c
+                     for c in t.column_names]),
+                batch_format="pyarrow")
+        return read_geojson(path)
+
     _ray()
     cfg = ConflationConfig(distance_m=args.threshold, cell_res=args.cell_res)
-    out = conflate_lines(read_geojson(args.primary), read_geojson(args.secondary), cfg)
+    out = conflate_lines(read_side(args.primary), read_side(args.secondary), cfg)
     out.write_parquet(args.outdir)
     print(f"wrote decisions to {args.outdir}")
     if args.osm_out or args.new_out:

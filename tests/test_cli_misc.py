@@ -56,3 +56,78 @@ def test_clip_area_bounds(quad, c1, c2):
     area = intersection_area(a, b)
     assert area >= -1e-9
     assert area <= abs(shoelace_area(b)) + 1e-6
+
+
+def test_end_to_end_reference_user_journey(ray_session, tmp_path):
+    """The full workflow a reference user runs (update.sh analog),
+    driven through the real CLI: raw MVUM GeoJSON → `convert` → OSM XML
+    secondary → `conflate-lines` → merged OSM XML (version+1, tags
+    merged) + new-features GeoJSON (informal=yes fixme)."""
+    import json
+
+    from osm_merge_ray.sources.osm_xml import parse_osm_bytes
+
+    # --- raw MVUM primary: 2 roads; one will match OSM, one is new ---
+    def line(lon, lat):
+        return [[lon + k * 1e-4, lat] for k in range(5)]
+
+    mvum = {"type": "FeatureCollection", "features": [
+        {"type": "Feature",
+         "geometry": {"type": "LineString", "coordinates": line(-105.3, 39.3)},
+         "properties": {"ID": "505.1", "NAME": "Bear Cr",
+                        "SURFACETYPE": "NAT", "SEASONAL": "yearlong"}},
+        {"type": "Feature",
+         "geometry": {"type": "LineString", "coordinates": line(-105.8, 39.8)},
+         "properties": {"ID": "77", "NAME": "Lost Lk",
+                        "SURFACETYPE": "AGG"}},
+    ]}
+    raw = tmp_path / "mvum.geojson"
+    raw.write_text(json.dumps(mvum))
+
+    converted = tmp_path / "converted.geojson"
+    assert cli_main(["convert", "--type", "mvum", "-i", str(raw),
+                     "-o", str(converted)]) == 0
+    conv = json.loads(converted.read_text())
+    assert conv["features"][0]["properties"]["name"] == "Bear Creek Road"
+    assert conv["features"][0]["properties"]["ref:usfs"] == "FR 505.1"
+    assert conv["features"][0]["properties"]["surface"] == "dirt"
+
+    # --- OSM secondary (.osm file, suffix-dispatched like the
+    #     reference's parseFile): matches road 1, 3 m offset ---
+    off = 3.0 / 111194.9
+    osm_xml = ["<?xml version='1.0'?>", "<osm version='0.6'>"]
+    for i, (lon, lat) in enumerate(line(-105.3, 39.3 + off), start=1):
+        osm_xml.append(f"<node id='{i}' lat='{lat}' lon='{lon}'/>")
+    refs = "".join(f"<nd ref='{i}'/>" for i in range(1, 6))
+    osm_xml.append("<way id='4242' version='3'>" + refs
+                   + "<tag k='name' v='Bear Creek Road'/>"
+                   + "<tag k='ref:usfs' v='FS 505.1'/>"
+                   + "<tag k='highway' v='track'/></way>")
+    osm_xml.append("</osm>")
+    osm_path = tmp_path / "secondary.osm"
+    osm_path.write_text("\n".join(osm_xml))
+
+    outdir = tmp_path / "decisions"
+    osm_out = tmp_path / "merged.osm"
+    new_out = tmp_path / "new.geojson"
+    assert cli_main(["conflate-lines", "-p", str(converted), "-s", str(osm_path),
+                     "-o", str(outdir), "--threshold", "7.0",
+                     "--cell-res", "12", "--osm-out", str(osm_out),
+                     "--new-out", str(new_out)]) == 0
+
+    # merged way: OSM id kept, version bumped 3→4, tags merged
+    merged = parse_osm_bytes(osm_out.read_bytes())
+    assert merged.num_rows == 1
+    props = json.loads(merged.column("props_json")[0].as_py())
+    mid = merged.column("osm_id")[0].as_py()
+    assert mid == 4242
+    assert merged.column("version")[0].as_py() == 4  # 3 -> +1
+    assert props["name"] == "Bear Creek Road"
+    assert props["highway"] == "track"      # highway kept from OSM
+    assert props["surface"] == "dirt"       # primary tag merged in
+    # new feature: informal=yes + fixme import warning
+    new = json.loads(new_out.read_text())
+    assert len(new["features"]) == 1
+    np_ = new["features"][0]["properties"]
+    assert np_["informal"] == "yes" and "fixme" in np_
+    assert np_["name"] == "Lost Lake Road"
