@@ -1334,6 +1334,35 @@ SELECT doc_id, term, tfidf, rank FROM (
 """
 
 
+def text_normalize_q(sf_dir: str):
+    """Text normalization (the cleaning step every corpus pipeline runs
+    first): lowercase, strip a punctuation set, collapse whitespace
+    runs — pure Arrow kernels, restated with the identical replace
+    chain in the oracle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    import pyarrow.compute as pc
+
+    def norm(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(t.column("text"))
+        for ch in ".,!?;:":
+            x = pc.replace_substring(x, ch, "")
+        x = pc.replace_substring_regex(x, "  +", " ")
+        x = pc.utf8_trim_whitespace(x)
+        return pa.table({"doc_id": t.column("doc_id"), "text_norm": x})
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+SQL_TEXT_NORMALIZE = """
+SELECT doc_id,
+       trim(regexp_replace(
+         replace(replace(replace(replace(replace(replace(
+           lower(text), '.', ''), ',', ''), '!', ''), '?', ''), ';', ''), ':', ''),
+         '  +', ' ', 'g')) AS text_norm
+FROM documents
+"""
+
+
 def text_langid_q(sf_dir: str):
     from osm_merge_ray.text.analysis import LangId
 
@@ -2242,6 +2271,7 @@ QUERIES = {
     "text_quality_score": text_quality_q,
     "text_tfidf": text_tfidf_q,
     "text_langid": text_langid_q,
+    "text_normalize": text_normalize_q,
     "text_fingerprint": text_fingerprint_q,
     "knn_cosine_topk": knn_topk_q,
     "knn_ivf": knn_ivf_q,
@@ -2301,6 +2331,7 @@ ORACLE_SQL = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "dedup_simhash": SQL_SIMHASH,
     "text_langid": SQL_LANGID,
+    "text_normalize": SQL_TEXT_NORMALIZE,
     "text_fingerprint": SQL_FINGERPRINT,
     "dedup_minhash_lsh": SQL_MINHASH,
     "dedup_embedding_lsh": SQL_EMBED_LSH,

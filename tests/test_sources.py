@@ -77,3 +77,39 @@ def test_chunked_osm_xml_equals_single_task(ray_session, tmp_path):
     import pandas as pd
     pd.testing.assert_frame_equal(
         a, b.astype(a.dtypes.to_dict()), check_like=True)
+
+
+def test_chunked_geojson_equals_single_task(ray_session, tmp_path):
+    """S4 (readjson.py analog): one big FeatureCollection parsed as
+    many byte-range tasks yields the same feature multiset as the
+    whole-file parse — for both pretty-printed and compact encodings."""
+    import json as J
+
+    import numpy as np
+
+    from osm_merge_ray.sources.geojson import (
+        parse_geojson_bytes, read_geojson_chunked)
+
+    rng = np.random.default_rng(6)
+    feats = []
+    for i in range(400):
+        coords = [[float(-105 + rng.uniform(0, 1)), float(39 + rng.uniform(0, 1))]
+                  for _ in range(4)]
+        feats.append({"type": "Feature",
+                      "geometry": {"type": "LineString", "coordinates": coords},
+                      "properties": {"name": f"Way {i}", "ref": f"FR {i}",
+                                     "note": 'has "quotes", commas, {braces}'}})
+    fc = {"type": "FeatureCollection", "features": feats}
+    for label, text in (("pretty", J.dumps(fc, indent=2)),
+                        ("compact", J.dumps(fc, separators=(",", ":")))):
+        p = tmp_path / f"{label}.geojson"
+        p.write_text(text)
+        single = parse_geojson_bytes(text.encode()).to_pandas()
+        sz = len(text) // 5  # force ~5 range tasks
+        multi = read_geojson_chunked(str(p), chunk_bytes=sz,
+                                     overlap=sz).to_pandas()
+        cols = ["geom_type", "coords_json", "props_json"]
+        a = single[cols].sort_values(cols).reset_index(drop=True)
+        b = multi[cols].sort_values(cols).reset_index(drop=True)
+        assert a.equals(b), label
+        assert multi["feature_id"].is_unique
