@@ -911,6 +911,63 @@ WHERE CAST(j.inter AS DOUBLE) / (na.ng + nb.ng - j.inter) >= 0.2
 """
 
 
+def dedup_rate_report_q(sf_dir: str):
+    """One-row dedup summary (the corpus-health report a pipeline logs
+    per run): docs, near-dup pairs, connected clusters, docs removed by
+    keep-one-representative."""
+    import ray
+
+    from osm_merge_ray.dedup.cluster import connected_components
+    from osm_merge_ray.dedup.jaccard import jaccard_pairs
+
+    docs_txt = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = jaccard_pairs(docs_txt, k=3, threshold=0.2).materialize()
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    clusters = connected_components(pairs, docs)
+
+    n_pairs = pairs.count()
+
+    def summarize(t: pa.Table) -> pa.Table:
+        c = t.column("cluster_id").to_numpy()
+        d = t.column("doc_id").to_numpy()
+        return pa.table({
+            "n_docs": pa.array([len(d)], pa.int64()),
+            "n_clusters": pa.array([len(np.unique(c))], pa.int64()),
+            "n_removed": pa.array([int((d != c).sum())], pa.int64()),
+        })
+
+    # clusters is small (one row per doc id + label); one summary task
+    import ray.data as rd  # noqa: F401
+
+    summary = clusters.repartition(1).map_batches(summarize, batch_format="pyarrow")
+
+    def attach(t: pa.Table) -> pa.Table:
+        return t.append_column("n_pairs", pa.array([n_pairs] * t.num_rows, pa.int64()))
+
+    return summary.map_batches(attach, batch_format="pyarrow")
+
+
+SQL_DEDUP_RATE = f"""
+WITH RECURSIVE edges AS (
+  SELECT id_a, id_b FROM ({{jac}})
+), und AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM edges
+), reach(v, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT u.dst, reach.l FROM reach JOIN und u ON u.src = reach.v
+), comp AS (
+  SELECT v, min(l) AS c FROM reach GROUP BY v
+)
+SELECT count(*) AS n_docs,
+       count(DISTINCT c) AS n_clusters,
+       CAST(sum(CASE WHEN v != c THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       (SELECT count(*) FROM edges) AS n_pairs
+FROM comp
+"""
+
+
 def train_val_split_q(sf_dir: str, val_pct: int = 10):
     """Deterministic, reproducible train/val assignment — the affine
     integer hash h = (a*id + b) mod M (all < 2^41, exact in int64 AND
@@ -1811,6 +1868,53 @@ FROM events
 """
 
 
+def events_late_data_q(sf_dir: str, gap_min: int = 60):
+    """Watermark / late-data accounting (the batch restatement of the
+    streaming watermark rule): per user, watermark = max(ts) - gap;
+    events older than the watermark are LATE. Emits per-user late
+    count and max lateness (exact integer microseconds)."""
+    from osm_merge_ray.ops import grouped_reduce
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    gap_us = gap_min * 60_000_000
+
+    def late(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy().astype("datetime64[us]").view(np.int64)
+        uid = df["user_id"].to_numpy()
+        order = np.lexsort((ts, uid))
+        uid_s, ts_s = uid[order], ts[order]
+        from osm_merge_ray.ops import first_in_groups
+
+        starts = np.flatnonzero(first_in_groups(uid_s))
+        bounds = np.r_[starts, len(uid_s)]
+        rows = []
+        for g in range(len(starts)):
+            lo, hi = bounds[g], bounds[g + 1]
+            t_g = ts_s[lo:hi]
+            wm = t_g.max() - gap_us
+            late_mask = t_g < wm
+            rows.append((int(uid_s[lo]), hi - lo, int(late_mask.sum()),
+                         int((wm - t_g[late_mask]).max()) if late_mask.any() else 0))
+        return pd.DataFrame(rows, columns=["user_id", "n_events", "n_late",
+                                           "max_lateness_us"])
+
+    return grouped_reduce(ds, ["user_id"], late)
+
+
+SQL_EVENTS_LATE = """
+WITH x AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         max(epoch_us(ts)) OVER (PARTITION BY user_id) - 3600000000 AS wm
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CASE WHEN t < wm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(coalesce(max(CASE WHEN t < wm THEN wm - t END), 0) AS BIGINT)
+         AS max_lateness_us
+FROM x GROUP BY user_id
+"""
+
+
 def events_quantiles_q(sf_dir: str):
     """Exact per-group quantiles (p25/p50/p95 of the integer-quantized
     value) — corpus statistics without a sketch: all rows of one
@@ -2261,6 +2365,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_jaccard_q,
     "dedup_clusters": dedup_clusters_q,
     "train_val_split": train_val_split_q,
+    "dedup_rate_report": dedup_rate_report_q,
     "source_quota_sample": source_quota_q,
     "dedup_minhash_lsh": dedup_minhash_q,
     "dedup_simhash": dedup_simhash_q,
@@ -2283,6 +2388,7 @@ QUERIES = {
     "events_heavy_hitters": events_heavy_hitters,
     "events_asof_join": events_asof_join,
     "events_quantiles": events_quantiles_q,
+    "events_late_data": events_late_data_q,
     "text_top_ngrams": text_top_ngrams_q,
     "events_running_index": events_running_index,
     "events_sessionize": events_sessionize,
@@ -2311,6 +2417,7 @@ ORACLE_SQL = {
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "train_val_split": SQL_TRAIN_VAL,
+    "dedup_rate_report": SQL_DEDUP_RATE.format(jac=SQL_DEDUP_JACCARD),
     "source_quota_sample": SQL_SOURCE_QUOTA,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING,
     "convert_nps": SQL_CONVERT_NPS,
@@ -2326,6 +2433,7 @@ ORACLE_SQL = {
     "events_heavy_hitters": SQL_EVENTS_HEAVY_HITTERS,
     "events_asof_join": SQL_EVENTS_ASOF,
     "events_quantiles": SQL_EVENTS_QUANTILES,
+    "events_late_data": SQL_EVENTS_LATE,
     "text_top_ngrams": SQL_TOP_NGRAMS,
     "events_running_index": SQL_EVENTS_RUNNING_INDEX,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
