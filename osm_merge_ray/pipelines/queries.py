@@ -2133,98 +2133,467 @@ FROM d GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
-# image / conflation (rows-only: non-SQL-expressible)
+# engine-path conflation queries, driver-verified (VERDICT r2 #1).
+#
+# These drive the REAL engine stages (stages/conflate.py, stages/lines.py,
+# stages/poi.py) end-to-end over deterministic SQL-mirrorable fixtures.
+# Parity discipline: output columns are DISCRETE (ids, decision strings,
+# hit counts, mm-rounded distances), every float gate in the fixture sits
+# far from its threshold (>=40% margin), and every fuzzy string pair is
+# either length-gated out (len diff > 3 on both sides) or an
+# insertion-only edit — for which DuckDB's levenshtein equals the
+# engine's indel distance, so 100*(1 - d/(la+lb)) is the identical
+# ratio on both sides. Geometry is honest on the engine side (full cell
+# shuffle + projection kernels); the SQL twin recomputes candidates,
+# hits, gates, ranking and decisions from the same parametric fixture.
 # ---------------------------------------------------------------------------
 
+_IMG_N = 400
+
+
+def _image_fixture(side: str) -> pa.Table:
+    """Deterministic image+caption fixture (input_hint shape, light
+    columns) with four conflation classes per i (c = i % 4):
+    c0 exact duplicate (same pos/caption/phash), c1 near-dup at ~3 m
+    (caption insert-typo + phash hamming 4), c2 ref-token match only
+    (phash hamming 20, caption length-gated out), c3 no candidate
+    (secondary ~333 m away)."""
+    i = np.arange(_IMG_N, dtype=np.int64)
+    c = i % 4
+    lon = -109.0 + (i % 20) * 0.01
+    lat = 40.0 + (i // 20) * 0.01
+    phash = (i * 2654435761) % 4294967296
+    if side == "primary":
+        ids = [f"p{k}" for k in i]
+        caps = [
+            (f"dup caption {k} zz", f"cap {k} alpha bravo",
+             f"FR {500 + k}.2 Trail Access Road", f"solo caption {k}")[k % 4]
+            for k in i
+        ]
+    else:
+        ids = [f"s{k}" for k in i]
+        caps = [
+            (f"dup caption {k} zz", f"cap {k} alpha bravvo",
+             f"FS {500 + k}.2", f"faraway caption {k}")[k % 4]
+            for k in i
+        ]
+        lat = lat + np.where(c == 0, 0.0, np.where(c == 3, 0.003, 0.000027))
+        phash = phash ^ np.where(c == 0, 0, np.where(c == 1, 15,
+                                 np.where(c == 2, 1048575, 255)))
+    return pa.table({
+        "image_id": pa.array(ids, pa.string()),
+        "caption": pa.array(caps, pa.string()),
+        "phash": pa.array(phash, pa.int64()),
+        "lon": pa.array(lon, pa.float64()),
+        "lat": pa.array(lat, pa.float64()),
+    })
+
+
 def conflate_images_q(sf_dir: str):
-    """The flagship conflation over the synthetic image+caption tables
-    (pytest-verified against the brute-force oracle; rows-only here)."""
+    """The REAL image conflation path (stages/conflate.py: light
+    projection -> cell shuffle -> bucketed matcher) over the parametric
+    fixture; decisions + mm-rounded haversine are driver-verified."""
     import ray.data as rd
 
     from osm_merge_ray.config import ConflationConfig
     from osm_merge_ray.stages.conflate import conflate_datasets
-    from osm_merge_ray.synth import synth_table
 
-    tp = synth_table(400, "primary", with_bytes=False)
-    ts = synth_table(400, "secondary", with_bytes=False)
     cfg = ConflationConfig(num_buckets=16)
-    out = conflate_datasets(rd.from_arrow(tp), rd.from_arrow(ts), cfg,
-                            skew_salting=False)
+    out = conflate_datasets(rd.from_arrow(_image_fixture("primary")),
+                            rd.from_arrow(_image_fixture("secondary")),
+                            cfg, skew_salting=False)
     return out.select_columns(["image_id", "matched_id", "decision", "hits", "dist_mm"])
 
 
-def _vector_fixture(n: int, start_id: int = 0, secondary: bool = False):
-    """Deterministic LineString feature fixture (FIXTURES.md F2/F3
-    shape) for the rows-only vector-conflation queries."""
-    import numpy as np
+# mm-rounded haversine on the same spherical model as geo/distance.py
+_SQL_HAVERSINE_MM = """CAST(round(2000.0 * 6371008.8 * asin(least(1.0, sqrt(
+    pow(sin(radians(s.lat - p.lat) / 2.0), 2)
+  + cos(radians(p.lat)) * cos(radians(s.lat))
+    * pow(sin(radians(s.lon - p.lon) / 2.0), 2)
+  )))) AS BIGINT)"""
 
-    from osm_merge_ray.sources.geojson import features_to_table
-    from osm_merge_ray.util import uniform01
+# engine caption-hit restated: indel ratio > 85 AND |len diff| <= 3.
+# levenshtein == indel here because every in-gate fixture pair is an
+# insertion-only edit (see module comment).
+_SQL_CAPTION_HIT = """(CASE WHEN abs(length(p.caption) - length(s.caption)) <= 3
+        AND 100.0 * (1.0 - levenshtein(p.caption, s.caption)
+            / CAST(length(p.caption) + length(s.caption) AS DOUBLE)) > 85.0
+       THEN 1 ELSE 0 END)"""
 
-    idx = np.arange(n, dtype=np.uint64)
-    lon = -106.0 + uniform01(idx, salt=31) * 0.5
-    lat = 39.0 + uniform01(idx, salt=41) * 0.5
-    feats = []
-    for i in range(n):
-        base = [[float(lon[i]) + k * 1e-4, float(lat[i]) + k * 5e-5] for k in range(4)]
-        props = {"name": f"Forest Road {i} Creek Road", "ref:usfs": f"FR {200+i}.1",
-                 "highway": "unclassified"}
-        if secondary:
-            if i % 3 == 0:
-                base = [[x, y + 3.0 / 111194.9] for x, y in base]
-                props = {"name": f"Forest Road {i} Crxek Road",
-                         "ref:usfs": f"FR {200+i}.1", "highway": "track"}
-            elif i % 3 == 1:
-                base = [[x + 0.05, y] for x, y in base]
-                props = {"name": "Far Away Road", "highway": "track"}
-        feats.append({"geometry": {"type": "LineString", "coordinates": base},
-                      "properties": props})
-    return features_to_table(feats, start_id=start_id)
+_SQL_REF_TOKEN = "upper(regexp_extract({cap}, '^\\s*(?:FR|FS|F[SR]R?)\\s+(\\S+)', 1))"
+
+SQL_CONFLATE_IMAGES = f"""
+WITH p AS (
+  SELECT i, 'p' || i AS image_id,
+         -109.0 + (i % 20) * 0.01 AS lon,
+         40.0 + (i // 20) * 0.01 AS lat,
+         (i * 2654435761) % 4294967296 AS phash,
+         CASE i % 4 WHEN 0 THEN 'dup caption ' || i || ' zz'
+                    WHEN 1 THEN 'cap ' || i || ' alpha bravo'
+                    WHEN 2 THEN 'FR ' || (500 + i) || '.2 Trail Access Road'
+                    ELSE 'solo caption ' || i END AS caption
+  FROM range({_IMG_N}) t(i)
+), s AS (
+  SELECT i, 's' || i AS image_id,
+         -109.0 + (i % 20) * 0.01 AS lon,
+         40.0 + (i // 20) * 0.01
+           + CASE i % 4 WHEN 0 THEN 0.0 WHEN 3 THEN 0.003 ELSE 0.000027 END AS lat,
+         xor((i * 2654435761) % 4294967296,
+             CASE i % 4 WHEN 0 THEN 0 WHEN 1 THEN 15
+                        WHEN 2 THEN 1048575 ELSE 255 END) AS phash,
+         CASE i % 4 WHEN 0 THEN 'dup caption ' || i || ' zz'
+                    WHEN 1 THEN 'cap ' || i || ' alpha bravvo'
+                    WHEN 2 THEN 'FS ' || (500 + i) || '.2'
+                    ELSE 'faraway caption ' || i END AS caption
+  FROM range({_IMG_N}) t(i)
+), cand AS (
+  SELECT p.i AS pi, p.image_id AS pid, s.image_id AS sid,
+         {_SQL_HAVERSINE_MM} AS dist_mm,
+         {_SQL_CAPTION_HIT}
+       + (CASE WHEN {_SQL_REF_TOKEN.format(cap='p.caption')} != ''
+                AND {_SQL_REF_TOKEN.format(cap='p.caption')}
+                  = {_SQL_REF_TOKEN.format(cap='s.caption')}
+                AND NOT ({_SQL_CAPTION_HIT} = 1)
+               THEN 1 ELSE 0 END)
+       + (CASE WHEN bit_count(xor(p.phash, s.phash)) <= 6 THEN 1 ELSE 0 END) AS hits
+  FROM p JOIN s ON abs(p.lon - s.lon) < 0.001 AND abs(p.lat - s.lat) < 0.001
+  WHERE 2.0 * 6371008.8 * asin(least(1.0, sqrt(
+          pow(sin(radians(s.lat - p.lat) / 2.0), 2)
+        + cos(radians(p.lat)) * cos(radians(s.lat))
+          * pow(sin(radians(s.lon - p.lon) / 2.0), 2)))) <= 7.0
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY pi
+             ORDER BY hits DESC, dist_mm ASC, sid ASC) AS rn
+  FROM cand
+)
+SELECT p.image_id,
+       b.sid AS matched_id,
+       CASE WHEN b.sid IS NULL THEN 'new'
+            WHEN b.hits >= 2 AND b.dist_mm <= 2000.0 THEN 'duplicate'
+            ELSE 'merged' END AS decision,
+       CAST(coalesce(b.hits, 0) AS BIGINT) AS hits,
+       CAST(coalesce(b.dist_mm, -1) AS BIGINT) AS dist_mm
+FROM p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON p.i = b.pi
+"""
+
+
+_LINE_N = 120
+_LINE_STEP = 0.00003          # ~2.6 m per vertex step, 6-vertex lines
+_LINE_OFF = {1: 0.000027, 4: 0.000036, 5: 0.000027}  # parallel lat shifts (deg)
+_LINE_OFF2 = 0.000045         # c1's second (losing) candidate, ~5 m
+
+
+def _line_feature_rows(side: str):
+    """Parametric LineString fixture, one decision class per i % 6:
+    c0 identical geometry / unrelated tags (merged, hits 0);
+    c1 two parallel candidates at ~3 m and ~5 m, name insert-typo +
+       exact ref:usfs (merged, hits 2, nearest wins);
+    c2 secondary ~550 m away (new);
+    c3 shares vertex 0 but heads off at ~52 deg, no tag hits
+       (angle-reject -> new);
+    c4 parallel at ~4 m, name typo only, no ref (parallel, hits 1);
+    c5 unrelated name, ref:usfs insert-edit + matching second token
+       (merged, hits 2 via the ref double-hit rule).
+    All geometry offsets sit >=40% from every gate; primary lines are
+    exactly horizontal so the offset-2 slope is exactly 0."""
+    import json as _json
+
+    rows = []
+    for i in range(_LINE_N):
+        c = i % 6
+        lon0 = -106.0 + (i % 12) * 0.01
+        lat0 = 39.0 + (i // 12) * 0.01
+        base = [[lon0 + k * _LINE_STEP, lat0] for k in range(6)]
+        if side == "primary":
+            rows.append((i, base,
+                         {"name": f"Forest Road {i} Creek",
+                          "ref:usfs": f"FR {200 + i}.1",
+                          "highway": "unclassified"}))
+            continue
+        if c == 0:
+            rows.append((7000 + i, base,
+                         {"name": f"Xylophone {i}", "highway": "track"}))
+        elif c == 1:
+            for sid, off in ((7000 + i, _LINE_OFF[1]), (8000 + i, _LINE_OFF2)):
+                rows.append((sid, [[x, y + off] for x, y in base],
+                             {"name": f"Forest Road {i} Creeek",
+                              "ref:usfs": f"FR {200 + i}.1", "highway": "track"}))
+        elif c == 2:
+            rows.append((7000 + i, [[x, y + 0.005] for x, y in base],
+                         {"name": f"Forest Road {i} Creek",
+                          "ref:usfs": f"FR {200 + i}.1", "highway": "track"}))
+        elif c == 3:
+            rot = [[lon0 + k * _LINE_STEP, lat0 + k * _LINE_STEP] for k in range(6)]
+            rows.append((7000 + i, rot, {"name": f"Zulu {i}", "highway": "track"}))
+        elif c == 4:
+            rows.append((7000 + i, [[x, y + _LINE_OFF[4]] for x, y in base],
+                         {"name": f"Forest Road {i} Creeek", "highway": "track"}))
+        else:
+            rows.append((7000 + i, [[x, y + _LINE_OFF[5]] for x, y in base],
+                         {"name": f"Quebec Route {i}",
+                          "ref:usfs": f"FR {200 + i}.1 B", "highway": "track"}))
+    return pa.table({
+        "feature_id": pa.array([r[0] for r in rows], pa.int64()),
+        "geom_type": pa.array(["LineString"] * len(rows), pa.string()),
+        "coords_json": pa.array([_json.dumps(r[1]) for r in rows], pa.string()),
+        "props_json": pa.array([_json.dumps(r[2], sort_keys=True) for r in rows],
+                               pa.string()),
+    })
 
 
 def conflate_lines_q(sf_dir: str):
-    """LineString conflation decision table — rows-only (pytest-verified
-    against the reference decision semantics)."""
+    """The REAL LineString conflation path (stages/lines.py: extent
+    partitioning, batched polyline distance + offset-2 slope/angle,
+    checkTags scoring, full decision table) — driver-verified."""
     import ray.data as rd
 
     from osm_merge_ray.config import ConflationConfig
     from osm_merge_ray.stages.lines import conflate_lines
 
-    p = _vector_fixture(120)
-    s = _vector_fixture(120, start_id=7000, secondary=True)
-    out = conflate_lines(rd.from_arrow(p), rd.from_arrow(s),
+    out = conflate_lines(rd.from_arrow(_line_feature_rows("primary")),
+                         rd.from_arrow(_line_feature_rows("secondary")),
                          ConflationConfig(cell_res=12, num_buckets=8))
     return out.select_columns(["feature_id", "matched_id", "decision", "hits"])
 
 
+# checkTags fuzzy hit restated (indel ratio > 85 AND |len diff| <= 3 on
+# lowercased values); levenshtein == indel for the fixture's in-gate
+# pairs (insertion-only edits; all other pairs are length-gated out).
+def _sql_tag_hit(a: str, b: str) -> str:
+    return f"""(CASE WHEN {b} IS NOT NULL
+        AND abs(length({a}) - length({b})) <= 3
+        AND 100.0 * (1.0 - levenshtein(lower({a}), lower({b}))
+            / CAST(length({a}) + length({b}) AS DOUBLE)) > 85.0
+       THEN 1 ELSE 0 END)"""
+
+
+SQL_CONFLATE_LINES = f"""
+WITH p AS (
+  SELECT i, i % 6 AS c,
+         -106.0 + (i % 12) * 0.01 AS lon0,
+         39.0 + (i // 12) * 0.01 AS lat0,
+         'Forest Road ' || i || ' Creek' AS pname,
+         'FR ' || (200 + i) || '.1' AS pref
+  FROM range({_LINE_N}) t(i)
+), s AS (
+  -- (i, sid, off_m: parallel lat offset in the engine's planar metric,
+  --  rot: heads off diagonally from shared vertex 0)
+  SELECT i, 7000 + i AS sid, 0.0 AS off_m, FALSE AS rot,
+         'Xylophone ' || i AS sname, NULL AS sref
+  FROM range({_LINE_N}) t(i) WHERE i % 6 = 0
+  UNION ALL
+  SELECT i, 7000 + i, {_LINE_OFF[1]} * 110540.0, FALSE,
+         'Forest Road ' || i || ' Creeek', 'FR ' || (200 + i) || '.1'
+  FROM range({_LINE_N}) t(i) WHERE i % 6 = 1
+  UNION ALL
+  SELECT i, 8000 + i, {_LINE_OFF2} * 110540.0, FALSE,
+         'Forest Road ' || i || ' Creeek', 'FR ' || (200 + i) || '.1'
+  FROM range({_LINE_N}) t(i) WHERE i % 6 = 1
+  UNION ALL
+  SELECT i, 7000 + i, 0.005 * 110540.0, FALSE,
+         'Forest Road ' || i || ' Creek', 'FR ' || (200 + i) || '.1'
+  FROM range({_LINE_N}) t(i) WHERE i % 6 = 2
+  UNION ALL
+  SELECT i, 7000 + i, 0.0, TRUE, 'Zulu ' || i, NULL
+  FROM range({_LINE_N}) t(i) WHERE i % 6 = 3
+  UNION ALL
+  SELECT i, 7000 + i, {_LINE_OFF[4]} * 110540.0, FALSE,
+         'Forest Road ' || i || ' Creeek', NULL
+  FROM range({_LINE_N}) t(i) WHERE i % 6 = 4
+  UNION ALL
+  SELECT i, 7000 + i, {_LINE_OFF[5]} * 110540.0, FALSE,
+         'Quebec Route ' || i, 'FR ' || (200 + i) || '.1 B'
+  FROM range({_LINE_N}) t(i) WHERE i % 6 = 5
+), cand AS (
+  SELECT p.i, s.sid, s.off_m AS d_m,
+         -- offset-2 direction angle: primary slope is exactly 0, the
+         -- rotated candidate's is ky/kx at the primary's mean latitude
+         CASE WHEN s.rot THEN degrees(atan(110540.0
+              / (111320.0 * cos(radians(p.lat0))))) ELSE 0.0 END AS angle,
+         CASE WHEN s.rot THEN abs(110540.0
+              / (111320.0 * cos(radians(p.lat0)))) ELSE 0.0 END AS slope,
+         {_sql_tag_hit('p.pname', 's.sname')}
+       + {_sql_tag_hit('p.pref', 's.sref')}
+       + (CASE WHEN s.sref IS NOT NULL
+                AND {_sql_tag_hit('p.pref', 's.sref')} = 1
+                AND p.pref != s.sref
+                AND split_part(p.pref, ' ', 2) != ''
+                AND split_part(s.sref, ' ', 2) != ''
+                AND upper(split_part(p.pref, ' ', 2))
+                  = upper(split_part(s.sref, ' ', 2))
+               THEN 1 ELSE 0 END) AS hits
+  FROM p JOIN s ON p.i = s.i
+  WHERE s.off_m <= 7.0
+), kept AS (
+  -- early reject: hits 0, not identical geometry, angle/slope gate
+  SELECT * FROM cand
+  WHERE NOT (hits = 0 AND NOT (d_m = 0.0 AND angle = 0.0 AND slope = 0.0)
+             AND (abs(angle) > 20.0 OR abs(slope) > 4.0))
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY i
+             ORDER BY hits DESC, d_m ASC, sid ASC) AS rn,
+         bool_or(hits = 1 AND abs(angle) < 15.0 AND abs(slope) < 1.0)
+           OVER (PARTITION BY i) AS any_parallel
+  FROM kept
+)
+SELECT p.i AS feature_id,
+       CAST(coalesce(r.sid, -1) AS BIGINT) AS matched_id,
+       CASE WHEN r.sid IS NULL THEN 'new'
+            WHEN r.any_parallel AND r.hits < 2 THEN 'parallel'
+            ELSE 'merged' END AS decision,
+       CAST(coalesce(r.hits, 0) AS BIGINT) AS hits
+FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON p.i = r.i
+"""
+
+
+_POI_N = 120
+
+
+def _poi_fixture():
+    """Parametric POI-vs-OSM fixture, one cascade class per i % 6:
+    c0 single matching node at ~3 m (merged, hits 2);
+    c1 node hits-2 at ~4 m vs way hits-1 at ~2 m -> hits rank wins,
+       multi-candidate => duplicate;
+    c2 node and way BOTH hits 2, way nearer -> node-before-way cascade
+       klass wins, duplicate;
+    c3 node ~444 m away (new);
+    c4 POI carries a positive id prop -> direct id-join path to an OSM
+       node placed 0.5 deg away (merged, hits 2, no spatial search);
+    c5 node at ~3 m sharing NO analyze keys (merged, hits 0)."""
+    import json as _json
+
+    pois, osm_rows = [], []
+    for i in range(_POI_N):
+        c = i % 6
+        lon = -105.0 + (i % 12) * 0.01
+        lat = 38.0 + (i // 12) * 0.01
+        pprops = {"amenity": "bench", "name": f"Bench Point {i}"}
+        if c == 4:
+            pprops["id"] = 9000 + i
+        pois.append((i, "Point", [lon, lat], pprops))
+
+        def node(sid, dlat, dlon, props):
+            osm_rows.append((sid, "Point", [lon + dlon, lat + dlat], props))
+
+        def way(sid, dlat, props):
+            osm_rows.append((sid, "LineString",
+                             [[lon - 0.000001, lat + dlat],
+                              [lon + 0.000001, lat + dlat]], props))
+
+        if c == 0:
+            node(9000 + i, 0.000027, 0.0,
+                 {"amenity": "bench", "name": f"Bench Point {i}"})
+        elif c == 1:
+            node(9000 + i, 0.000036, 0.0,
+                 {"amenity": "bench", "name": f"Bench Point {i}"})
+            way(9500 + i, 0.000018, {"amenity": "bench", "name": f"xq {i}"})
+        elif c == 2:
+            node(9000 + i, 0.000036, 0.0,
+                 {"amenity": "bench", "name": f"Bench Point {i}"})
+            way(9500 + i, 0.000018,
+                {"amenity": "bench", "name": f"Bench Point {i}"})
+        elif c == 3:
+            node(9000 + i, 0.004, 0.0,
+                 {"amenity": "bench", "name": f"Bench Point {i}"})
+        elif c == 4:
+            node(9000 + i, 0.0, 0.5,
+                 {"amenity": "bench", "name": f"Bench Point {i}"})
+        else:
+            node(9000 + i, 0.000027, 0.0, {"tourism": "viewpoint"})
+
+    def table(rows):
+        return pa.table({
+            "feature_id": pa.array([r[0] for r in rows], pa.int64()),
+            "geom_type": pa.array([r[1] for r in rows], pa.string()),
+            "coords_json": pa.array([_json.dumps(r[2]) for r in rows], pa.string()),
+            "props_json": pa.array([_json.dumps(r[3], sort_keys=True) for r in rows],
+                                   pa.string()),
+        })
+
+    return table(pois), table(osm_rows)
+
+
 def conflate_pois_q(sf_dir: str):
-    """POI cascade join — rows-only."""
+    """The REAL POI cascade path (stages/poi.py: cell shuffle, node-
+    before-way priority, duplicate fixme rule, positive-id direct
+    join) — driver-verified."""
     import ray.data as rd
 
     from osm_merge_ray.config import ConflationConfig
     from osm_merge_ray.stages.poi import conflate_pois
-    from osm_merge_ray.sources.geojson import features_to_table
-    import numpy as np
 
-    from osm_merge_ray.util import uniform01
-
-    idx = np.arange(90, dtype=np.uint64)
-    lon = -106.0 + uniform01(idx, salt=51) * 0.3
-    lat = 39.0 + uniform01(idx, salt=61) * 0.3
-    pois, osm = [], []
-    for i in range(90):
-        pois.append({"geometry": {"type": "Point", "coordinates": [float(lon[i]), float(lat[i])]},
-                     "properties": {"amenity": "bench", "name": f"Bench {i}"}})
-        if i % 2 == 0:
-            osm.append({"geometry": {"type": "Point",
-                                     "coordinates": [float(lon[i]) + 2e-5, float(lat[i])]},
-                        "properties": {"amenity": "bench", "name": f"Bench {i}"}})
+    p, s = _poi_fixture()
     out = conflate_pois(
-        rd.from_arrow(features_to_table(pois)),
-        rd.from_arrow(features_to_table(osm, start_id=8000)),
+        rd.from_arrow(p), rd.from_arrow(s),
         ConflationConfig(cell_res=15, num_buckets=8), tolerance_m=10.0,
     )
     return out.select_columns(["feature_id", "matched_id", "decision", "hits"])
+
+
+# POI tag hit (conflatePOI.py:222 analog): indel ratio > 80, NO length
+# gate. Fixture pairs are either equal (ratio 100) or share almost
+# nothing (both indel- and levenshtein-based ratios far below 80), so
+# the levenshtein restatement decides every gate identically.
+def _sql_poi_hit(a: str, b: str) -> str:
+    return f"""(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL
+        AND 100.0 * (1.0 - levenshtein(lower({a}), lower({b}))
+            / CAST(length({a}) + length({b}) AS DOUBLE)) > 80.0
+       THEN 1 ELSE 0 END)"""
+
+
+SQL_CONFLATE_POIS = f"""
+WITH p AS (
+  SELECT i, i % 6 AS c, 'bench' AS amen, 'Bench Point ' || i AS pname
+  FROM range({_POI_N}) t(i)
+), s AS (
+  -- (i, sid, d_m: centroid distance, klass: node-with-tag 0 / way 2,
+  --  samen, sname) — spatial candidates only (c4 goes via the id join)
+  SELECT i, 9000 + i AS sid, 0.000027 * 111194.92664455873 AS d_m, 0 AS klass,
+         'bench' AS samen, 'Bench Point ' || i AS sname
+  FROM range({_POI_N}) t(i) WHERE i % 6 = 0
+  UNION ALL
+  SELECT i, 9000 + i, 0.000036 * 111194.92664455873, 0,
+         'bench', 'Bench Point ' || i
+  FROM range({_POI_N}) t(i) WHERE i % 6 IN (1, 2)
+  UNION ALL
+  SELECT i, 9500 + i, 0.000018 * 111194.92664455873, 2, 'bench',
+         CASE WHEN i % 6 = 1 THEN 'xq ' || i ELSE 'Bench Point ' || i END
+  FROM range({_POI_N}) t(i) WHERE i % 6 IN (1, 2)
+  UNION ALL
+  SELECT i, 9000 + i, 0.004 * 111194.92664455873, 0,
+         'bench', 'Bench Point ' || i
+  FROM range({_POI_N}) t(i) WHERE i % 6 = 3
+  UNION ALL
+  SELECT i, 9000 + i, 0.000027 * 111194.92664455873, 0, NULL, NULL
+  FROM range({_POI_N}) t(i) WHERE i % 6 = 5
+), cand AS (
+  SELECT p.i, s.sid, s.d_m, s.klass,
+         {_sql_poi_hit('p.amen', 's.samen')}
+       + {_sql_poi_hit('p.pname', 's.sname')} AS hits
+  FROM p JOIN s ON p.i = s.i
+  WHERE s.d_m <= 10.0
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY i
+             ORDER BY hits DESC, klass ASC, d_m ASC, sid ASC) AS rn,
+         count(*) OVER (PARTITION BY i) AS n_cands
+  FROM cand
+)
+SELECT p.i AS feature_id,
+       CAST(coalesce(r.sid, -1) AS BIGINT) AS matched_id,
+       CASE WHEN r.sid IS NULL THEN 'new'
+            WHEN r.n_cands > 1 AND r.hits > 0 THEN 'duplicate'
+            ELSE 'merged' END AS decision,
+       CAST(coalesce(r.hits, 0) AS BIGINT) AS hits
+FROM p LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON p.i = r.i
+WHERE p.c != 4
+UNION ALL
+SELECT i AS feature_id, CAST(9000 + i AS BIGINT) AS matched_id,
+       'merged' AS decision,
+       CAST({_sql_poi_hit("'bench'", "'bench'")}
+          + {_sql_poi_hit("'Bench Point ' || i", "'Bench Point ' || i")}
+         AS BIGINT) AS hits
+FROM range({_POI_N}) t(i) WHERE i % 6 = 4
+"""
 
 
 def image_pixel_embed_q(sf_dir: str):
@@ -2444,4 +2813,7 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": SQL_MINHASH,
     "dedup_embedding_lsh": SQL_EMBED_LSH,
     "knn_ivf": SQL_KNN_IVF,
+    "conflate_images": SQL_CONFLATE_IMAGES,
+    "conflate_lines": SQL_CONFLATE_LINES,
+    "conflate_pois": SQL_CONFLATE_POIS,
 }
