@@ -5,21 +5,16 @@ All are stateless vectorized ``map_batches`` transforms over a
 token counting, quality scoring, language id, and rolling-hash
 document fingerprinting (winnowing). Tokenization is deliberately the
 simplest SQL-reproducible rule — split on single spaces — so the
-driver's DuckDB oracle can express the same computation exactly;
-``token_count_bpe`` adds a BPE-ish regex count for realism.
+driver's DuckDB oracle can express the same computation exactly; real
+BPE tokenization (trainer + merge loop) lives in ``text/bpe.py``.
 """
 
 from __future__ import annotations
-
-import re
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-
-# a GPT-2-style pretokenizer regex (public pattern family)
-_BPE_RE = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+")
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
 
@@ -47,13 +42,6 @@ def token_stats(t: pa.Table) -> pa.Table:
     out = out.append_column("n_chars_calc", n_chars)
     out = out.append_column("avg_token_len", avg_len)
     return out
-
-
-def token_count_bpe(t: pa.Table) -> pa.Table:
-    """BPE-ish token count via the compiled pretokenizer regex."""
-    text = t.column("text").to_pylist()
-    n = np.fromiter((len(_BPE_RE.findall(s or "")) for s in text), dtype=np.int64, count=len(text))
-    return t.append_column("n_bpe_tokens", pa.array(n, pa.int64()))
 
 
 def quality_score(t: pa.Table) -> pa.Table:

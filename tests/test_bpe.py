@@ -1,0 +1,96 @@
+"""Real-BPE tokenization: trainer determinism, merge-loop semantics,
+pretokenizer parity with the DuckDB oracle's RE2, and end-to-end
+engine-vs-recursive-CTE equality on a corpus slice."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from osm_merge_ray.text.bpe import (
+    BPE_PRETOKEN_PAT,
+    BpeTokenCounter,
+    bpe_oracle_sql,
+    bpe_token_count,
+    merge_all,
+    merges,
+    pretokenize,
+    train_bpe,
+)
+
+
+def test_trainer_deterministic_and_sane():
+    m1 = train_bpe("low lower lowest low low newer newest new", 10)
+    m2 = train_bpe("low lower lowest low low newer newest new", 10)
+    assert m1 == m2
+    # the most frequent pair of the classic example merges first
+    assert ("l", "o") in m1 and ("lo", "w") in m1
+    assert len(merges()) == 200
+    assert len(set(merges())) == 200  # ranks unique
+
+
+def test_merge_all_left_to_right_non_overlapping():
+    # "aaa" with merge (a,a): first two merge, third survives — the
+    # same occurrences a string replace on the delimited form merges
+    assert merge_all(["a", "a", "a"], "a", "a") == ["aa", "a"]
+    assert merge_all(["a", "b", "a", "b"], "a", "b") == ["ab", "ab"]
+    assert merge_all(["x"], "a", "b") == ["x"]
+
+
+def test_merge_loop_matches_manual():
+    ranks = {("a", "b"): 0, ("ab", "c"): 1, ("c", "d"): 2}
+    # abcd: (a,b) -> ab,c,d ; (ab,c) -> abc,d ; no (abc,d) rank -> 2
+    assert bpe_token_count("abcd", ranks, {}) == 2
+    # cd alone: (c,d) applies -> 1 token
+    assert bpe_token_count("cd", ranks, {}) == 1
+    assert bpe_token_count("", ranks, {}) == 0
+    assert bpe_token_count("z", ranks, {}) == 1
+
+
+def test_counts_never_exceed_chars_and_compress_common_words():
+    ranks = {p: r for r, p in enumerate(merges())}
+    for w in (" the", " table", " value", " query", "xyzzy"):
+        n = bpe_token_count(w, ranks, {})
+        assert 1 <= n <= len(w)
+    # seed-corpus words compress to one or two tokens
+    assert bpe_token_count(" the", ranks, {}) == 1
+
+
+def test_pretokenizer_matches_duckdb_re2():
+    con = duckdb.connect()
+    samples = [
+        "the quick brown fox", "it's we're  they've", "a1 22b  c;; d",
+        "  leading and trailing  ", "", "tabs\tand\nnewlines",
+    ]
+    for s in samples:
+        dd = con.execute(
+            "SELECT regexp_extract_all(?, ?)", [s, BPE_PRETOKEN_PAT]
+        ).fetchone()[0]
+        assert pretokenize(s) == dd
+
+
+def test_engine_matches_recursive_cte_oracle():
+    texts = [
+        "the value of the table is the key to the fast scan",
+        "it's a small part of a big row group",
+        "unseen zz@@ chars $% and 12345 numbers",
+        "",
+        "the the the",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    eng = BpeTokenCounter()(t)
+    con = duckdb.connect()
+    con.register("documents", t)
+    got = dict(con.execute(bpe_oracle_sql()).fetchall())
+    want = dict(zip(eng["doc_id"].to_pylist(), eng["n_bpe_tokens"].to_pylist()))
+    assert got == want
+
+
+def test_cache_is_correct():
+    ranks = {p: r for r, p in enumerate(merges())}
+    cache: dict[str, int] = {}
+    a = bpe_token_count(" table", ranks, cache)
+    b = bpe_token_count(" table", ranks, cache)
+    assert a == b and " table" in cache
