@@ -133,7 +133,7 @@ class MinHasher:
 def _bucket_pairs(df: pd.DataFrame, id_column: str) -> pd.DataFrame:
     """Vectorized pair emission for one hash bucket of band rows:
     same-(band_id, band_hash) pairs, deduped within the bucket."""
-    from osm_merge_ray.ops import same_key_pairs
+    from osm_merge_ray.ops import dedup_pairs, same_key_pairs
 
     key = splitmix64(
         df["band_hash"].to_numpy().view(np.uint64)
@@ -146,11 +146,8 @@ def _bucket_pairs(df: pd.DataFrame, id_column: str) -> pd.DataFrame:
     if len(ia) == 0:
         return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
                              "id_b": pd.Series(dtype=np.int64)})
-    packed = np.unique((ids[ia].astype(np.int64) << np.int64(31)) | ids[ib].astype(np.int64))
-    return pd.DataFrame({
-        "id_a": (packed >> np.int64(31)),
-        "id_b": packed & np.int64((1 << 31) - 1),
-    })
+    ua, ub, _ = dedup_pairs(ids[ia], ids[ib])
+    return pd.DataFrame({"id_a": ua, "id_b": ub})
 
 
 def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 16, k: int = 3,
@@ -327,18 +324,14 @@ def minhash_pairs_poly(ds, num_perm: int = 32, bands: int = 8, k: int = 8,
         ).view(np.int64)
         ids = df[id_column].to_numpy()
         bkeys = df["bkey"].to_numpy()
-        from osm_merge_ray.ops import same_key_pairs
+        from osm_merge_ray.ops import dedup_pairs, same_key_pairs
 
         ia, ib = same_key_pairs(keys, keys)
         # guard against 64-bit mix collisions with the exact key
         keep = (ids[ia] < ids[ib]) & (bkeys[ia] == bkeys[ib])
         ia, ib = ia[keep], ib[keep]
-        packed = np.unique((ids[ia].astype(np.int64) << np.int64(31))
-                           | ids[ib].astype(np.int64))
-        return pd.DataFrame({
-            "id_a": (packed >> np.int64(31)),
-            "id_b": packed & np.int64((1 << 31) - 1),
-        })
+        ua, ub, _ = dedup_pairs(ids[ia], ids[ib])
+        return pd.DataFrame({"id_a": ua, "id_b": ub})
 
     pairs = (
         ds.map_batches(band_rows, batch_format="pyarrow")

@@ -75,7 +75,7 @@ def simhash_pairs(ds, id_column: str = "doc_id", text_column: str = "text",
         return pa.concat_tables(parts)
 
     def emit(df: pd.DataFrame) -> pd.DataFrame:
-        from osm_merge_ray.ops import same_key_pairs
+        from osm_merge_ray.ops import dedup_pairs, same_key_pairs
         from osm_merge_ray.util import splitmix64
 
         key = splitmix64(
@@ -94,13 +94,8 @@ def simhash_pairs(ds, id_column: str = "doc_id", text_column: str = "text",
         ham = hamming64(fps[ia], fps[ib])
         ok = ham <= max_hamming
         ia, ib, ham = ia[ok], ib[ok], ham[ok]
-        packed = (ids[ia].astype(np.int64) << np.int64(31)) | ids[ib].astype(np.int64)
-        _, first = np.unique(packed, return_index=True)
-        return pd.DataFrame({
-            "id_a": ids[ia[first]].astype(np.int64),
-            "id_b": ids[ib[first]].astype(np.int64),
-            "hamming": ham[first],
-        })
+        ua, ub, first = dedup_pairs(ids[ia], ids[ib])
+        return pd.DataFrame({"id_a": ua, "id_b": ub, "hamming": ham[first]})
 
     from osm_merge_ray.ops import grouped_reduce
     from osm_merge_ray.util import splitmix64 as _smx

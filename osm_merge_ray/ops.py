@@ -259,10 +259,36 @@ def bucketed_hash_join(ds_left, ds_right, key: str, num_buckets: int = 64,
 
 def pack_pair(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Pack two non-negative < 2^31 ids into one int64 (for native
-    distinct/unique instead of a groupby-head dedup)."""
-    return (np.asarray(a, dtype=np.int64) << np.int64(31)) | np.asarray(b, dtype=np.int64)
+    distinct/unique instead of a groupby-head dedup). ENFORCES the
+    range precondition — real OSM node ids already exceed 2^33, and a
+    silent overflow would emit corrupted pairs; use ``dedup_pairs``
+    when ids can be arbitrary int64."""
+    a = np.asarray(a, dtype=np.int64)
+    b = np.asarray(b, dtype=np.int64)
+    if len(a) and (int(a.max()) >= (1 << 31) or int(b.max()) >= (1 << 31)
+                   or int(a.min()) < 0 or int(b.min()) < 0):
+        raise ValueError("pack_pair requires 0 <= id < 2^31; "
+                         "use dedup_pairs for arbitrary int64 ids")
+    return (a << np.int64(31)) | b
 
 
 def unpack_pair(p: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     p = np.asarray(p, dtype=np.int64)
     return p >> np.int64(31), p & np.int64((1 << 31) - 1)
+
+
+def dedup_pairs(id_a: np.ndarray, id_b: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distinct (id_a, id_b) rows for ARBITRARY int64 ids — no packing
+    range limit (ADVICE r2: OSM node ids exceed 2^33). One np.unique
+    over a two-field structured view, lexicographic (a, b) order.
+    Returns (unique_a, unique_b, first_occurrence_index) so callers can
+    also gather per-pair payload columns (e.g. hamming) via the index.
+    """
+    m = np.empty((len(id_a), 2), dtype=np.int64)
+    m[:, 0] = np.asarray(id_a, dtype=np.int64)
+    m[:, 1] = np.asarray(id_b, dtype=np.int64)
+    v = m.view([("a", np.int64), ("b", np.int64)]).ravel()
+    u, first = np.unique(v, return_index=True)
+    return (np.ascontiguousarray(u["a"]), np.ascontiguousarray(u["b"]),
+            first)

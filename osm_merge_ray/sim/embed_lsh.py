@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from osm_merge_ray.ops import grouped_reduce, same_key_pairs
+from osm_merge_ray.ops import dedup_pairs, grouped_reduce, same_key_pairs
 from osm_merge_ray.util import splitmix64
 
 
@@ -95,10 +95,8 @@ def embedding_neardup_lsh(ds, dim: int, threshold: float = 0.9,
         if len(ia) == 0:
             return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
                                  "id_b": pd.Series(dtype=np.int64)})
-        packed = (ids[ia].astype(np.int64) << np.int64(31)) | ids[ib].astype(np.int64)
-        u = np.unique(packed)
-        return pd.DataFrame({"id_a": (u >> np.int64(31)).astype(np.int64),
-                             "id_b": (u & np.int64((1 << 31) - 1)).astype(np.int64)})
+        ua, ub, _ = dedup_pairs(ids[ia], ids[ib])
+        return pd.DataFrame({"id_a": ua, "id_b": ub})
 
     cand = (
         coded.map_batches(with_bucket, batch_format="pyarrow")
@@ -256,10 +254,8 @@ def embedding_neardup_lsh_int(ds, dim: int, threshold: float = 0.35,
         if len(ia) == 0:
             return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
                                  "id_b": pd.Series(dtype=np.int64)})
-        u = np.unique((ids[ia].astype(np.int64) << np.int64(31))
-                      | ids[ib].astype(np.int64))
-        return pd.DataFrame({"id_a": (u >> np.int64(31)).astype(np.int64),
-                             "id_b": (u & np.int64((1 << 31) - 1)).astype(np.int64)})
+        ua, ub, _ = dedup_pairs(ids[ia], ids[ib])
+        return pd.DataFrame({"id_a": ua, "id_b": ub})
 
     cand = (
         ds.map_batches(code, batch_format="pyarrow")

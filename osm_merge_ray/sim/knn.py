@@ -261,8 +261,9 @@ def ivf_fixed_topk(ds, queries: np.ndarray, query_ids: np.ndarray,
         def mask(j):
             return np.isin(lists, pr[j]) & (ids != qids[j])
 
-        # per-batch cap 64 >= global k keeps partials small, never lossy
-        return _emit_topk(sims, ids, qids, mask, 64)
+        # per-batch cap >= global k keeps partials small, never lossy
+        # (max() guards k > 64 — a fixed 64 would silently truncate)
+        return _emit_topk(sims, ids, qids, mask, max(64, k))
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
     return partials.groupby("query_id").map_groups(_final_topk(k),
@@ -283,7 +284,19 @@ def ivf_build_index(ds, out_dir: str, n_centroids: int = 16,
     import os
     import shutil
 
-    shutil.rmtree(out_dir, ignore_errors=True)
+    if os.path.isdir(out_dir):
+        entries = os.listdir(out_dir)
+        looks_like_index = (not entries or "centroids.npy" in entries
+                            or any(e.startswith("list_id=") for e in entries))
+        if not looks_like_index:
+            # refuse to delete a directory that is not a prior index —
+            # a mistyped/reused path must not nuke unrelated data
+            # (ADVICE r2 #5)
+            raise ValueError(
+                f"refusing to remove {out_dir!r}: it exists but does not "
+                "look like a prior IVF index (no centroids.npy / "
+                "list_id=* layout)")
+        shutil.rmtree(out_dir, ignore_errors=True)
 
     if distributed_train:
         cents = train_centroids_distributed(ds, n_centroids, vec_column=vec_column)

@@ -120,13 +120,30 @@ def parse_geojson_fragment(data: bytes, id0: int) -> pa.Table:
         nxt = _next_feature_start(data, pos + 1)
         frag = data[pos:nxt].rstrip()
         # strip trailing collection closers / separators (",", "]", "}")
-        while frag and frag[-1:] in (b",", b"]", b"}", b" ", b"\n", b"\r", b"\t"):
+        parsed = False
+        while frag:
             probe = frag.rstrip(b", \n\r\t")
+            if not probe:
+                break
             try:
                 feats.append(json.loads(probe))
+                parsed = True
                 break
             except json.JSONDecodeError:
-                frag = probe[:-1]
+                if probe[-1:] in (b",", b"]", b"}"):
+                    frag = probe[:-1]
+                else:
+                    break
+        if not parsed:
+            # a feature larger than the reader's overlap arrives
+            # truncated mid-object; failing loudly beats silent data
+            # loss (ADVICE r2 #3) — raise so the caller can raise the
+            # overlap (read_osm_xml_chunked fails the same way).
+            raise ValueError(
+                f"unparseable GeoJSON feature fragment at offset {pos} "
+                f"({min(nxt, len(data)) - pos} bytes) — feature larger "
+                "than the chunk overlap? Increase `overlap`."
+            )
         pos = nxt
         if nxt >= len(data):
             break

@@ -45,10 +45,14 @@ def fine_res_of(cfg: ConflationConfig) -> int:
 
 
 def bbox_band_targets(x0, y0, x1, y1, res: int, band_m: float,
-                      cap: int = AXIS_CAP) -> tuple[np.ndarray, np.ndarray]:
+                      cap: int = AXIS_CAP, return_trimmed: bool = False):
     """(row_idx, target_cell) for every grid cell at ``res`` overlapped
     by each bbox expanded by ``band_m`` meters (lat-aware on lon).
-    Point rows (x0==x1, y0==y1) reduce to the flagship's border-band."""
+    Point rows (x0==x1, y0==y1) reduce to the flagship's border-band.
+    With ``return_trimmed`` also returns a per-INPUT-row bool mask of
+    rows whose cover exceeded ``cap`` cells per axis and was clamped —
+    callers that promise completeness must route those rows through an
+    exhaustive path instead (ADVICE r2 #2)."""
     x0, y0, x1, y1 = (np.asarray(a, dtype=np.float64) for a in (x0, y0, x1, y1))
     n = len(x0)
     if n == 0:
@@ -63,6 +67,7 @@ def bbox_band_targets(x0, y0, x1, y1, res: int, band_m: float,
     iy0 = np.floor((y0 - by + 90.0) / s).astype(np.int64)
     iy1 = np.floor((y1 + by + 90.0) / s).astype(np.int64)
     span = 2 * cap  # max cells per axis = span+1
+    trimmed = (ix1 - ix0 > span) | (iy1 - iy0 > span)
     ix1 = np.minimum(ix1, ix0 + span)
     iy1 = np.minimum(iy1, iy0 + span)
     nx_cnt = ix1 - ix0 + 1
@@ -78,7 +83,10 @@ def bbox_band_targets(x0, y0, x1, y1, res: int, band_m: float,
     ny = np.int64(1 << max(res - 1, 0))
     jx = np.mod(jx, nx)
     jy = np.clip(jy, 0, ny - 1)
-    return rows, C.xy_to_cell(jx, jy, res)
+    cells = C.xy_to_cell(jx, jy, res)
+    if return_trimmed:
+        return rows, cells, trimmed
+    return rows, cells
 
 
 def reach_m(lon, lat, x0, y0, x1, y1) -> np.ndarray:
@@ -266,10 +274,23 @@ def local_refined_pairs(kp: np.ndarray, ks: np.ndarray,
         kp[p_idx].view(np.uint64)
         ^ C.lonlat_to_cell(p_lon[p_idx], p_lat[p_idx], fine).view(np.uint64)
     ).view(np.int64)
-    rows, cells = bbox_band_targets(
+    rows, cells, trimmed = bbox_band_targets(
         s_x0[s_idx], s_y0[s_idx], s_x1[s_idx], s_y1[s_idx], fine, band_m,
         cap=64,  # local arrays only — a wide cover costs memory, not shuffle
+        return_trimmed=True,
     )
+    if trimmed.any():
+        # a secondary spanning more cells than the cap would lose far-end
+        # in-band pairs to the clamp (ADVICE r2 #2) — route such rows
+        # through exhaustive same-group pairing instead (bounded: they
+        # pair against every primary of their original oversized group,
+        # the pre-refinement behavior) and drop their clamped replicas.
+        t_idx = s_idx[trimmed]
+        pi_t, si_t = same_key_pairs(kp[p_idx], ks[t_idx])
+        out_p.append(p_idx[pi_t])
+        out_s.append(t_idx[si_t])
+        keep_rep = ~trimmed[rows]
+        rows, cells = rows[keep_rep], cells[keep_rep]
     s_rep = s_idx[rows]
     ks2 = splitmix64(ks[s_rep].view(np.uint64) ^ cells.view(np.uint64)).view(np.int64)
     pi1, si1 = same_key_pairs(kp2, ks2)
