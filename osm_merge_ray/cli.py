@@ -67,8 +67,7 @@ def cmd_conflate_lines(args) -> int:
     import pyarrow as pa
 
     from osm_merge_ray.config import ConflationConfig
-    from osm_merge_ray.sources.geojson import read_geojson, write_geojson
-    from osm_merge_ray.sources.osm_xml import write_osm_xml
+    from osm_merge_ray.sources.geojson import read_geojson
     from osm_merge_ray.stages.lines import conflate_lines
 
     def read_side(path):
@@ -92,31 +91,41 @@ def cmd_conflate_lines(args) -> int:
     out.write_parquet(args.outdir)
     print(f"wrote decisions to {args.outdir}")
     if args.osm_out or args.new_out:
-        df = pa.concat_tables(out.iter_batches(batch_format="pyarrow",
-                                               batch_size=8192)).to_pandas()
-        if args.osm_out:
-            merged = df[df["decision"] == "merged"]
-            t = pa.table({
-                "osm_id": pa.array(merged["matched_id"].astype("int64")),
-                # conflated rows already carry the +1 version — write as-is
-                "version": pa.array(merged["version"].astype("int32")),
-                "geom_type": pa.array(["LineString"] * len(merged)),
-                "coords_json": pa.array(merged["coords_json"].astype(str)),
-                "props_json": pa.array(merged["merged_json"].astype(str)),
-                "refs_json": pa.array(merged["refs_json"].astype(str)),
-            })
-            n = write_osm_xml(t, args.osm_out, bump_version=False)
-            print(f"wrote {n} merged ways to {args.osm_out}")
-        if args.new_out:
-            new = df[df["decision"] == "new"]
-            t = pa.table({
-                "feature_id": pa.array(new["feature_id"].astype("int64")),
-                "geom_type": pa.array(["LineString"] * len(new)),
-                "coords_json": pa.array(new["coords_json"].astype(str)),
-                "props_json": pa.array(new["merged_json"].astype(str)),
-            })
-            n = write_geojson(t, args.new_out)
-            print(f"wrote {n} new features to {args.new_out}")
+        # ONE streaming pass: filter per batch, feed the incremental
+        # writers — the decision dataset never concatenates on the
+        # driver (VERDICT r2 #6)
+        import pyarrow.compute as pc
+
+        from osm_merge_ray.sources.geojson import GeoJsonStreamWriter
+        from osm_merge_ray.sources.osm_xml import OsmXmlStreamWriter
+
+        osm_w = (OsmXmlStreamWriter(args.osm_out, bump_version=False)
+                 if args.osm_out else None)
+        new_w = GeoJsonStreamWriter(args.new_out) if args.new_out else None
+        for b in out.iter_batches(batch_format="pyarrow", batch_size=8192):
+            if osm_w is not None:
+                m = b.filter(pc.equal(b.column("decision"), "merged"))
+                osm_w.write_batch(pa.table({
+                    "osm_id": m.column("matched_id").cast(pa.int64()),
+                    # conflated rows already carry the +1 version
+                    "version": m.column("version").cast(pa.int32()),
+                    "geom_type": pa.array(["LineString"] * len(m)),
+                    "coords_json": m.column("coords_json").cast(pa.string()),
+                    "props_json": m.column("merged_json").cast(pa.string()),
+                    "refs_json": m.column("refs_json").cast(pa.string()),
+                }))
+            if new_w is not None:
+                nw = b.filter(pc.equal(b.column("decision"), "new"))
+                new_w.write_batch(pa.table({
+                    "feature_id": nw.column("feature_id").cast(pa.int64()),
+                    "geom_type": pa.array(["LineString"] * len(nw)),
+                    "coords_json": nw.column("coords_json").cast(pa.string()),
+                    "props_json": nw.column("merged_json").cast(pa.string()),
+                }))
+        if osm_w is not None:
+            print(f"wrote {osm_w.close()} merged ways to {args.osm_out}")
+        if new_w is not None:
+            print(f"wrote {new_w.close()} new features to {args.new_out}")
     return 0
 
 
@@ -258,7 +267,7 @@ def cmd_dedup(args) -> int:
 
         out = jaccard_pairs(ds, threshold=args.threshold,
                             id_column=args.id_column, text_column=args.text_column,
-                            max_df=args.max_df)
+                            max_df=args.max_df or None)
     out.write_parquet(args.outdir)
     print(f"wrote {args.method} dedup output to {args.outdir}")
     return 0
@@ -333,7 +342,13 @@ def main(argv=None) -> int:
     c.add_argument("--id-column", default="doc_id")
     c.add_argument("--text-column", default="text")
     c.add_argument("--threshold", type=float, default=0.5)
-    c.add_argument("--max-df", type=int, default=None)
+    # non-None default at the SCALE entry point (VERDICT r2 #9): one
+    # stop-gram shared by df docs emits df^2 candidate pairs, so an
+    # uncapped web-scale run melts down on boilerplate grams. Pass 0 to
+    # disable (exact, small corpora only).
+    c.add_argument("--max-df", type=int, default=10_000,
+                   help="drop grams shared by more than this many docs "
+                        "(0 = no cap; exact but unsafe at scale)")
     c.set_defaults(fn=cmd_dedup)
 
     c = sub.add_parser("poly", help="GeoJSON boundary -> osmosis .poly (S9)")

@@ -69,20 +69,41 @@ def table_to_features(t: pa.Table) -> list[dict]:
     return out
 
 
+class GeoJsonStreamWriter:
+    """Incremental FeatureCollection writer: one feature at a time, no
+    whole-dataset driver materialization (VERDICT r2 #6)."""
+
+    def __init__(self, path: str):
+        self._fh = open(path, "w")
+        self._fh.write('{"type": "FeatureCollection", "features": [')
+        self.written = 0
+
+    def write_batch(self, t: pa.Table) -> int:
+        for f in table_to_features(t):
+            prefix = ",\n" if self.written else "\n"
+            self._fh.write(prefix + json.dumps(f, indent=4))
+            self.written += 1
+        return t.num_rows
+
+    def close(self) -> int:
+        self._fh.write("\n]}" if self.written else "]}")
+        self._fh.close()
+        return self.written
+
+
 def write_geojson(ds_or_table, path: str) -> int:
     """FeatureCollection writer (conflator.py:993-1006 semantics).
-    Driver-side single file — for partitioned output use
-    ``ds.write_json`` on the feature table instead."""
+    Single file; Datasets stream batch-by-batch — for partitioned
+    output use ``ds.write_json`` on the feature table instead."""
     if isinstance(ds_or_table, pa.Table):
-        t = ds_or_table
-    else:  # a Dataset — stream batches to the driver
-        t = pa.concat_tables(
-            ds_or_table.iter_batches(batch_format="pyarrow", batch_size=8192)
-        )
-    feats = table_to_features(t)
-    with open(path, "w") as fh:
-        json.dump({"type": "FeatureCollection", "features": feats}, fh, indent=4)
-    return len(feats)
+        batches = [ds_or_table]
+    else:  # a Dataset — stream batches through the incremental writer
+        batches = ds_or_table.iter_batches(batch_format="pyarrow",
+                                           batch_size=8192)
+    w = GeoJsonStreamWriter(path)
+    for b in batches:
+        w.write_batch(b)
+    return w.close()
 
 
 # ---------------------------------------------------------------------------

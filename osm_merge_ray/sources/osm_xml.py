@@ -89,14 +89,16 @@ def read_osm_xml(paths):
     return files.map_batches(parse, batch_format="pyarrow")
 
 
-def render_osm_xml(t: pa.Table, bump_version: bool = True) -> tuple[str, int]:
-    """Feature rows → OSM XML body. Returns (xml, n_rejected) —
-    LineStrings without refs are rejected (conflator.py:946-952 analog).
-    Vectorizable per partition: each partition renders independently;
-    concatenate bodies under one ``<osm>`` root (or write one file per
-    partition like the reference's per-task outputs, S10)."""
-    out = ["<?xml version='1.0' encoding='UTF-8'?>",
-           "<osm version='0.6' generator='osm_merge_ray'>"]
+XML_HEADER = ("<?xml version='1.0' encoding='UTF-8'?>\n"
+              "<osm version='0.6' generator='osm_merge_ray'>")
+
+
+def render_osm_elements(t: pa.Table, bump_version: bool = True) -> tuple[list[str], int]:
+    """Feature rows → per-element XML lines (no ``<osm>`` envelope).
+    Returns (lines, n_rejected) — LineStrings without refs are rejected
+    (conflator.py:946-952 analog). Renders per partition/batch so both
+    the single-file writer and the streaming writer share it."""
+    out: list[str] = []
     rejected = 0
     for osm_id, version, gt, cj, pj, rj in zip(
         t.column("osm_id").to_pylist(), t.column("version").to_pylist(),
@@ -125,24 +127,54 @@ def render_osm_xml(t: pa.Table, bump_version: bool = True) -> tuple[str, int]:
                 continue
             nd_xml = "".join(f"<nd ref={quoteattr(str(r))}/>" for r in refs)
             out.append(f"<way {attrs}>{nd_xml}{tag_xml}</way>")
-    out.append("</osm>")
-    return "\n".join(out), rejected
+    return out, rejected
+
+
+def render_osm_xml(t: pa.Table, bump_version: bool = True) -> tuple[str, int]:
+    """Complete single-document render (envelope + elements)."""
+    lines, rejected = render_osm_elements(t, bump_version)
+    return "\n".join([XML_HEADER, *lines, "</osm>"]), rejected
+
+
+class OsmXmlStreamWriter:
+    """Incremental single-file XML writer: header on open, elements per
+    batch, footer on close — the whole decision dataset never sits on
+    the driver at once (VERDICT r2 #6)."""
+
+    def __init__(self, path: str, bump_version: bool = True):
+        self._fh = open(path, "w")
+        self._fh.write(XML_HEADER + "\n")
+        self._bump = bump_version
+        self.written = 0
+
+    def write_batch(self, t: pa.Table) -> int:
+        lines, rejected = render_osm_elements(t, self._bump)
+        if lines:
+            self._fh.write("\n".join(lines) + "\n")
+        n = t.num_rows - rejected
+        self.written += n
+        return n
+
+    def close(self) -> int:
+        self._fh.write("</osm>")
+        self._fh.close()
+        return self.written
 
 
 def write_osm_xml(ds_or_table, path: str, bump_version: bool = True) -> int:
-    """Driver-side single-file writer (small outputs / tests). Returns
-    the number of elements actually written (ref-less ways are diverted,
-    conflator.py:946-952 semantics)."""
+    """Single-file writer. Tables render in one shot; Datasets STREAM
+    batch-by-batch through ``OsmXmlStreamWriter`` (no driver-side
+    concat). Returns the number of elements actually written (ref-less
+    ways are diverted, conflator.py:946-952 semantics)."""
     if isinstance(ds_or_table, pa.Table):
-        t = ds_or_table
-    else:
-        t = pa.concat_tables(
-            ds_or_table.iter_batches(batch_format="pyarrow", batch_size=8192)
-        )
-    xml, rejected = render_osm_xml(t, bump_version)
-    with open(path, "w") as fh:
-        fh.write(xml)
-    return t.num_rows - rejected
+        xml, rejected = render_osm_xml(ds_or_table, bump_version)
+        with open(path, "w") as fh:
+            fh.write(xml)
+        return ds_or_table.num_rows - rejected
+    w = OsmXmlStreamWriter(path, bump_version)
+    for b in ds_or_table.iter_batches(batch_format="pyarrow", batch_size=8192):
+        w.write_batch(b)
+    return w.close()
 
 
 # ---------------------------------------------------------------------------

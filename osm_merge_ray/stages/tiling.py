@@ -91,7 +91,11 @@ def render_tiles(source_path: str, out_dir: str, grid: TileGrid,
         lat = t.column("lat").to_numpy(zero_copy_only=False)
         return t.append_column("tile_id", pa.array(grid.tile_of_lonlat(lon, lat), pa.int64()))
 
-    ds = rd.read_parquet(source_path)
+    # prune the read to exactly the columns the render touches — the
+    # source table also carries caption/phash/w/h/fmt, which would
+    # otherwise ride along with every multi-MB bytes row (VERDICT r2 #7)
+    ds = rd.read_parquet(source_path,
+                         columns=["image_id", "bytes", "lon", "lat"])
     out = ds.map_batches(assign_and_filter, batch_format="pyarrow")
     out.write_parquet(out_dir, partition_cols=["tile_id"])
     return out_dir

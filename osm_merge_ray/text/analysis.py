@@ -148,32 +148,54 @@ def tfidf_top_terms(ds, k: int = 3, id_column: str = "doc_id",
     if max_vocab is not None and len(df_tbl) > max_vocab:
         df_tbl = df_tbl.sort_values(["df", "term"], ascending=[False, True]
                                     ).head(max_vocab)
-    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"])))
+    # broadcast a SORTED vocab + per-term idf (sorted order makes tid
+    # ascending == term ascending, so the tie-break stays a lexsort key)
+    df_tbl = df_tbl.sort_values("term")
+    vocab = df_tbl["term"].to_numpy(dtype=str)
+    idf = np.log(n_docs / df_tbl["df"].to_numpy())
+    df_ref = ray.put((vocab, idf))
 
     def score(t: pa.Table) -> pa.Table:
-        dfs = ray.get(df_ref)
-        out_id, out_term, out_score, out_rank = [], [], [], []
-        for did, s in zip(t.column(id_column).to_pylist(),
-                          t.column(text_column).to_pylist()):
-            words = (s or "").split(" ")
-            tf: dict[str, int] = {}
-            for w in words:
-                tf[w] = tf.get(w, 0) + 1
-            scored = sorted(
-                ((round(c * float(np.log(n_docs / dfs[w])), 6), w)
-                 for w, c in tf.items() if w in dfs),
-                key=lambda x: (-x[0], x[1]),
-            )[:k]
-            for r, (sc, w) in enumerate(scored, 1):
-                out_id.append(did)
-                out_term.append(w)
-                out_score.append(sc)
-                out_rank.append(r)
+        # fully vectorized scoring (VERDICT r2 #5): searchsorted term
+        # lookup into the sorted vocab, per-(doc, term) counts via one
+        # np.unique, round-6 quantized ranking by lexsort — no per-doc
+        # Python dicts or sorts.
+        from osm_merge_ray.ops import rank_within_groups
+
+        voc, lnv = ray.get(df_ref)
+        v_n = len(voc)
+        ids = t.column(id_column).to_numpy(zero_copy_only=False)
+        texts = t.column(text_column).to_pylist()
+        per_doc = [(s or "").split(" ") for s in texts]
+        lens = np.fromiter((len(w) for w in per_doc), dtype=np.int64,
+                           count=len(per_doc))
+        doc_of = np.repeat(np.arange(len(per_doc), dtype=np.int64), lens)
+        empty = pa.table({
+            id_column: pa.array([], t.column(id_column).type),
+            "term": pa.array([], pa.string()),
+            "tfidf": pa.array([], pa.float64()),
+            "rank": pa.array([], pa.int64()),
+        })
+        if v_n == 0 or len(doc_of) == 0:
+            return empty
+        words = np.asarray([w for ws in per_doc for w in ws], dtype=str)
+        pos = np.clip(np.searchsorted(voc, words), 0, v_n - 1)
+        ok = voc[pos] == words
+        tid = pos[ok]
+        d = doc_of[ok]
+        if len(d) == 0:
+            return empty
+        key, counts = np.unique(d * v_n + tid, return_counts=True)
+        ud, ut = key // v_n, key % v_n
+        sc = np.round(counts * lnv[ut], 6)
+        order = np.lexsort((ut, -sc, ud))
+        rnk = rank_within_groups(ud[order])
+        keep = order[rnk < k]
         return pa.table({
-            id_column: pa.array(out_id),
-            "term": pa.array(out_term, pa.string()),
-            "tfidf": pa.array(out_score, pa.float64()),
-            "rank": pa.array(out_rank, pa.int64()),
+            id_column: pa.array(ids[ud[keep]]),
+            "term": pa.array(voc[ut[keep]], pa.string()),
+            "tfidf": pa.array(sc[keep], pa.float64()),
+            "rank": pa.array(rnk[rnk < k] + 1, pa.int64()),
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
