@@ -91,14 +91,26 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
 
     # headline: read → decode/verify (actor pool) → cell-shuffle conflate
-    # → tile assign → partitioned parquet write
+    # → tile assign → partitioned parquet write.
+    # Median-of-N + spread (default 5): this is a shared host whose
+    # run-to-run noise swung recorded rows/s by ~40% between rounds 1
+    # and 2; the median is the number to beat, the spread says whether
+    # a delta is real. Scaling legs keep 1 repeat (they already take
+    # best-of-2 at the process level).
     out_dir = f"/tmp/graft_bench/out_{NUM_CPUS}"
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.time()
     cfg = ConflationConfig(num_buckets=128)  # fixed layout across CPU levels
-    conflate_parquet(f"{data_dir}/primary", f"{data_dir}/secondary", cfg=cfg,
-                     decode_images=True, out_dir=out_dir)
-    headline = time.time() - t0
+    n_flag = 1 if os.environ.get("GRAFT_SCALING") else int(
+        os.environ.get("GRAFT_FLAGSHIP_REPEATS", "5"))
+    walls = []
+    for _ in range(n_flag):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        conflate_parquet(f"{data_dir}/primary", f"{data_dir}/secondary",
+                         cfg=cfg, decode_images=True, out_dir=out_dir)
+        walls.append(time.time() - t0)
+    walls.sort()
+    headline = walls[len(walls) // 2] if n_flag % 2 else (
+        walls[n_flag // 2 - 1] + walls[n_flag // 2]) / 2
     n_rows = pq.read_table(out_dir, columns=["decision"]).num_rows
     timings["flagship_conflation"] = round(headline, 3)
 
@@ -123,6 +135,9 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "flagship_rows": int(n_rows),
         "flagship_rows_per_sec": round(n_rows / headline, 1),
+        "flagship_walls_sec": [round(w, 3) for w in walls],
+        "flagship_spread_pct": round(
+            100.0 * (walls[-1] - walls[0]) / headline, 1),
     }
     ray.shutdown()
     return result

@@ -72,12 +72,13 @@ def polyline_min_dist_m(line_a: np.ndarray, line_b: np.ndarray) -> float:
     lat0 = float(np.mean(line_a[:, 1]))
     kx = 111320.0 * float(np.cos(np.radians(lat0)))
     ky = 110540.0
+    # date-line wrap: bring B into A's lon frame (±360 when the pair
+    # straddles ±180). Exact for local geometries (the engine splits
+    # antimeridian-crossing lines upstream, so parts never span >180°).
+    shift = round((float(line_a[0, 0]) - float(line_b[0, 0])) / 360.0) * 360.0
 
-    def project(line):
-        return line[:, 0] * kx, line[:, 1] * ky
-
-    ax, ay = project(line_a)
-    bx, by = project(line_b)
+    ax, ay = line_a[:, 0] * kx, line_a[:, 1] * ky
+    bx, by = (line_b[:, 0] + shift) * kx, line_b[:, 1] * ky
     # vertices of A vs segments of B and vice versa — for non-crossing
     # lines this equals true segment-segment min distance; crossing
     # lines have distance ~0 which vertex sampling approximates well
@@ -125,8 +126,10 @@ def batch_polyline_min_dist_m(axs, ays, la, bxs, bys, lb,
         lat0 = ay.sum(axis=1) / np.maximum(a_l, 1)
         kx = (111320.0 * np.cos(np.radians(lat0)))[:, None]
         ky = 110540.0
+        # date-line wrap by first-vertex delta (see polyline_min_dist_m)
+        shift = np.round((ax[:, 0] - bx[:, 0]) / 360.0)[:, None] * 360.0
         pax, pay = ax * kx, ay * ky
-        pbx, pby = bx * kx, by * ky
+        pbx, pby = (bx + shift) * kx, by * ky
         va = (np.arange(ax.shape[1])[None, :] < a_l[:, None])
         vb = (np.arange(bx.shape[1])[None, :] < b_l[:, None])
         best = np.full(hi - lo, np.inf)

@@ -883,6 +883,52 @@ FROM documents GROUP BY text
 """
 
 
+def text_decontaminate_q(sf_dir: str):
+    """Train-set decontamination report vs a held-out eval slice
+    (doc_id % 20 == 0) by shared word 3-grams (text/decontaminate.py):
+    every train doc sharing >= 1 distinct gram with the eval corpus,
+    with its own gram count so consumers can threshold on overlap
+    fraction. Only 64-bit gram hashes are shuffled."""
+    from osm_merge_ray.text.decontaminate import contamination_report
+
+    def split(t: pa.Table, keep_eval: bool) -> pa.Table:
+        # numpy modulo: this pyarrow build has no pc.modulo kernel
+        m = (t.column("doc_id").to_numpy() % 20 == 0)
+        return t.filter(pa.array(m if keep_eval else ~m))
+
+    train = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: split(t, False), batch_format="pyarrow")
+    evals = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: split(t, True), batch_format="pyarrow")
+    out = contamination_report(train, evals, k=3)
+    return out.select_columns(["doc_id", "n_grams", "n_shared"])
+
+
+SQL_DECONTAMINATE = """
+WITH w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+    FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+    WHERE len(ws) >= 3
+    UNION ALL
+    SELECT doc_id, text AS gram FROM w WHERE len(ws) < 3 AND text != ''
+  )
+), ev AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0
+), tr AS (
+  SELECT doc_id, gram FROM g WHERE doc_id % 20 != 0
+), n AS (
+  SELECT doc_id, count(*) AS ng FROM tr GROUP BY doc_id
+)
+SELECT tr.doc_id, n.ng AS n_grams, count(*) AS n_shared
+FROM tr JOIN ev USING (gram) JOIN n ON n.doc_id = tr.doc_id
+GROUP BY tr.doc_id, n.ng
+HAVING count(*) >= 1
+"""
+
+
 def dedup_jaccard_q(sf_dir: str, threshold: float = 0.2):
     from osm_merge_ray.dedup.jaccard import jaccard_pairs
 
@@ -2747,6 +2793,7 @@ QUERIES = {
     "spatial_polygon_overlap": spatial_polygon_overlap,
     "dedup_exact": dedup_exact_q,
     "dedup_ngram_jaccard": dedup_jaccard_q,
+    "text_decontaminate": text_decontaminate_q,
     "dedup_clusters": dedup_clusters_q,
     "train_val_split": train_val_split_q,
     "dedup_rate_report": dedup_rate_report_q,
@@ -2799,6 +2846,7 @@ ORACLE_SQL = {
     "spatial_polygon_overlap": SQL_POLYGON_OVERLAP,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
+    "text_decontaminate": SQL_DECONTAMINATE,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "train_val_split": SQL_TRAIN_VAL,
     "dedup_rate_report": SQL_DEDUP_RATE.format(jac=SQL_DEDUP_JACCARD),

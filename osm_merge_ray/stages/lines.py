@@ -37,6 +37,7 @@ import json
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from osm_merge_ray.config import ConflationConfig
 from osm_merge_ray.geo import cells as C
@@ -100,16 +101,37 @@ def score_tags(ext: dict, osm: dict, cfg: ConflationConfig) -> tuple[int, dict]:
 
 
 def _line_prepare(t: pa.Table, cfg: ConflationConfig, side: int) -> pa.Table:
+    """Light row per feature — except date-line crossers, which emit one
+    row PER SPLIT PART (same feature_id, part-local centroid/bbox/cell,
+    the part geometry in ``part_json``). ``coords_json`` always keeps
+    the original geometry so output rows carry the full feature;
+    matching parses ``part_json`` when non-empty."""
+    from osm_merge_ray.geo.antimeridian import crosses_antimeridian, split_antimeridian
+
     coords = t.column("coords_json").to_pylist()
-    n = len(coords)
-    lon = np.empty(n)
-    lat = np.empty(n)
-    bbox = np.empty((n, 4))
+    take: list[int] = []
+    part_json: list[str] = []
+    lon_l: list[float] = []
+    lat_l: list[float] = []
+    bb: list[tuple] = []
     for i, cj in enumerate(coords):
         c = np.asarray(json.loads(cj), dtype=np.float64).reshape(-1, 2)
-        lon[i], lat[i] = c.mean(axis=0)
-        bbox[i] = (c[:, 0].min(), c[:, 1].min(), c[:, 0].max(), c[:, 1].max())
+        parts = (split_antimeridian(c)
+                 if crosses_antimeridian(c[:, 0]) else [c])
+        whole = len(parts) == 1
+        for pc in parts:
+            take.append(i)
+            part_json.append("" if whole else json.dumps(pc.tolist()))
+            lon_l.append(float(pc[:, 0].mean()))
+            lat_l.append(float(pc[:, 1].mean()))
+            bb.append((pc[:, 0].min(), pc[:, 1].min(),
+                       pc[:, 0].max(), pc[:, 1].max()))
+    lon = np.asarray(lon_l)
+    lat = np.asarray(lat_l)
+    bbox = np.asarray(bb, dtype=np.float64).reshape(-1, 4)
+    n = len(take)
     cell = C.lonlat_to_cell(lon, lat, cfg.cell_res)
+    t = t.take(np.asarray(take, dtype=np.int64))
     ids = (t.column("feature_id") if "feature_id" in t.column_names
            else t.column("osm_id"))
     version = (t.column("version") if "version" in t.column_names
@@ -121,6 +143,7 @@ def _line_prepare(t: pa.Table, cfg: ConflationConfig, side: int) -> pa.Table:
         "version": version,
         "geom_type": t.column("geom_type"),
         "coords_json": t.column("coords_json"),
+        "part_json": pa.array(part_json, pa.string()),
         "props_json": t.column("props_json"),
         "refs_json": refs,
         "lon": pa.array(lon, pa.float64()),
@@ -144,14 +167,46 @@ def conflate_lines(primary_ds, secondary_ds, cfg: ConflationConfig | None = None
     flagship path."""
     cfg = cfg or ConflationConfig(cell_res=12)
 
-    p = primary_ds.map_batches(lambda t: _line_prepare(t, cfg, 0), batch_format="pyarrow")
-    s = secondary_ds.map_batches(lambda t: _line_prepare(t, cfg, 1), batch_format="pyarrow")
+    # materialized so the part probe below doesn't re-run the prepare
+    # (shuffle_match's union of materialized inputs is a block-ref
+    # concat, not a recompute)
+    p = primary_ds.map_batches(lambda t: _line_prepare(t, cfg, 0),
+                               batch_format="pyarrow").materialize()
+    s = secondary_ds.map_batches(lambda t: _line_prepare(t, cfg, 1),
+                                 batch_format="pyarrow")
+
+    def count_parts(t: pa.Table) -> pa.Table:
+        k = int(pc.sum(pc.cast(pc.not_equal(t.column("part_json"), ""),
+                               pa.int64())).as_py() or 0)
+        return pa.table({"k": pa.array([k], pa.int64())})
+
+    has_parts = int(p.map_batches(count_parts, batch_format="pyarrow")
+                    .to_pandas()["k"].sum()) > 0
 
     def match(df: pd.DataFrame) -> pd.DataFrame:
         return match_lines_group(df, cfg)
 
-    return P.shuffle_match(p, s, cfg, cfg.distance_m, match,
-                           skew_salting=skew_salting)
+    out = P.shuffle_match(p, s, cfg, cfg.distance_m, match,
+                          skew_salting=skew_salting)
+    if has_parts:
+        # a split primary produced one decision row per part (parts land
+        # in different cells); keep the best per feature — matched
+        # decisions beat "new", then hits desc, dist asc, matched_id asc
+        from osm_merge_ray.ops import grouped_reduce
+
+        def best_part(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.assign(_new=(df["decision"] == "new").astype(np.int64))
+            df = df.sort_values(
+                ["feature_id", "_new", "hits", "dist_m", "matched_id",
+                 "decision"],
+                ascending=[True, True, False, True, True, True],
+                kind="mergesort")
+            return df.drop_duplicates("feature_id",
+                                      keep="first").drop(columns=["_new"])
+
+        out = grouped_reduce(out, ["feature_id"], best_part,
+                             num_buckets=cfg.num_buckets)
+    return out
 
 
 def match_lines_group(df: pd.DataFrame, cfg: ConflationConfig) -> pd.DataFrame:
@@ -174,10 +229,20 @@ def match_lines_group(df: pd.DataFrame, cfg: ConflationConfig) -> pd.DataFrame:
     if n_p == 0:
         return pd.DataFrame(cols)
 
+    def geom_col(side_df: pd.DataFrame) -> list[str]:
+        # date-line crossers match on their split part, not the raw
+        # cross-map geometry (part_json set by _line_prepare)
+        if "part_json" in side_df.columns:
+            pj = side_df["part_json"].to_numpy()
+            cj = side_df["coords_json"].to_numpy()
+            return [p if isinstance(p, str) and p else c
+                    for p, c in zip(pj, cj)]
+        return list(side_df["coords_json"])
+
     p_lines = [np.asarray(json.loads(c), dtype=np.float64).reshape(-1, 2)
-               for c in prim["coords_json"]]
+               for c in geom_col(prim)]
     s_lines = [np.asarray(json.loads(c), dtype=np.float64).reshape(-1, 2)
-               for c in sec["coords_json"]]
+               for c in geom_col(sec)]
     p_props = [json.loads(x) for x in prim["props_json"]]
     s_props = [json.loads(x) for x in sec["props_json"]]
     p_ids = prim["feature_id"].to_numpy()
@@ -214,8 +279,11 @@ def match_lines_group(df: pd.DataFrame, cfg: ConflationConfig) -> pd.DataFrame:
     if len(pi):
         lat0 = np.radians(pb[pi, 1])
         kx = 111320.0 * np.maximum(np.abs(np.cos(lat0)), 1e-3)
-        gap_x = np.maximum(np.maximum(pb[pi, 0], sb[si, 0])
-                           - np.minimum(pb[pi, 2], sb[si, 2]), 0.0) * kx
+        # date-line wrap: shift the secondary bbox into the primary's
+        # lon frame (same first-vertex convention as the distance kernel)
+        sh = np.round((pb[pi, 0] - sb[si, 0]) / 360.0) * 360.0
+        gap_x = np.maximum(np.maximum(pb[pi, 0], sb[si, 0] + sh)
+                           - np.minimum(pb[pi, 2], sb[si, 2] + sh), 0.0) * kx
         gap_y = np.maximum(np.maximum(pb[pi, 1], sb[si, 1])
                            - np.minimum(pb[pi, 3], sb[si, 3]), 0.0) * 111194.92664455873
         near = gap_x * gap_x + gap_y * gap_y <= cfg.distance_m * cfg.distance_m * 1.1

@@ -56,7 +56,8 @@ def bbox_band_targets(x0, y0, x1, y1, res: int, band_m: float,
     x0, y0, x1, y1 = (np.asarray(a, dtype=np.float64) for a in (x0, y0, x1, y1))
     n = len(x0)
     if n == 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        return (*empty, np.empty(0, dtype=bool)) if return_trimmed else empty
     s = C.cell_edge_deg(res)
     latm = (y0 + y1) * 0.5
     with np.errstate(invalid="ignore"):
@@ -171,7 +172,19 @@ def make_replicate_secondary(cfg: ConflationConfig, salts: dict[int, int],
         y0 = t.column("y0").to_numpy()
         x1 = t.column("x1").to_numpy()
         y1 = t.column("y1").to_numpy()
-        idx, tgt = bbox_band_targets(x0, y0, x1, y1, cfg.cell_res, band_m)
+        idx, tgt, trimmed = bbox_band_targets(x0, y0, x1, y1, cfg.cell_res,
+                                              band_m, return_trimmed=True)
+        if trimmed.any():
+            # a trimmed cover silently loses far-end in-band pairs — fail
+            # loudly instead (raise-not-truncate is the engine's contract)
+            k = int(trimmed.sum())
+            raise ValueError(
+                f"{k} secondary feature(s) span more than {2 * AXIS_CAP + 1} "
+                f"cells per axis at cell_res={cfg.cell_res} with a "
+                f"{band_m:.1f} m band; their cell cover would be trimmed and "
+                "in-band candidate pairs silently lost. Split oversized "
+                "geometries upstream (conflate_lines splits antimeridian-"
+                "crossing lines automatically) or use a coarser cell_res.")
 
         is_hot_t = np.isin(tgt, hot) if len(hot) else np.zeros(len(tgt), dtype=bool)
         base_idx = idx[~is_hot_t]

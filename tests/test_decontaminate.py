@@ -1,0 +1,71 @@
+"""Decontamination (train vs eval word-k-gram overlap) vs a brute-force
+set oracle, plus the end-to-end anti-join removal path."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from osm_merge_ray.text.decontaminate import contamination_report, decontaminate
+
+
+def _grams(s: str, k: int) -> set:
+    words = (s or "").split(" ")
+    if len(words) >= k:
+        return {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
+    return {" ".join(words)} if s else set()
+
+
+def _mk_corpus(n=120, seed=7):
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(1, 25)))
+             for _ in range(n)]
+    # plant exact eval-sentence inclusions in some train docs
+    texts[11] = texts[0] + " " + texts[11]
+    texts[55] = "unique phrase " + texts[0]
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "text": texts})
+
+
+@pytest.mark.parametrize("k,min_hits", [(3, 1), (5, 2)])
+def test_contamination_report_matches_bruteforce(ray_session, k, min_hits):
+    df = _mk_corpus()
+    ev = df[df.doc_id % 10 == 0]
+    tr = df[df.doc_id % 10 != 0]
+
+    out = contamination_report(
+        rd.from_pandas(tr), rd.from_pandas(ev), k=k, min_hits=min_hits,
+        num_buckets=8).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    eval_grams = set().union(*(_grams(s, k) for s in ev.text)) if len(ev) else set()
+    exp_rows = []
+    for did, s in zip(tr.doc_id, tr.text):
+        g = _grams(s, k)
+        shared = len(g & eval_grams)
+        if shared >= min_hits:
+            exp_rows.append((did, len(g), shared))
+    exp = pd.DataFrame(exp_rows, columns=["doc_id", "n_grams", "n_shared"])
+
+    assert len(out) == len(exp)
+    pd.testing.assert_frame_equal(
+        out.astype({"n_grams": np.int64, "n_shared": np.int64}),
+        exp.astype({"doc_id": np.int64, "n_grams": np.int64,
+                    "n_shared": np.int64}))
+
+
+def test_decontaminate_removes_flagged_only(ray_session):
+    df = _mk_corpus()
+    ev = df[df.doc_id % 10 == 0]
+    tr = df[df.doc_id % 10 != 0]
+    flagged = set(contamination_report(
+        rd.from_pandas(tr), rd.from_pandas(ev), k=3,
+        num_buckets=8).to_pandas().doc_id)
+    clean = decontaminate(rd.from_pandas(tr), rd.from_pandas(ev), k=3,
+                          num_buckets=8).to_pandas()
+    assert set(clean.doc_id) == set(tr.doc_id) - flagged
+    assert flagged  # planted inclusions must be caught
+    assert 11 in flagged and 55 in flagged
+    # clean rows keep the full original schema/values
+    merged = clean.merge(tr, on="doc_id", suffixes=("", "_orig"))
+    assert (merged.text == merged.text_orig).all()
