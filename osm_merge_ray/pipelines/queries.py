@@ -929,6 +929,46 @@ HAVING count(*) >= 1
 """
 
 
+def text_repetition_q(sf_dir: str):
+    """Gopher-style repetition stats per document (text/analysis.py
+    repetition_stats): word/unique-word counts, max single-word and
+    2-gram occurrence counts, duplicate-word fraction."""
+    from osm_merge_ray.text.analysis import repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats, batch_format="pyarrow")
+
+
+SQL_REPETITION = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), wx AS (
+  SELECT doc_id, ws[i] AS word FROM w, UNNEST(range(1, len(ws) + 1)) AS t(i)
+), wc AS (
+  SELECT doc_id, count(*) AS n_words, count(DISTINCT word) AS n_uniq_words
+  FROM wx GROUP BY doc_id
+), mw AS (
+  SELECT doc_id, max(c) AS max_word_count FROM (
+    SELECT doc_id, word, count(*) AS c FROM wx GROUP BY doc_id, word
+  ) GROUP BY doc_id
+), g2 AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+  FROM w, UNNEST(range(1, greatest(len(ws), 1))) AS t(i)
+  WHERE len(ws) >= 2
+), mg AS (
+  SELECT doc_id, max(c) AS max_2gram_count FROM (
+    SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT wc.doc_id, wc.n_words, wc.n_uniq_words, mw.max_word_count,
+       coalesce(mg.max_2gram_count, 0) AS max_2gram_count,
+       CAST(wc.n_words - wc.n_uniq_words AS DOUBLE) / wc.n_words
+         AS dup_word_frac
+FROM wc JOIN mw ON mw.doc_id = wc.doc_id
+LEFT JOIN mg ON mg.doc_id = wc.doc_id
+"""
+
+
 def dedup_jaccard_q(sf_dir: str, threshold: float = 0.2):
     from osm_merge_ray.dedup.jaccard import jaccard_pairs
 
@@ -2794,6 +2834,7 @@ QUERIES = {
     "dedup_exact": dedup_exact_q,
     "dedup_ngram_jaccard": dedup_jaccard_q,
     "text_decontaminate": text_decontaminate_q,
+    "text_repetition_stats": text_repetition_q,
     "dedup_clusters": dedup_clusters_q,
     "train_val_split": train_val_split_q,
     "dedup_rate_report": dedup_rate_report_q,
@@ -2847,6 +2888,7 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "text_decontaminate": SQL_DECONTAMINATE,
+    "text_repetition_stats": SQL_REPETITION,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "train_val_split": SQL_TRAIN_VAL,
     "dedup_rate_report": SQL_DEDUP_RATE.format(jac=SQL_DEDUP_JACCARD),
