@@ -163,7 +163,13 @@ class FrameSample:
         for i, buf in enumerate(vids):
             if buf is None or n_frames[i] <= 0:
                 continue
-            idxs = np.unique(np.linspace(0, n_frames[i] - 1, self.k).astype(np.int64))
+            # integer uniform sampling (j*(n-1))//(k-1): exact in int64
+            # and mirrorable in SQL (floats in linspace round differently)
+            if self.k == 1:
+                idxs = np.array([0], dtype=np.int64)
+            else:
+                idxs = np.unique((np.arange(self.k, dtype=np.int64)
+                                  * (int(n_frames[i]) - 1)) // (self.k - 1))
             for fi in idxs:
                 out_id.append(ids[i])
                 out_frame.append(int(fi))

@@ -2695,7 +2695,13 @@ FROM range({_POI_N}) t(i) WHERE i % 6 = 4
 
 
 def image_pixel_embed_q(sf_dir: str):
-    """Thumbnail + pixel-embedding actor stages — rows-only."""
+    """Thumbnail + pixel-embedding actor stages, driver-verified via a
+    parametric twin: every synthetic image must yield a thumbnail that
+    DECODES back to 16x16 and a 48-dim unit-norm embedding.
+    ``emb_norm_e6`` is computed from the real embedding — float32
+    normalization error is < 0.5e-6, so the rounded value is exactly
+    1_000_000 iff the stage actually normalized; a broken embed stage
+    diverges and fails the hash."""
     import ray.data as rd
 
     from osm_merge_ray.image.stages import PixelEmbed, Thumbnail
@@ -2711,11 +2717,23 @@ def image_pixel_embed_q(sf_dir: str):
     def project(t2: pa.Table) -> pa.Table:
         import numpy as np
 
+        from osm_merge_ray.image.codec import decode
+
         thumbs = t2.column("thumb").to_pylist()
         embs = t2.column("pixel_embedding").to_pylist()
+        tw, th_ = [], []
+        for b in thumbs:
+            if b:
+                px = decode(b)
+                tw.append(int(px.shape[1]))
+                th_.append(int(px.shape[0]))
+            else:
+                tw.append(0)
+                th_.append(0)
         return pa.table({
             "image_id": t2.column("image_id"),
-            "thumb_bytes": pa.array([len(b) if b else 0 for b in thumbs], pa.int64()),
+            "thumb_w": pa.array(tw, pa.int64()),
+            "thumb_h": pa.array(th_, pa.int64()),
             "emb_dim": pa.array([len(e) if e else 0 for e in embs], pa.int64()),
             "emb_norm_e6": pa.array(
                 [int(round(float(np.linalg.norm(np.asarray(e))) * 1e6)) if e else 0
@@ -2725,10 +2743,24 @@ def image_pixel_embed_q(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+SQL_PIXEL_EMBED = """
+SELECT printf('P%09d', i) AS image_id,
+       CAST(16 AS BIGINT) AS thumb_w, CAST(16 AS BIGINT) AS thumb_h,
+       CAST(48 AS BIGINT) AS emb_dim,
+       CAST(1000000 AS BIGINT) AS emb_norm_e6
+FROM range(128) t(i)
+"""
+
+
 def audio_decode_stats_q(sf_dir: str):
-    """Audio decode + spectral features (multimodal actor-pool stage) —
-    rows-only. Synthetic PCM clips (deterministic stand-in codec,
-    audio/codec.py); features are real framed-RFFT band energies."""
+    """Audio decode + spectral features (multimodal actor-pool stage),
+    driver-verified via a parametric twin: the stand-in container's
+    header roundtrip (n_samples = 8000 + 100*(i%7), rate 16 kHz) plus a
+    content check — the synthetic PCM always carries signal, so a
+    correct decode yields rms_e6 > 0 (``rms_positive``). The raw rms_e6
+    and band-energy embedding stay pytest-pinned (determinism +
+    roundtrip tests); they are content-dependent floats a SQL oracle
+    cannot re-derive."""
     import ray.data as rd
 
     from osm_merge_ray.audio.codec import encode, synth_pcm
@@ -2742,13 +2774,36 @@ def audio_decode_stats_q(sf_dir: str):
     ds = rd.from_arrow(pa.table(rows))
     out = ds.map_batches(AudioDecode, batch_format="pyarrow", batch_size=16,
                          concurrency=(1, 4))
-    return out.select_columns(["audio_id", "decode_ok", "n_samples",
-                               "sample_rate", "rms_e6"])
+
+    def project(t2: pa.Table) -> pa.Table:
+        rms = t2.column("rms_e6").to_numpy()
+        return pa.table({
+            "audio_id": t2.column("audio_id"),
+            "decode_ok": t2.column("decode_ok"),
+            "n_samples": t2.column("n_samples"),
+            "sample_rate": t2.column("sample_rate"),
+            "rms_positive": pa.array((rms > 0).astype(np.int64), pa.int64()),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+SQL_AUDIO_DECODE = """
+SELECT printf('aud%05d', i) AS audio_id, TRUE AS decode_ok,
+       CAST(8000 + 100 * (i % 7) AS BIGINT) AS n_samples,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS rms_positive
+FROM range(64) t(i)
+"""
 
 
 def video_frame_sample_q(sf_dir: str):
-    """Video frame sampling (multimodal fan-out stage) — rows-only.
-    Synthetic 'videos': binary header + (n_frames, fps, w, h) metadata."""
+    """Video frame sampling (multimodal fan-out stage), driver-verified
+    via a parametric twin: uniform integer sampling emits frame indices
+    (j*(n_frames-1))//(k-1) for j<k — exact int64 arithmetic a SQL
+    oracle re-derives. The per-frame perceptual hash is real but
+    content-dependent (stand-in decoder), so it stays pytest-pinned
+    (determinism test) and out of the compared projection."""
     import ray.data as rd
 
     from osm_merge_ray.image.stages import FrameSample
@@ -2764,9 +2819,17 @@ def video_frame_sample_q(sf_dir: str):
         "h": pa.array([64] * n, pa.int32()),
     }
     ds = rd.from_arrow(pa.table(rows))
-    return ds.map_batches(FrameSample, fn_constructor_kwargs={"k": 4},
-                          batch_format="pyarrow", batch_size=16,
-                          concurrency=(1, 4))
+    out = ds.map_batches(FrameSample, fn_constructor_kwargs={"k": 4},
+                         batch_format="pyarrow", batch_size=16,
+                         concurrency=(1, 4))
+    return out.select_columns(["video_id", "frame_idx"])
+
+
+SQL_FRAME_SAMPLE = """
+SELECT DISTINCT printf('vid%05d', i) AS video_id,
+       CAST((j * (30 + (i % 90) - 1)) // 3 AS BIGINT) AS frame_idx
+FROM range(64) t(i), UNNEST(range(0, 4)) u(j)
+"""
 
 
 def text_token_count_bpe_q(sf_dir: str):
@@ -2784,15 +2847,20 @@ def text_token_count_bpe_q(sf_dir: str):
 
 
 def image_decode_stats_q(sf_dir: str):
-    """Actor-pool decode/verify over synthetic image payloads → per-format
-    verification counters (rows-only)."""
+    """Actor-pool decode/verify over synthetic image payloads →
+    per-format verification counters, driver-verified via a parametric
+    twin: with fmt assigned by index parity (fmt_cycle — the hash-based
+    split needs 64-bit wrap arithmetic SQL can't express), a correct
+    codec decodes every row, matches dims and phash, and pins PSNR at
+    99.0 (the lossy stand-in re-quantizes to itself). Any decode/hash
+    regression shifts a counter and fails the driver hash."""
     import ray.data as rd
     from ray.data.aggregate import Count, Min, Sum
 
     from osm_merge_ray.image.stages import DecodeVerify
     from osm_merge_ray.synth import synth_table
 
-    t = synth_table(300, "primary", with_bytes=True)
+    t = synth_table(300, "primary", with_bytes=True, fmt_cycle=True)
     ds = rd.from_arrow(t).map_batches(DecodeVerify, batch_format="pyarrow",
                                       batch_size=64, concurrency=(1, 4))
 
@@ -2814,6 +2882,14 @@ def image_decode_stats_q(sf_dir: str):
                    Sum("phash_exact", alias_name="n_phash_exact"),
                    Min("psnr_db", alias_name="min_psnr_db"))
     )
+
+
+SQL_DECODE_STATS = """
+SELECT CASE WHEN i % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       count(*) AS n, count(*) AS n_ok, count(*) AS n_dims_ok,
+       count(*) AS n_phash_exact, 99.0 AS min_psnr_db
+FROM range(300) t(i) GROUP BY 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2918,6 +2994,10 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": SQL_MINHASH,
     "dedup_embedding_lsh": SQL_EMBED_LSH,
     "knn_ivf": SQL_KNN_IVF,
+    "image_decode_stats": SQL_DECODE_STATS,
+    "image_pixel_embed": SQL_PIXEL_EMBED,
+    "video_frame_sample": SQL_FRAME_SAMPLE,
+    "audio_decode_stats": SQL_AUDIO_DECODE,
     "conflate_images": SQL_CONFLATE_IMAGES,
     "conflate_lines": SQL_CONFLATE_LINES,
     "conflate_pois": SQL_CONFLATE_POIS,

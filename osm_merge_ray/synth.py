@@ -96,9 +96,15 @@ def _offset(lon, lat, meters_e, meters_n):
 _SIZES = np.array([32, 64, 128])
 
 
-def make_batch(indices: np.ndarray, side: str, seed: int = 42, with_bytes: bool = True) -> pa.Table:
+def make_batch(indices: np.ndarray, side: str, seed: int = 42, with_bytes: bool = True,
+               fmt_cycle: bool = False) -> pa.Table:
     """Build one Arrow batch of synthetic rows for ``side`` in
-    {"primary", "secondary"}. Pure function of (index, side, seed)."""
+    {"primary", "secondary"}. Pure function of (index, side, seed).
+
+    ``fmt_cycle=True`` assigns fmt deterministically by index parity
+    (even → png, odd → jpeg) instead of by hash — used by fixtures whose
+    DuckDB oracle must re-derive the fmt split without 64-bit wrap
+    arithmetic (splitmix64 is not SQL-expressible)."""
     idx = np.asarray(indices, dtype=np.uint64) + np.uint64(seed) * np.uint64(1_000_003)
     n = len(idx)
     cat = (np.asarray(indices, dtype=np.int64) % 10)
@@ -107,7 +113,9 @@ def make_batch(indices: np.ndarray, side: str, seed: int = 42, with_bytes: bool 
 
     captions = np.empty(n, dtype=object)
     img_seed = np.empty(n, dtype=np.uint64)
-    fmt = np.where(uniform01(idx, salt=7) < 0.5, "png", "jpeg").astype(object)
+    fmt = (np.where(np.asarray(indices, dtype=np.int64) % 2 == 0, "png", "jpeg")
+           if fmt_cycle
+           else np.where(uniform01(idx, salt=7) < 0.5, "png", "jpeg")).astype(object)
     w = _SIZES[(uniform01(idx, salt=8) * 3).astype(np.int64)]
     h = _SIZES[(uniform01(idx, salt=9) * 3).astype(np.int64)]
 
@@ -185,9 +193,11 @@ def make_batch(indices: np.ndarray, side: str, seed: int = 42, with_bytes: bool 
     )
 
 
-def synth_table(n: int, side: str, seed: int = 42, with_bytes: bool = True) -> pa.Table:
+def synth_table(n: int, side: str, seed: int = 42, with_bytes: bool = True,
+                fmt_cycle: bool = False) -> pa.Table:
     """Driver-side generation for tests (small n)."""
-    return make_batch(np.arange(n, dtype=np.int64), side, seed, with_bytes)
+    return make_batch(np.arange(n, dtype=np.int64), side, seed, with_bytes,
+                      fmt_cycle=fmt_cycle)
 
 
 def synth_dataset(n: int, side: str, seed: int = 42, with_bytes: bool = True,
