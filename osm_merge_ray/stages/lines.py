@@ -167,11 +167,8 @@ def conflate_lines(primary_ds, secondary_ds, cfg: ConflationConfig | None = None
     flagship path."""
     cfg = cfg or ConflationConfig(cell_res=12)
 
-    # materialized so the part probe below doesn't re-run the prepare
-    # (shuffle_match's union of materialized inputs is a block-ref
-    # concat, not a recompute)
     p = primary_ds.map_batches(lambda t: _line_prepare(t, cfg, 0),
-                               batch_format="pyarrow").materialize()
+                               batch_format="pyarrow")
     s = secondary_ds.map_batches(lambda t: _line_prepare(t, cfg, 1),
                                  batch_format="pyarrow")
 
@@ -180,14 +177,20 @@ def conflate_lines(primary_ds, secondary_ds, cfg: ConflationConfig | None = None
                                pa.int64())).as_py() or 0)
         return pa.table({"k": pa.array([k], pa.int64())})
 
-    has_parts = int(p.map_batches(count_parts, batch_format="pyarrow")
-                    .to_pandas()["k"].sum()) > 0
+    def probe(light) -> bool:
+        # runs over shuffle_match's own materialized union: both sides
+        # streamed exactly once, no extra barrier (r3 perf fix — an
+        # earlier version materialized p separately, serializing the
+        # two prepare stages and re-reading heavy rows)
+        return int(light.map_batches(count_parts, batch_format="pyarrow")
+                   .to_pandas()["k"].sum()) > 0
 
     def match(df: pd.DataFrame) -> pd.DataFrame:
         return match_lines_group(df, cfg)
 
-    out = P.shuffle_match(p, s, cfg, cfg.distance_m, match,
-                          skew_salting=skew_salting)
+    out, has_parts = P.shuffle_match(p, s, cfg, cfg.distance_m, match,
+                                     skew_salting=skew_salting,
+                                     light_probe=probe)
     if has_parts:
         # a split primary produced one decision row per part (parts land
         # in different cells); keep the best per feature — matched

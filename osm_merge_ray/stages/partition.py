@@ -315,7 +315,7 @@ def local_refined_pairs(kp: np.ndarray, ks: np.ndarray,
 
 
 def shuffle_match(p_light, s_light, cfg: ConflationConfig, band_extra_m: float,
-                  match_fn, skew_salting: bool = True):
+                  match_fn, skew_salting: bool = True, light_probe=None):
     """Assemble the one-shuffle pattern: union light sides → (max-reach
     + hot-cell plan over the materialized LIGHT projection, ~100 B/row)
     → tag/replicate → bucket groupby → ``match_fn`` per bucket.
@@ -324,17 +324,27 @@ def shuffle_match(p_light, s_light, cfg: ConflationConfig, band_extra_m: float,
     ``salt`` columns and must join sides on (cell, salt) — use
     ``group_key``. ``band_extra_m`` is the match distance (0 for
     pure-overlap joins); the primary max reach is added automatically.
+
+    ``light_probe(light_ds)``, when given, runs over the ALREADY
+    materialized union (zero extra passes over lazy inputs, no pipeline
+    barrier beyond the one this function always has) and the call
+    returns ``(decisions_ds, probe_result)`` — callers that need a
+    global predicate of the prepared rows (e.g. "any antimeridian split
+    part present?") hook it here instead of materializing their input a
+    second time.
     """
     from osm_merge_ray.stages.conflate import plan_salts
 
     light = p_light.union(s_light).materialize()
+    probe = light_probe(light) if light_probe is not None else None
     band = band_extra_m + max_primary_reach_m(light)
     salts = plan_salts(light, cfg) if skew_salting else {}
     p = light.map_batches(make_tag_primary(cfg, salts), batch_format="pyarrow")
     s = light.map_batches(make_replicate_secondary(cfg, salts, band),
                           batch_format="pyarrow")
-    return (
+    out = (
         p.union(s)
         .groupby("bucket")
         .map_groups(match_fn, batch_format="pandas")
     )
+    return (out, probe) if light_probe is not None else out
