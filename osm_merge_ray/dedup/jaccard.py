@@ -75,8 +75,13 @@ def _bucket_pair_partials(df: pd.DataFrame, id_column: str,
     })
     if len(ia) == 0:
         return empty
-    key = (ids[ia].astype(np.int64) << np.int64(31)) | ids[ib].astype(np.int64)
-    uk, first, cnt = np.unique(key, return_index=True, return_counts=True)
+    # structured unique — no packed-int range limit (ids can be any
+    # int64; the old (a<<31)|b pack corrupted ids >= 2^31, ADVICE r2)
+    m = np.empty((len(ia), 2), dtype=np.int64)
+    m[:, 0] = ids[ia]
+    m[:, 1] = ids[ib]
+    v = m.view([("a", np.int64), ("b", np.int64)]).ravel()
+    _, first, cnt = np.unique(v, return_index=True, return_counts=True)
     return pd.DataFrame({
         "id_a": ids[ia[first]].astype(np.int64),
         "id_b": ids[ib[first]].astype(np.int64),

@@ -1587,6 +1587,46 @@ FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
 """
 
 
+def dedup_winnow_q(sf_dir: str, threshold: float = 0.2):
+    from osm_merge_ray.dedup.winnow import winnow_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = winnow_pairs(ds, k=8, window=16, threshold=threshold)
+    return out.select_columns(["id_a", "id_b", "inter", "na", "nb", "overlap"])
+
+
+# Same winnow selection CTEs as SQL_FINGERPRINT, but instead of
+# XOR-combining each doc's selected set, self-join on the selected hash
+# to count pairwise intersections (MOSS-style fingerprint overlap).
+SQL_WINNOW_PAIRS = f"""
+WITH g AS (
+  SELECT doc_id, i, {_FP_GRAM} AS h
+  FROM documents, unnest(generate_series(1, greatest(length(text) - 7, 0))) AS t(i)
+), m AS (
+  SELECT doc_id, h,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS ng,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn
+  FROM g
+), sel AS (
+  SELECT DISTINCT doc_id, wmin AS v FROM m WHERE ng > 16 AND rn >= 16
+  UNION
+  SELECT doc_id, min(h) AS v FROM m WHERE ng <= 16 GROUP BY doc_id
+), n AS (
+  SELECT doc_id, count(*) AS ns FROM sel GROUP BY doc_id
+), j AS (
+  SELECT s1.doc_id AS id_a, s2.doc_id AS id_b, count(*) AS inter
+  FROM sel s1 JOIN sel s2 ON s1.v = s2.v AND s1.doc_id < s2.doc_id
+  GROUP BY 1, 2
+)
+SELECT j.id_a, j.id_b, j.inter, na.ns AS na, nb.ns AS nb,
+       CAST(j.inter AS DOUBLE) / (na.ns + nb.ns - j.inter) AS overlap
+FROM j JOIN n na ON j.id_a = na.doc_id JOIN n nb ON j.id_b = nb.doc_id
+WHERE CAST(j.inter AS DOUBLE) / (na.ns + nb.ns - j.inter) >= 0.2
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -2909,6 +2949,7 @@ QUERIES = {
     "spatial_polygon_overlap": spatial_polygon_overlap,
     "dedup_exact": dedup_exact_q,
     "dedup_ngram_jaccard": dedup_jaccard_q,
+    "dedup_winnow": dedup_winnow_q,
     "text_decontaminate": text_decontaminate_q,
     "text_repetition_stats": text_repetition_q,
     "dedup_clusters": dedup_clusters_q,
@@ -2963,6 +3004,7 @@ ORACLE_SQL = {
     "spatial_polygon_overlap": SQL_POLYGON_OVERLAP,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
+    "dedup_winnow": SQL_WINNOW_PAIRS,
     "text_decontaminate": SQL_DECONTAMINATE,
     "text_repetition_stats": SQL_REPETITION,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,

@@ -266,6 +266,24 @@ def tfidf_top_terms(ds, k: int = 3, id_column: str = "doc_id",
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def winnow_select(s: str, k: int = 8, window: int = 16) -> np.ndarray:
+    """Winnowing selection (Schleimer et al., SIGMOD 2003): poly41
+    hashes over character k-grams, the DISTINCT per-window minima —
+    the document's selected sketch hashes (sorted int64, all < 2^41,
+    SQL-mirrorable). Shared by ``Fingerprint`` (XOR-combined doc
+    fingerprint) and ``dedup/winnow.py`` (overlap near-dup pairs)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from osm_merge_ray.util import poly41_grams
+
+    h = poly41_grams(s or "", k)
+    if len(h) == 0:
+        return np.empty(0, dtype=np.int64)
+    if len(h) <= window:
+        return np.array([h.min()], dtype=np.int64)
+    return np.unique(sliding_window_view(h, window).min(axis=1))
+
+
 class Fingerprint:
     """Winnowing document fingerprint (Schleimer et al., SIGMOD 2003):
     polynomial hashes over character k-grams (poly41: fold over Unicode
@@ -278,30 +296,18 @@ class Fingerprint:
         self.k = k
         self.window = window
 
-    def _gram_hashes(self, s: str) -> np.ndarray:
-        from osm_merge_ray.util import poly41_grams
-
-        return poly41_grams(s, self.k)
-
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         # Per-doc loop kept DELIBERATELY: a fully batched
         # (concat + reduceat) formulation was built and measured slower
         # on real block sizes (0.73s vs 0.49s for 5k docs; the bench
         # entry's wall is Ray overhead, not this loop) — the per-doc
         # numpy ops are already vectorized within each document.
-        from numpy.lib.stride_tricks import sliding_window_view
-
         fps = np.zeros(len(df), dtype=np.int64)
         sizes = np.zeros(len(df), dtype=np.int64)
         for i, s in enumerate(df["text"].tolist()):
-            h = self._gram_hashes(s or "")
-            if len(h) == 0:
+            sel = winnow_select(s, self.k, self.window)
+            if len(sel) == 0:
                 continue
-            w = self.window
-            if len(h) <= w:
-                sel = np.array([h.min()], dtype=np.int64)
-            else:
-                sel = np.unique(sliding_window_view(h, w).min(axis=1))
             fps[i] = np.bitwise_xor.reduce(sel)
             sizes[i] = len(sel)
         df = df.copy()

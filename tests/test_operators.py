@@ -78,6 +78,37 @@ def test_simhash_pairs(docs_with_dups):
     assert h[0] == h[1] != h[2]
 
 
+def test_winnow_pairs_matches_bruteforce(docs_with_dups):
+    from osm_merge_ray.dedup.winnow import winnow_pairs
+    from osm_merge_ray.text.analysis import winnow_select
+
+    # int64 ids beyond 2^31 exercise the structured-unique pair dedup
+    # (the old packed-int key corrupted such ids, ADVICE r2)
+    docs = docs_with_dups.copy()
+    docs["doc_id"] = docs["doc_id"] + (1 << 33)
+    out = winnow_pairs(rd.from_pandas(docs), k=8, window=16,
+                       threshold=0.2).to_pandas()
+    got = {(a, b): (i, na, nb, o) for a, b, i, na, nb, o in zip(
+        out["id_a"], out["id_b"], out["inter"], out["na"], out["nb"],
+        out["overlap"])}
+
+    sels = {r.doc_id: set(winnow_select(r.text, 8, 16).tolist())
+            for r in docs.itertuples()}
+    want = {}
+    ids = sorted(sels)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sels[a] & sels[b])
+            if not inter:
+                continue
+            ov = inter / (len(sels[a]) + len(sels[b]) - inter)
+            if ov >= 0.2:
+                want[(a, b)] = (inter, len(sels[a]), len(sels[b]), ov)
+    assert got == want
+    assert len(want) >= 4  # the planted exact dups at least
+
+
 def test_knn_brute_force_matches_numpy_oracle(ray_session):
     import pyarrow.parquet as pq
 
@@ -153,7 +184,7 @@ PARITY_QUERIES = [
     "spatial_cell_index", "spatial_distance_join", "spatial_knn_join",
     "spatial_conflate", "spatial_tile_assign", "spatial_point_in_polygon",
     "spatial_polygon_overlap",
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_embedding_cosine",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_winnow", "dedup_embedding_cosine",
     "text_token_count", "text_quality_score", "knn_cosine_topk",
     "q1_pricing_summary", "top_orders_by_revenue", "nation_revenue",
     "events_window", "events_sliding_window", "events_sessionize",
