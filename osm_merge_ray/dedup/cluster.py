@@ -269,3 +269,40 @@ def dedup_keep_representatives(docs_ds, clusters_ds, node_column: str = "doc_id"
         batch_format="pyarrow")
     return bucketed_hash_join(docs_ds, keep, key=node_column,
                               num_buckets=num_buckets, how="inner")
+
+
+def cluster_representatives(clusters_ds, quality_ds, node_column: str = "doc_id",
+                            quality_column: str = "n_tokens",
+                            num_buckets: int = 64):
+    """Quality-based representative per cluster: the member with the
+    HIGHEST ``quality_column`` (ties → lowest id), plus the cluster
+    size. Min-id keep-one (``dedup_keep_representatives``) discards a
+    long clean copy in favour of a truncated one whenever the truncated
+    copy got the smaller id; trainers instead keep the best-quality
+    member of each near-dup group (SemDeDup / Gopher-style pipelines).
+
+    Shape: one bucketed hash join (cluster labels × per-doc quality,
+    both potentially corpus-sized) then a grouped arg-max reduction —
+    rows of one cluster meet in exactly one bucket, no driver
+    materialization. Quality must be an integer column so the arg-max
+    is deterministic and SQL-mirrorable (window row_number twin).
+    """
+    from osm_merge_ray.ops import bucketed_hash_join, grouped_reduce
+
+    joined = bucketed_hash_join(clusters_ds, quality_ds, key=node_column,
+                                num_buckets=num_buckets, how="inner")
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([quality_column, node_column],
+                            ascending=[False, True], kind="stable")
+        g = df.groupby("cluster_id", sort=False)
+        out = g.head(1).rename(columns={
+            node_column: "rep_id", quality_column: "rep_" + quality_column})
+        size = g.size().rename("cluster_size").reset_index()
+        out = out.merge(size, on="cluster_id")
+        out["cluster_size"] = out["cluster_size"].astype(np.int64)
+        return out[["cluster_id", "rep_id", "rep_" + quality_column,
+                    "cluster_size"]]
+
+    return grouped_reduce(joined, ["cluster_id"], best,
+                          num_buckets=num_buckets)

@@ -1141,6 +1141,50 @@ SELECT v AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id FROM reach GROUP BY v
 """
 
 
+def dedup_representatives_q(sf_dir: str):
+    """Quality-based keep-one: per near-dup cluster, the member with
+    the most whitespace tokens (ties → lowest doc id) and the cluster
+    size — the dedup output a trainer actually keeps. Integer quality
+    key → deterministic arg-max, window-function SQL twin."""
+    import pyarrow.compute as pc
+
+    from osm_merge_ray.dedup.cluster import (cluster_representatives,
+                                             connected_components)
+    from osm_merge_ray.dedup.jaccard import jaccard_pairs
+
+    docs_txt = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = jaccard_pairs(docs_txt, k=3, threshold=0.2)
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    clusters = connected_components(pairs, docs)
+
+    def ntok(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(t.column("text"), " "))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_tokens": n.cast(pa.int64())})
+
+    quality = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(ntok, batch_format="pyarrow")
+    return cluster_representatives(clusters, quality)
+
+
+SQL_DEDUP_REPRESENTATIVES = f"""
+WITH clusters AS ({SQL_DEDUP_CLUSTERS}),
+q AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), j AS (
+  SELECT c.cluster_id, c.doc_id, q.n_tokens,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.n_tokens DESC, c.doc_id) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+  FROM clusters c JOIN q ON q.doc_id = c.doc_id
+)
+SELECT cluster_id, doc_id AS rep_id, n_tokens AS rep_n_tokens,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM j WHERE rn = 1
+"""
+
+
 def dedup_minhash_q(sf_dir: str):
     """MinHash-LSH candidate pairs with the SQL-mirrorable variant:
     poly41 char-8-gram hashes, affine permutations (a*x+b) % (2^41-1)
@@ -2953,6 +2997,7 @@ QUERIES = {
     "text_decontaminate": text_decontaminate_q,
     "text_repetition_stats": text_repetition_q,
     "dedup_clusters": dedup_clusters_q,
+    "dedup_representatives": dedup_representatives_q,
     "train_val_split": train_val_split_q,
     "dedup_rate_report": dedup_rate_report_q,
     "source_quota_sample": source_quota_q,
@@ -3008,6 +3053,7 @@ ORACLE_SQL = {
     "text_decontaminate": SQL_DECONTAMINATE,
     "text_repetition_stats": SQL_REPETITION,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "dedup_representatives": SQL_DEDUP_REPRESENTATIVES,
     "train_val_split": SQL_TRAIN_VAL,
     "dedup_rate_report": SQL_DEDUP_RATE.format(jac=SQL_DEDUP_JACCARD),
     "source_quota_sample": SQL_SOURCE_QUOTA,

@@ -109,6 +109,24 @@ def test_winnow_pairs_matches_bruteforce(docs_with_dups):
     assert len(want) >= 4  # the planted exact dups at least
 
 
+def test_cluster_representatives_argmax_and_ties(ray_session):
+    from osm_merge_ray.dedup.cluster import cluster_representatives
+
+    # cluster 0 = {0,1,2}: doc 1 has most tokens → rep. cluster 10 =
+    # {10,11}: tie on quality → lowest id (10). 20 is a singleton.
+    clusters = pd.DataFrame({"doc_id": [0, 1, 2, 10, 11, 20],
+                             "cluster_id": [0, 0, 0, 10, 10, 20]})
+    quality = pd.DataFrame({"doc_id": [0, 1, 2, 10, 11, 20],
+                            "n_tokens": [3, 9, 5, 7, 7, 4]})
+    out = cluster_representatives(
+        rd.from_pandas(clusters), rd.from_pandas(quality)
+    ).to_pandas().sort_values("cluster_id").reset_index(drop=True)
+    assert out["cluster_id"].tolist() == [0, 10, 20]
+    assert out["rep_id"].tolist() == [1, 10, 20]
+    assert out["rep_n_tokens"].tolist() == [9, 7, 4]
+    assert out["cluster_size"].tolist() == [3, 2, 1]
+
+
 def test_knn_brute_force_matches_numpy_oracle(ray_session):
     import pyarrow.parquet as pq
 
@@ -185,6 +203,7 @@ PARITY_QUERIES = [
     "spatial_conflate", "spatial_tile_assign", "spatial_point_in_polygon",
     "spatial_polygon_overlap",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_winnow", "dedup_embedding_cosine",
+    "dedup_representatives",
     "text_token_count", "text_quality_score", "knn_cosine_topk",
     "q1_pricing_summary", "top_orders_by_revenue", "nation_revenue",
     "events_window", "events_sliding_window", "events_sessionize",
