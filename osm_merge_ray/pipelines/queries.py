@@ -1787,6 +1787,62 @@ FROM r WHERE rnk <= 5
 """
 
 
+def dedup_semantic_q(sf_dir: str, threshold: float = 0.35):
+    """SemDeDup (Abbas et al. 2023): k-means-bucketed within-cluster
+    cosine near-dup pairs. Fixed quantizer (first 8 vectors by id) so
+    assignment is exact int64 arithmetic; round-6 cosine ranking —
+    both under the bit-exact gate. Production centroids come from
+    sim/knn.train_centroids_distributed instead."""
+    import pyarrow.parquet as pq
+
+    from osm_merge_ray.sim.semdedup import semantic_dedup_pairs
+
+    cents = (pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+             .to_pandas().sort_values("vec_id").head(8))
+    cm = np.vstack([np.asarray(v, dtype=np.float64) for v in cents["embedding"]])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = semantic_dedup_pairs(ds, cm, threshold=threshold)
+    return out.select_columns(["cid", "id_a", "id_b", "sim"])
+
+
+SQL_SEMDEDUP = """
+WITH ei AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576.0) AS BIGINT) AS xq
+  FROM embeddings
+), cq AS (
+  SELECT vec_id AS cid, d, xq FROM ei
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+), adots AS (
+  SELECT ei.vec_id, cq.cid, CAST(sum(ei.xq * cq.xq) AS BIGINT) AS dot
+  FROM ei JOIN cq ON ei.d = cq.d
+  GROUP BY 1, 2
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid ASC) AS rn
+    FROM adots) WHERE rn = 1
+), cand AS (
+  SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+), z AS (
+  SELECT c.cid, c.id_a, c.id_b,
+         unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+  FROM cand c JOIN embeddings ea ON ea.vec_id = c.id_a
+              JOIN embeddings eb ON eb.vec_id = c.id_b
+), u AS (
+  SELECT cid, id_a, id_b,
+         sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) AS dot,
+         sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS sx,
+         sum(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) AS sy
+  FROM z GROUP BY 1, 2, 3
+)
+SELECT cid, id_a, id_b, round(dot / (sqrt(sx) * sqrt(sy)), 6) AS sim
+FROM u WHERE round(dot / (sqrt(sx) * sqrt(sy)), 6) >= 0.35
+"""
+
+
 # ---------------------------------------------------------------------------
 # relational / streaming-shaped
 # ---------------------------------------------------------------------------
@@ -3005,6 +3061,7 @@ QUERIES = {
     "dedup_simhash": dedup_simhash_q,
     "dedup_embedding_cosine": dedup_embedding_q,
     "dedup_embedding_lsh": dedup_embedding_lsh_q,
+    "dedup_semantic": dedup_semantic_q,
     "convert_nps": convert_nps_q,
     "text_token_count": text_token_count_q,
     "text_quality_score": text_quality_q,
@@ -3081,6 +3138,7 @@ ORACLE_SQL = {
     "text_fingerprint": SQL_FINGERPRINT,
     "dedup_minhash_lsh": SQL_MINHASH,
     "dedup_embedding_lsh": SQL_EMBED_LSH,
+    "dedup_semantic": SQL_SEMDEDUP,
     "knn_ivf": SQL_KNN_IVF,
     "image_decode_stats": SQL_DECODE_STATS,
     "image_pixel_embed": SQL_PIXEL_EMBED,

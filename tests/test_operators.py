@@ -109,6 +109,42 @@ def test_winnow_pairs_matches_bruteforce(docs_with_dups):
     assert len(want) >= 4  # the planted exact dups at least
 
 
+def test_semantic_dedup_subset_of_exact_and_skew_guard(ray_session):
+    import pyarrow.parquet as pq
+
+    from osm_merge_ray.sim.semdedup import semantic_dedup_pairs
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mat = np.vstack([np.asarray(v, dtype=np.float64)
+                     for v in t.column("embedding").to_pylist()])
+    ids = t.column("vec_id").to_numpy()
+    cents = mat[np.argsort(ids)[:4]]
+    got = semantic_dedup_pairs(rd.from_arrow(t), cents, threshold=0.35).to_pandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+
+    # exact all-pairs oracle at the same threshold
+    norms = np.linalg.norm(mat, axis=1)
+    sims = np.round((mat @ mat.T) / (norms[:, None] * norms[None, :]), 6)
+    ia, ib = np.triu_indices(len(ids), k=1)
+    order = np.argsort(ids, kind="stable")
+    sid = ids[order]
+    sims = sims[np.ix_(order, order)]
+    exact = {(sid[a], sid[b]) for a, b in zip(ia, ib) if sims[a, b] >= 0.35}
+    assert got_pairs <= exact          # within-cluster only, never spurious
+    assert len(got_pairs) >= len(exact) * 0.3  # clusters capture real mass
+    for r in got.itertuples():         # sims agree with the oracle matrix
+        a = np.searchsorted(sid, r.id_a)
+        b = np.searchsorted(sid, r.id_b)
+        assert sims[a, b] == r.sim
+
+    import ray
+
+    with pytest.raises(ray.exceptions.RayTaskError,
+                       match="max_cluster_rows"):
+        semantic_dedup_pairs(rd.from_arrow(t), cents, threshold=0.35,
+                             max_cluster_rows=3).to_pandas()
+
+
 def test_cluster_representatives_argmax_and_ties(ray_session):
     from osm_merge_ray.dedup.cluster import cluster_representatives
 
@@ -203,7 +239,7 @@ PARITY_QUERIES = [
     "spatial_conflate", "spatial_tile_assign", "spatial_point_in_polygon",
     "spatial_polygon_overlap",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_winnow", "dedup_embedding_cosine",
-    "dedup_representatives",
+    "dedup_representatives", "dedup_semantic",
     "text_token_count", "text_quality_score", "knn_cosine_topk",
     "q1_pricing_summary", "top_orders_by_revenue", "nation_revenue",
     "events_window", "events_sliding_window", "events_sessionize",
