@@ -1185,6 +1185,37 @@ FROM j WHERE rn = 1
 """
 
 
+def text_pack_sequences_q(sf_dir: str, max_len: int = 2048):
+    """Sequence-packing planner: per doc, the global token offset in
+    the doc_id-ordered concatenated stream and the max_len windows it
+    spans — distributed two-level prefix scan (text/packing.py),
+    integer arithmetic, window-cumsum SQL twin."""
+    from osm_merge_ray.text.packing import pack_sequences
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = pack_sequences(ds, max_len=max_len)
+    return out.select_columns(
+        ["doc_id", "n_tokens", "start_tok", "win_first", "win_last"])
+
+
+SQL_PACK_SEQUENCES = """
+WITH q AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+  FROM q
+)
+SELECT doc_id, n_tokens, start_tok,
+       CAST(start_tok // 2048 AS BIGINT) AS win_first,
+       CAST((start_tok + n_tokens - 1) // 2048 AS BIGINT) AS win_last
+FROM c
+"""
+
+
 def dedup_minhash_q(sf_dir: str):
     """MinHash-LSH candidate pairs with the SQL-mirrorable variant:
     poly41 char-8-gram hashes, affine permutations (a*x+b) % (2^41-1)
@@ -3091,6 +3122,7 @@ QUERIES = {
     "video_frame_sample": video_frame_sample_q,
     "audio_decode_stats": audio_decode_stats_q,
     "text_token_count_bpe": text_token_count_bpe_q,
+    "text_pack_sequences": text_pack_sequences_q,
 }
 
 ORACLE_SQL = {
@@ -3147,6 +3179,7 @@ ORACLE_SQL = {
     "conflate_images": SQL_CONFLATE_IMAGES,
     "conflate_lines": SQL_CONFLATE_LINES,
     "conflate_pois": SQL_CONFLATE_POIS,
+    "text_pack_sequences": SQL_PACK_SEQUENCES,
 }
 
 

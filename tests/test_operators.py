@@ -145,6 +145,20 @@ def test_semantic_dedup_subset_of_exact_and_skew_guard(ray_session):
                              max_cluster_rows=3).to_pandas()
 
 
+def test_pack_sequences_is_exact_prefix_scan(docs_with_dups):
+    from osm_merge_ray.text.packing import pack_sequences
+
+    out = pack_sequences(rd.from_pandas(docs_with_dups), max_len=16) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    n = docs_with_dups.sort_values("doc_id")["text"] \
+        .map(lambda s: len(s.split(" "))).to_numpy()
+    want_start = np.concatenate([[0], np.cumsum(n)[:-1]])
+    assert (out["n_tokens"].to_numpy() == n).all()
+    assert (out["start_tok"].to_numpy() == want_start).all()
+    assert (out["win_first"].to_numpy() == want_start // 16).all()
+    assert (out["win_last"].to_numpy() == (want_start + n - 1) // 16).all()
+
+
 def test_cluster_representatives_argmax_and_ties(ray_session):
     from osm_merge_ray.dedup.cluster import cluster_representatives
 
@@ -240,7 +254,8 @@ PARITY_QUERIES = [
     "spatial_polygon_overlap",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_winnow", "dedup_embedding_cosine",
     "dedup_representatives", "dedup_semantic",
-    "text_token_count", "text_quality_score", "knn_cosine_topk",
+    "text_token_count", "text_quality_score", "text_pack_sequences",
+    "knn_cosine_topk",
     "q1_pricing_summary", "top_orders_by_revenue", "nation_revenue",
     "events_window", "events_sliding_window", "events_sessionize",
     "convert_nps", "events_heavy_hitters", "text_tfidf", "spatial_sample_join", "events_running_index",
