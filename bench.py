@@ -44,6 +44,10 @@ def _bench_queries():
         # winnowing fingerprints, fixed-quantizer IVF
         "dedup_embedding_lsh", "dedup_simhash", "text_fingerprint",
         "knn_ivf",
+        # r3 additions: winnow overlap pairs, SemDeDup, quality
+        # representatives, sequence-packing prefix scan
+        "dedup_winnow", "dedup_semantic", "dedup_representatives",
+        "text_pack_sequences",
     ]
     return [(n, lambda n=n: consume(Q.QUERIES[n](SF_DIR))) for n in names]
 

@@ -883,6 +883,42 @@ FROM documents GROUP BY text
 """
 
 
+def dedup_incremental_q(sf_dir: str):
+    """Delta dedup of an ingest batch against the stored corpus
+    (dedup/incremental.py): corpus = even doc_ids; the batch re-ingests
+    the doc_id % 4 == 0 slice (must flag as dup) alongside the odd ids
+    (genuinely new). Bloom prefilter is exactness-preserving — the
+    verify join string-compares — so the SQL twin is a plain semi-join."""
+    import pyarrow.compute as pc
+
+    from osm_merge_ray.dedup.incremental import incremental_dedup
+
+    def keep(pred):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pred(pc.bit_wise_and(t.column("doc_id"), 3)))
+        return f
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    corpus = docs.map_batches(
+        keep(lambda m: pc.equal(pc.bit_wise_and(m, 1), 0)),
+        batch_format="pyarrow")
+    batch = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        keep(lambda m: pc.or_(pc.equal(m, 0), pc.equal(pc.bit_wise_and(m, 1), 1))),
+        batch_format="pyarrow")
+    return incremental_dedup(batch, corpus)
+
+
+SQL_DEDUP_INCREMENTAL = """
+WITH corpus AS (
+  SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0
+), b AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0 OR doc_id % 2 = 1
+)
+SELECT b.doc_id, (c.text IS NOT NULL) AS is_dup
+FROM b LEFT JOIN corpus c ON b.text = c.text
+"""
+
+
 def text_decontaminate_q(sf_dir: str):
     """Train-set decontamination report vs a held-out eval slice
     (doc_id % 20 == 0) by shared word 3-grams (text/decontaminate.py):
@@ -3093,6 +3129,7 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_q,
     "dedup_embedding_lsh": dedup_embedding_lsh_q,
     "dedup_semantic": dedup_semantic_q,
+    "dedup_incremental": dedup_incremental_q,
     "convert_nps": convert_nps_q,
     "text_token_count": text_token_count_q,
     "text_quality_score": text_quality_q,
@@ -3171,6 +3208,7 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": SQL_MINHASH,
     "dedup_embedding_lsh": SQL_EMBED_LSH,
     "dedup_semantic": SQL_SEMDEDUP,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "knn_ivf": SQL_KNN_IVF,
     "image_decode_stats": SQL_DECODE_STATS,
     "image_pixel_embed": SQL_PIXEL_EMBED,

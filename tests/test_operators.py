@@ -145,6 +145,20 @@ def test_semantic_dedup_subset_of_exact_and_skew_guard(ray_session):
                              max_cluster_rows=3).to_pandas()
 
 
+def test_incremental_dedup_flags_exactly_the_restated_docs(docs_with_dups):
+    from osm_merge_ray.dedup.incremental import incremental_dedup
+
+    corpus = docs_with_dups[docs_with_dups["doc_id"] < 20]
+    batch = docs_with_dups[docs_with_dups["doc_id"] >= 12].copy()
+    batch["doc_id"] += 1000  # re-ingest under new ids
+    out = incremental_dedup(rd.from_pandas(batch), rd.from_pandas(corpus)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    corpus_texts = set(corpus["text"])
+    want = {r.doc_id: (r.text in corpus_texts) for r in batch.itertuples()}
+    assert dict(zip(out["doc_id"], out["is_dup"])) == want
+    assert out["is_dup"].sum() > 0 and (~out["is_dup"]).sum() > 0
+
+
 def test_pack_sequences_is_exact_prefix_scan(docs_with_dups):
     from osm_merge_ray.text.packing import pack_sequences
 
@@ -253,7 +267,7 @@ PARITY_QUERIES = [
     "spatial_conflate", "spatial_tile_assign", "spatial_point_in_polygon",
     "spatial_polygon_overlap",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_winnow", "dedup_embedding_cosine",
-    "dedup_representatives", "dedup_semantic",
+    "dedup_representatives", "dedup_semantic", "dedup_incremental",
     "text_token_count", "text_quality_score", "text_pack_sequences",
     "knn_cosine_topk",
     "q1_pricing_summary", "top_orders_by_revenue", "nation_revenue",
