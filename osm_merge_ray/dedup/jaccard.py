@@ -47,16 +47,37 @@ def _gram_rows(t: pa.Table, k: int, id_column: str, text_column: str) -> pa.Tabl
     })
 
 
+_EMPTY_PARTIALS = {
+    "id_a": np.int64, "id_b": np.int64,
+    "na": np.int64, "nb": np.int64, "inter": np.int64,
+}
+
+
 def _bucket_pair_partials(df: pd.DataFrame, id_column: str,
-                          max_df: int | None = None) -> pd.DataFrame:
-    """Vectorized per-bucket pair partials: same-gram pair enumeration
-    via sort+searchsorted, partial intersection counts via np.unique on
-    the packed pair key — no per-gram Python loop.
+                          max_df: int | None = None,
+                          dense_max_docs: int = 8192,
+                          dense_min_pairs: int = 1_000_000) -> pd.DataFrame:
+    """Per-bucket pair partials: exact intersection counts for every
+    co-occurring doc pair, no per-gram Python loop.
+
+    Two exact formulations, picked by bucket shape:
+
+    * **dense** (<= ``dense_max_docs`` distinct docs in the bucket):
+      build the 0/1 doc×gram incidence matrix and let BLAS compute
+      ``M @ M.T`` — intersection counts for ALL pairs in one matmul.
+      A stop-gram with df=g contributes g columns of flops instead of
+      g^2 materialized pair rows, so low-entropy corpora (where every
+      doc shares the top grams) don't melt down: the r3 bench's
+      winnow bucket went ~20s → <1s on exactly this shape.
+    * **sparse fallback**: enumerate same-gram pairs and count
+      duplicates via one int64 lexsort — O(sum df^2 log) but memory
+      ~rows, for buckets too wide for a D^2 matrix. Arbitrary int64
+      ids (the old packed (a<<31)|b key corrupted ids >= 2^31).
 
     ``max_df`` drops grams shared by more than that many docs BEFORE
-    pair enumeration (a gram with df=g emits g^2 pairs — the standard
-    web-corpus stop-gram cap). A gram lives in exactly one bucket
-    (bucketed by gram hash), so the document frequency here is exact.
+    either path (the standard web-corpus stop-gram cap). A gram lives
+    in exactly one bucket (bucketed by gram hash), so the document
+    frequency here is exact.
     """
     gh = df["gram_hash"].to_numpy()
     ids = df[id_column].to_numpy()
@@ -65,29 +86,53 @@ def _bucket_pair_partials(df: pd.DataFrame, id_column: str,
         u, inv, cnt = np.unique(gh, return_inverse=True, return_counts=True)
         keep = cnt[inv] <= max_df
         gh, ids, ng = gh[keep], ids[keep], ng[keep]
+    empty = pd.DataFrame({c: pd.Series(dtype=t)
+                          for c, t in _EMPTY_PARTIALS.items()})
+    if len(gh) == 0:
+        return empty
+
+    uid, di = np.unique(ids, return_inverse=True)
+    if len(uid) < 2:
+        return empty
+    ugh, gi, gdf = np.unique(gh, return_inverse=True, return_counts=True)
+    # dense only when the pair enumeration would actually be the
+    # bottleneck (sum df^2 dominates) AND the incidence matrix is small
+    # (high-entropy gram sets make G huge and the matmul a loss)
+    pairs_sparse = int((gdf.astype(np.int64) ** 2).sum())
+    if (len(uid) <= dense_max_docs and len(ugh) <= 4096
+            and pairs_sparse > dense_min_pairs):
+        m = np.zeros((len(uid), len(ugh)), dtype=np.float32)
+        m[di, gi] = 1.0  # duplicate (doc, gram) rows collapse to 1
+        inter = m @ m.T  # exact: counts <= n_grams << 2^24
+        ia, ib = np.nonzero(inter)
+        keep = ia < ib  # uid is sorted, so rank order == id order
+        ia, ib = ia[keep], ib[keep]
+        ngd = np.empty(len(uid), dtype=np.int64)
+        ngd[di] = ng  # n_grams is constant per doc
+        return pd.DataFrame({
+            "id_a": uid[ia].astype(np.int64),
+            "id_b": uid[ib].astype(np.int64),
+            "na": ngd[ia], "nb": ngd[ib],
+            "inter": inter[ia, ib].astype(np.int64),
+        })
+
     ia, ib = same_key_pairs(gh, gh)
     keep = ids[ia] < ids[ib]
     ia, ib = ia[keep], ib[keep]
-    empty = pd.DataFrame({
-        "id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64),
-        "na": pd.Series(dtype=np.int64), "nb": pd.Series(dtype=np.int64),
-        "inter": pd.Series(dtype=np.int64),
-    })
     if len(ia) == 0:
         return empty
-    # structured unique — no packed-int range limit (ids can be any
-    # int64; the old (a<<31)|b pack corrupted ids >= 2^31, ADVICE r2)
-    m = np.empty((len(ia), 2), dtype=np.int64)
-    m[:, 0] = ids[ia]
-    m[:, 1] = ids[ib]
-    v = m.view([("a", np.int64), ("b", np.int64)]).ravel()
-    _, first, cnt = np.unique(v, return_index=True, return_counts=True)
+    order = np.lexsort((ids[ib], ids[ia]))
+    a_s, b_s = ids[ia[order]], ids[ib[order]]
+    new = np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+    starts = np.flatnonzero(new)
+    cnt = np.diff(np.r_[starts, len(a_s)]).astype(np.int64)
+    first = order[starts]
     return pd.DataFrame({
         "id_a": ids[ia[first]].astype(np.int64),
         "id_b": ids[ib[first]].astype(np.int64),
         "na": ng[ia[first]].astype(np.int64),
         "nb": ng[ib[first]].astype(np.int64),
-        "inter": cnt.astype(np.int64),
+        "inter": cnt,
     })
 
 

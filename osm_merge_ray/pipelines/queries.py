@@ -737,6 +737,59 @@ FROM pts
 """
 
 
+def spatial_tile_pyramid_q(sf_dir: str):
+    """Tile-pyramid structure (z → z-1): per parent tile (the 2x2
+    aggregation of the 0.25-degree grid), how many distinct child tiles
+    are non-empty and how many points roll up. The byte-compositing
+    engine op is stages/tiling.pyramid_level (pytest-pinned mosaic);
+    this query pins the integer pyramid structure under the driver
+    gate. Per-batch (parent, child) pre-aggregation → grouped reduce."""
+    from osm_merge_ray.ops import grouped_reduce
+
+    def partials(t: pa.Table) -> pa.Table:
+        doc_id = t.column("doc_id").to_numpy()
+        lon, lat = _derive_lonlat(doc_id)
+        col = np.floor((lon + 113.0) / 0.25).astype(np.int64)
+        row = np.floor((lat - 37.0) / 0.25).astype(np.int64)
+        parent = (row >> 1) * 32 + (col >> 1)
+        child = row * 64 + col
+        key = parent * np.int64(1 << 20) + child  # child < 64*64 << 2^20
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "parent_id": pa.array(uk // (1 << 20), pa.int64()),
+            "child_id": pa.array(uk % (1 << 20), pa.int64()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("parent_id", as_index=False).agg(
+            n_children=("child_id", "nunique"), n_points=("n", "sum"))
+        g["n_children"] = g["n_children"].astype(np.int64)
+        return g
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        partials, batch_format="pyarrow")
+    return grouped_reduce(ds, ["parent_id"], rollup)
+
+
+SQL_TILE_PYRAMID = f"""
+WITH pts AS (
+  SELECT doc_id,
+         {_DERIVE_SQL[0].format(id='doc_id')} AS lon,
+         {_DERIVE_SQL[1].format(id='doc_id')} AS lat
+  FROM documents
+), t AS (
+  SELECT CAST(floor((lon + 113.0) / 0.25) AS BIGINT) AS col,
+         CAST(floor((lat - 37.0) / 0.25) AS BIGINT) AS row
+  FROM pts
+)
+SELECT (row // 2) * 32 + (col // 2) AS parent_id,
+       CAST(count(DISTINCT row * 64 + col) AS BIGINT) AS n_children,
+       count(*) AS n_points
+FROM t GROUP BY 1
+"""
+
+
 def spatial_polygon_overlap(sf_dir: str):
     """Rectangle-footprint overlap join (the SQL-checkable form of the
     building-dedup join J6; the general convex-polygon operator is
@@ -1698,17 +1751,25 @@ FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
 """
 
 
-def dedup_winnow_q(sf_dir: str, threshold: float = 0.2):
+def dedup_winnow_q(sf_dir: str, threshold: float = 0.2, max_df: int = 50):
+    """``max_df=50`` drops fingerprints present in >50 docs before pair
+    counting — MOSS's standard boilerplate suppression, mirrored
+    EXACTLY in the SQL twin (a HAVING df<=50 filter), so the gate stays
+    bit-exact. Without it a low-entropy corpus degenerates: at sf0.1
+    nearly every doc pair shares >=1 ubiquitous minimum and the partial
+    set is ~N^2 (measured 23.5M partial rows for 5k docs)."""
     from osm_merge_ray.dedup.winnow import winnow_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = winnow_pairs(ds, k=8, window=16, threshold=threshold)
+    out = winnow_pairs(ds, k=8, window=16, threshold=threshold, max_df=max_df)
     return out.select_columns(["id_a", "id_b", "inter", "na", "nb", "overlap"])
 
 
 # Same winnow selection CTEs as SQL_FINGERPRINT, but instead of
 # XOR-combining each doc's selected set, self-join on the selected hash
 # to count pairwise intersections (MOSS-style fingerprint overlap).
+# Set sizes (na/nb) are the FULL selected sets; only intersection
+# counting excludes df>50 hashes — mirroring the engine's max_df.
 SQL_WINNOW_PAIRS = f"""
 WITH g AS (
   SELECT doc_id, i, {_FP_GRAM} AS h
@@ -1726,9 +1787,12 @@ WITH g AS (
   SELECT doc_id, min(h) AS v FROM m WHERE ng <= 16 GROUP BY doc_id
 ), n AS (
   SELECT doc_id, count(*) AS ns FROM sel GROUP BY doc_id
+), self AS (
+  SELECT s.doc_id, s.v FROM sel s
+  JOIN (SELECT v FROM sel GROUP BY v HAVING count(*) <= 50) ok ON ok.v = s.v
 ), j AS (
   SELECT s1.doc_id AS id_a, s2.doc_id AS id_b, count(*) AS inter
-  FROM sel s1 JOIN sel s2 ON s1.v = s2.v AND s1.doc_id < s2.doc_id
+  FROM self s1 JOIN self s2 ON s1.v = s2.v AND s1.doc_id < s2.doc_id
   GROUP BY 1, 2
 )
 SELECT j.id_a, j.id_b, j.inter, na.ns AS na, nb.ns AS nb,
@@ -3112,6 +3176,7 @@ QUERIES = {
     "spatial_conflate_cascade": spatial_conflate_cascade,
     "spatial_conflate_flagship": spatial_conflate_flagship,
     "spatial_tile_assign": spatial_tile_assign,
+    "spatial_tile_pyramid": spatial_tile_pyramid_q,
     "spatial_point_in_polygon": spatial_point_in_polygon,
     "spatial_polygon_overlap": spatial_polygon_overlap,
     "dedup_exact": dedup_exact_q,
@@ -3171,6 +3236,7 @@ ORACLE_SQL = {
     "spatial_conflate_cascade": SQL_CONFLATE_CASCADE,
     "spatial_conflate_flagship": SQL_CONFLATE_FLAGSHIP,
     "spatial_tile_assign": SQL_TILE_ASSIGN,
+    "spatial_tile_pyramid": SQL_TILE_PYRAMID,
     "spatial_point_in_polygon": SQL_POINT_IN_POLYGON,
     "spatial_polygon_overlap": SQL_POLYGON_OVERLAP,
     "dedup_exact": SQL_DEDUP_EXACT,

@@ -14,7 +14,8 @@ import pyarrow as pa
 
 from osm_merge_ray.geo.mercator import TileGrid
 
-__all__ = ["assign_tiles", "make_assign_tiles", "render_tiles", "write_tiled"]
+__all__ = ["assign_tiles", "make_assign_tiles", "render_tiles", "write_tiled",
+           "pyramid_level"]
 
 
 def make_assign_tiles(grid: TileGrid):
@@ -99,3 +100,50 @@ def render_tiles(source_path: str, out_dir: str, grid: TileGrid,
     out = ds.map_batches(assign_and_filter, batch_format="pyarrow")
     out.write_parquet(out_dir, partition_cols=["tile_id"])
     return out_dir
+
+
+def pyramid_level(tiles_ds, tile_px: int = 64):
+    """One raster-pyramid step (z → z-1): each parent tile composites
+    its up-to-4 children — child (col, row) lands in quadrant
+    (col & 1, row & 1) at half size — the standard map-tile overview
+    build. Rows: (tile_col, tile_row, bytes); output adds n_children.
+
+    The byte exchange here is the irreducible pyramid shuffle (children
+    must meet their parent), but each level is 4× smaller than the
+    last, so a full pyramid costs ~1/3 of one extra pass over the base
+    level. Apply repeatedly for more levels. Compositing itself uses
+    the container's deterministic codec (image/codec.py) — swap decode/
+    encode for libjpeg in a real deployment, the plumbing is identical.
+    """
+    import pandas as pd
+
+    from osm_merge_ray.image.codec import decode, encode, resize_box
+    from osm_merge_ray.ops import grouped_reduce
+
+    def with_parent(t: pa.Table) -> pa.Table:
+        col = t.column("tile_col").to_numpy()
+        row = t.column("tile_row").to_numpy()
+        t = t.append_column("parent_col", pa.array(col >> 1, pa.int64()))
+        return t.append_column("parent_row", pa.array(row >> 1, pa.int64()))
+
+    half = tile_px // 2
+
+    def composite(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (pc_, pr_), g in df.groupby(["parent_col", "parent_row"]):
+            canvas = np.zeros((tile_px, tile_px, 3), dtype=np.uint8)
+            for r in g.itertuples():
+                px = resize_box(decode(r.bytes), half, half)
+                qx = (int(r.tile_col) & 1) * half
+                # row 0 is the bottom of the grid → top of the canvas is
+                # the higher row; flip so the mosaic is geographically up
+                qy = (1 - (int(r.tile_row) & 1)) * half
+                canvas[qy:qy + half, qx:qx + half] = px
+            out.append({"tile_col": int(pc_), "tile_row": int(pr_),
+                        "bytes": encode(canvas, "png"),
+                        "n_children": len(g)})
+        return pd.DataFrame(out, columns=["tile_col", "tile_row", "bytes",
+                                          "n_children"])
+
+    tagged = tiles_ds.map_batches(with_parent, batch_format="pyarrow")
+    return grouped_reduce(tagged, ["parent_col", "parent_row"], composite)
