@@ -78,6 +78,27 @@ def test_simhash_pairs(docs_with_dups):
     assert h[0] == h[1] != h[2]
 
 
+def test_bucket_pair_partials_dense_equals_sparse():
+    from osm_merge_ray.dedup.jaccard import _bucket_pair_partials
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for d in range(300):
+        gs = rng.choice(40, size=rng.integers(3, 15), replace=False)
+        for g in gs:
+            rows.append((int(g) * 1000 + 7, d + (1 << 33), len(gs)))
+    df = pd.DataFrame(rows, columns=["gram_hash", "doc_id", "n_grams"])
+    dense = _bucket_pair_partials(df, "doc_id", dense_min_pairs=0)
+    sparse = _bucket_pair_partials(df, "doc_id", dense_max_docs=0)
+    k = lambda x: x.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert k(dense).equals(k(sparse))
+    assert len(dense) > 10_000  # dense co-occurrence actually exercised
+    # max_df filters identically on both paths
+    dcap = _bucket_pair_partials(df, "doc_id", max_df=50, dense_min_pairs=0)
+    scap = _bucket_pair_partials(df, "doc_id", max_df=50, dense_max_docs=0)
+    assert k(dcap).equals(k(scap)) and len(dcap) < len(dense)
+
+
 def test_winnow_pairs_matches_bruteforce(docs_with_dups):
     from osm_merge_ray.dedup.winnow import winnow_pairs
     from osm_merge_ray.text.analysis import winnow_select
