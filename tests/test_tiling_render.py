@@ -68,3 +68,34 @@ def test_bucketed_hash_join(ray_session):
     got_s = got.sort_values(["k", "a"]).reset_index(drop=True)
     exp_s = exp.sort_values(["k", "a"]).reset_index(drop=True)
     assert (got_s["b"] == exp_s["b"]).all()
+
+
+def test_pyramid_level_composites_quadrants(ray_session):
+    import pyarrow as pa
+
+    from osm_merge_ray.image.codec import decode, encode, resize_box, synth_pixels
+    from osm_merge_ray.stages.tiling import pyramid_level
+
+    # two parents: (0,0) fully populated (4 children), (1,0) with one
+    # child at (2,1) — quadrant (0, top) since row 1 is the upper half
+    tiles = []
+    for col, row in [(0, 0), (1, 0), (0, 1), (1, 1), (2, 1)]:
+        px = synth_pixels(100 + col * 10 + row, 64, 64)
+        tiles.append({"tile_col": col, "tile_row": row,
+                      "bytes": encode(px, "png")})
+    out = pyramid_level(rd.from_pandas(__import__("pandas").DataFrame(tiles)),
+                        tile_px=64).to_pandas()
+    out = out.sort_values(["tile_col", "tile_row"]).reset_index(drop=True)
+    assert out[["tile_col", "tile_row", "n_children"]].values.tolist() == [
+        [0, 0, 4], [1, 0, 1]]
+
+    full = decode(out.iloc[0]["bytes"])
+    assert full.shape == (64, 64, 3)
+    # child (0,0) → bottom-left quadrant of the parent canvas
+    want = resize_box(synth_pixels(100, 64, 64), 32, 32)
+    np.testing.assert_array_equal(full[32:, :32], want)
+    # sparse parent: child (2,1) fills the top-left, rest stays black
+    sparse = decode(out.iloc[1]["bytes"])
+    np.testing.assert_array_equal(
+        sparse[:32, :32], resize_box(synth_pixels(121, 64, 64), 32, 32))
+    assert (sparse[32:, :] == 0).all() and (sparse[:, 32:] == 0).all()
