@@ -262,6 +262,40 @@ def cmd_dedup(args) -> int:
 
         out = simhash_pairs(ds, id_column=args.id_column,
                             text_column=args.text_column)
+    elif args.method == "winnow":
+        from osm_merge_ray.dedup.winnow import winnow_pairs
+
+        out = winnow_pairs(ds, threshold=args.threshold,
+                           id_column=args.id_column, text_column=args.text_column,
+                           max_df=args.max_df or None)
+    elif args.method == "cluster":
+        # full keep-one flow: jaccard pairs -> connected components ->
+        # highest-token representative per cluster
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from osm_merge_ray.dedup.cluster import (cluster_representatives,
+                                                 connected_components)
+        from osm_merge_ray.dedup.jaccard import jaccard_pairs
+
+        pairs = jaccard_pairs(ds, threshold=args.threshold,
+                              id_column=args.id_column,
+                              text_column=args.text_column,
+                              max_df=args.max_df or None)
+        ids = rd.read_parquet(args.infile, columns=[args.id_column])
+        clusters = connected_components(pairs, ids, node_column=args.id_column)
+
+        def ntok(t: pa.Table) -> pa.Table:
+            n = pc.list_value_length(
+                pc.split_pattern(t.column(args.text_column), " "))
+            return pa.table({args.id_column: t.column(args.id_column),
+                             "n_tokens": n.cast(pa.int64())})
+
+        quality = rd.read_parquet(
+            args.infile, columns=[args.id_column, args.text_column]
+        ).map_batches(ntok, batch_format="pyarrow")
+        out = cluster_representatives(clusters, quality,
+                                      node_column=args.id_column)
     else:  # jaccard
         from osm_merge_ray.dedup.jaccard import jaccard_pairs
 
@@ -270,6 +304,24 @@ def cmd_dedup(args) -> int:
                             max_df=args.max_df or None)
     out.write_parquet(args.outdir)
     print(f"wrote {args.method} dedup output to {args.outdir}")
+    return 0
+
+
+def cmd_pack(args) -> int:
+    """Sequence-packing plan over a parquet corpus: per doc, its token
+    offset in the id-ordered concatenated stream and the max_len
+    windows it spans (text/packing.py)."""
+    _ray()
+    import ray.data as rd
+
+    from osm_merge_ray.text.packing import pack_sequences
+
+    ds = rd.read_parquet(args.infile,
+                         columns=[args.id_column, args.text_column])
+    out = pack_sequences(ds, max_len=args.max_len, id_column=args.id_column,
+                         text_column=args.text_column)
+    out.write_parquet(args.outdir)
+    print(f"wrote packing plan (max_len={args.max_len}) to {args.outdir}")
     return 0
 
 
@@ -334,11 +386,12 @@ def main(argv=None) -> int:
     c.add_argument("--cell-res", type=int, default=12)
     c.set_defaults(fn=cmd_pipeline)
 
-    c = sub.add_parser("dedup", help="exact/minhash/simhash/jaccard dedup over parquet text")
+    c = sub.add_parser("dedup", help="exact/minhash/simhash/jaccard/winnow pairs or full cluster keep-one over parquet text")
     c.add_argument("-i", "--infile", required=True)
     c.add_argument("-o", "--outdir", required=True)
     c.add_argument("--method", default="exact",
-                   choices=["exact", "minhash", "simhash", "jaccard"])
+                   choices=["exact", "minhash", "simhash", "jaccard",
+                            "winnow", "cluster"])
     c.add_argument("--id-column", default="doc_id")
     c.add_argument("--text-column", default="text")
     c.add_argument("--threshold", type=float, default=0.5)
@@ -350,6 +403,14 @@ def main(argv=None) -> int:
                    help="drop grams shared by more than this many docs "
                         "(0 = no cap; exact but unsafe at scale)")
     c.set_defaults(fn=cmd_dedup)
+
+    c = sub.add_parser("pack", help="sequence-packing plan (token offsets + windows)")
+    c.add_argument("-i", "--infile", required=True)
+    c.add_argument("-o", "--outdir", required=True)
+    c.add_argument("--id-column", default="doc_id")
+    c.add_argument("--text-column", default="text")
+    c.add_argument("--max-len", type=int, default=2048)
+    c.set_defaults(fn=cmd_pack)
 
     c = sub.add_parser("poly", help="GeoJSON boundary -> osmosis .poly (S9)")
     c.add_argument("-i", "--infile", required=True)

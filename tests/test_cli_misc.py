@@ -12,7 +12,7 @@ from osm_merge_ray.sources.osm_xml import parse_osm_bytes, render_osm_xml
 
 def test_cli_subcommands_parse():
     for sub in ("convert", "conflate-lines", "conflate-images", "tm-split",
-                "pipeline", "dedup", "poly"):
+                "pipeline", "dedup", "poly", "pack"):
         with pytest.raises(SystemExit) as exc:
             cli_main([sub, "--help"])
         assert exc.value.code == 0, sub
@@ -131,3 +131,38 @@ def test_end_to_end_reference_user_journey(ray_session, tmp_path):
     np_ = new["features"][0]["properties"]
     assert np_["informal"] == "yes" and "fixme" in np_
     assert np_["name"] == "Lost Lake Road"
+
+
+def test_cli_dedup_cluster_and_pack(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "text": ["alpha beta gamma delta epsilon zeta"] * 2
+                + ["alpha beta gamma delta epsilon zeta eta theta"] * 2
+                + [f"unique words only here {i} {i} {i} pad pad pad {i}"
+                   for i in range(4)],
+    })
+    src = tmp_path / "docs.parquet"
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), src)
+
+    out = tmp_path / "reps"
+    assert cli_main(["dedup", "-i", str(src), "-o", str(out),
+                     "--method", "cluster", "--threshold", "0.5",
+                     "--max-df", "0"]) == 0
+    reps = pq.read_table(out).to_pandas().sort_values("cluster_id")
+    # docs 0-3 share high word-3-gram overlap -> one cluster whose
+    # representative is the LONGER variant (doc 2, 8 tokens)
+    big = reps[reps["cluster_size"] > 1]
+    assert len(big) == 1 and big.iloc[0]["rep_id"] == 2
+    assert big.iloc[0]["rep_n_tokens"] == 8 and big.iloc[0]["cluster_size"] == 4
+
+    outp = tmp_path / "pack"
+    assert cli_main(["pack", "-i", str(src), "-o", str(outp),
+                     "--max-len", "8"]) == 0
+    plan = pq.read_table(outp).to_pandas().sort_values("doc_id")
+    n = docs["text"].map(lambda s: len(s.split(" "))).to_numpy()
+    assert (plan["start_tok"].to_numpy()
+            == np.concatenate([[0], np.cumsum(n)[:-1]])).all()
