@@ -1305,6 +1305,51 @@ FROM c
 """
 
 
+def graph_pagerank_q(sf_dir: str):
+    """Integer-quantized PageRank (Q20 fixed point, exact iterations)
+    over the undirected near-dup graph — similarity-graph centrality
+    for data curation (graph/pagerank.py). Every step is int64 floor
+    arithmetic, so the SQL twin unrolls the iterations bit-exactly."""
+    from osm_merge_ray.dedup.jaccard import jaccard_pairs
+    from osm_merge_ray.graph.pagerank import pagerank_integer
+
+    docs_txt = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = jaccard_pairs(docs_txt, k=3, threshold=0.2)
+    nodes = _read(sf_dir, "documents", columns=["doc_id"])
+    # 3 unrolled iterations: each costs a join+reduce+join round trip;
+    # 3 pins the exact iterative semantics at a third of the stage count
+    return pagerank_integer(pairs, nodes, iters=3)
+
+
+def _pagerank_sql(iters: int = 5, scale: int = 1 << 20,
+                  num: int = 85, den: int = 100) -> str:
+    base = scale * (den - num) // den
+    ctes = [f"""e AS (
+  SELECT id_a AS src, id_b AS dst FROM ({SQL_DEDUP_JACCARD})
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM ({SQL_DEDUP_JACCARD})
+), d AS (
+  SELECT src, count(*) AS deg FROM e GROUP BY src
+), r0 AS (
+  SELECT doc_id AS v, CAST({scale} AS BIGINT) AS r FROM documents
+)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""i{k} AS (
+  SELECT e.dst AS v, sum(r{k - 1}.r // d.deg) AS inflow
+  FROM e JOIN d ON d.src = e.src JOIN r{k - 1} ON r{k - 1}.v = e.src
+  GROUP BY e.dst
+), r{k} AS (
+  SELECT n.doc_id AS v,
+         CAST({base} + {num} * coalesce(i{k}.inflow, 0) // {den} AS BIGINT) AS r
+  FROM documents n LEFT JOIN i{k} ON i{k}.v = n.doc_id
+)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT v AS doc_id, r AS pagerank_q20 FROM r{iters}")
+
+
+SQL_PAGERANK = _pagerank_sql(iters=3)
+
+
 def dedup_minhash_q(sf_dir: str):
     """MinHash-LSH candidate pairs with the SQL-mirrorable variant:
     poly41 char-8-gram hashes, affine permutations (a*x+b) % (2^41-1)
@@ -3195,6 +3240,7 @@ QUERIES = {
     "dedup_embedding_lsh": dedup_embedding_lsh_q,
     "dedup_semantic": dedup_semantic_q,
     "dedup_incremental": dedup_incremental_q,
+    "graph_pagerank": graph_pagerank_q,
     "convert_nps": convert_nps_q,
     "text_token_count": text_token_count_q,
     "text_quality_score": text_quality_q,
@@ -3275,6 +3321,7 @@ ORACLE_SQL = {
     "dedup_embedding_lsh": SQL_EMBED_LSH,
     "dedup_semantic": SQL_SEMDEDUP,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "graph_pagerank": SQL_PAGERANK,
     "knn_ivf": SQL_KNN_IVF,
     "image_decode_stats": SQL_DECODE_STATS,
     "image_pixel_embed": SQL_PIXEL_EMBED,

@@ -166,6 +166,34 @@ def test_semantic_dedup_subset_of_exact_and_skew_guard(ray_session):
                              max_cluster_rows=3).to_pandas()
 
 
+def test_pagerank_integer_matches_numpy_oracle(ray_session):
+    from osm_merge_ray.graph.pagerank import pagerank_integer
+
+    # star centre 0 with leaves 1-4, a 2-chain 10-11, isolated 20
+    edges = pd.DataFrame({"id_a": [0, 0, 0, 0, 10],
+                          "id_b": [1, 2, 3, 4, 11]})
+    nodes = pd.DataFrame({"doc_id": [0, 1, 2, 3, 4, 10, 11, 20]})
+    got = pagerank_integer(rd.from_pandas(edges), rd.from_pandas(nodes),
+                           iters=2).to_pandas()
+    got = dict(zip(got["doc_id"], got["pagerank_q20"]))
+
+    # exact integer replay
+    und = [(a, b) for a, b in zip(edges["id_a"], edges["id_b"])]
+    und += [(b, a) for a, b in und[:5]]
+    deg = {}
+    for s, _ in und:
+        deg[s] = deg.get(s, 0) + 1
+    scale, base = 1 << 20, (1 << 20) * 15 // 100
+    r = {v: scale for v in nodes["doc_id"]}
+    for _ in range(2):
+        inflow = {v: 0 for v in r}
+        for s, d in und:
+            inflow[d] += r[s] // deg[s]
+        r = {v: base + 85 * inflow[v] // 100 for v in r}
+    assert got == r
+    assert got[0] > got[1] == got[2] and got[20] == base + 0  # centre tops
+
+
 def test_incremental_dedup_flags_exactly_the_restated_docs(docs_with_dups):
     from osm_merge_ray.dedup.incremental import incremental_dedup
 
@@ -289,6 +317,7 @@ PARITY_QUERIES = [
     "spatial_polygon_overlap",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_winnow", "dedup_embedding_cosine",
     "dedup_representatives", "dedup_semantic", "dedup_incremental",
+    "graph_pagerank",
     "text_token_count", "text_quality_score", "text_pack_sequences",
     "knn_cosine_topk",
     "q1_pricing_summary", "top_orders_by_revenue", "nation_revenue",
