@@ -42,7 +42,10 @@ def pack_sequences(ds, max_len: int = 2048, id_column: str = "doc_id",
         return pa.table({id_column: t.column(id_column),
                          "n_tokens": n.cast(pa.int64())})
 
-    counts = ds.map_batches(ntok, batch_format="pyarrow")
+    # light (id, n_tokens) projection is consumed three times (max id,
+    # bucket totals, final scan) — materialize once (~16 B/row) so the
+    # text read+tokenize doesn't re-execute per consumer
+    counts = ds.map_batches(ntok, batch_format="pyarrow").materialize()
     max_id = int(counts.max(id_column))
 
     def with_bucket(t: pa.Table) -> pa.Table:
