@@ -307,6 +307,24 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Full corpus curation (quality -> dedup-keep-one -> decontaminate
+    -> packing plan) over train/eval parquet corpora."""
+    _ray()
+    import ray.data as rd
+
+    from osm_merge_ray.pipelines.curation import curate_corpus
+
+    cols = [args.id_column, args.text_column]
+    out = curate_corpus(rd.read_parquet(args.infile, columns=cols),
+                        rd.read_parquet(args.eval, columns=cols),
+                        max_len=args.max_len, id_column=args.id_column,
+                        text_column=args.text_column)
+    out.write_parquet(args.outdir)
+    print(f"wrote curated packing plan to {args.outdir}")
+    return 0
+
+
 def cmd_pack(args) -> int:
     """Sequence-packing plan over a parquet corpus: per doc, its token
     offset in the id-ordered concatenated stream and the max_len
@@ -403,6 +421,15 @@ def main(argv=None) -> int:
                    help="drop grams shared by more than this many docs "
                         "(0 = no cap; exact but unsafe at scale)")
     c.set_defaults(fn=cmd_dedup)
+
+    c = sub.add_parser("curate", help="quality+dedup+decontaminate+pack pipeline")
+    c.add_argument("-i", "--infile", required=True, help="train corpus parquet")
+    c.add_argument("--eval", required=True, help="eval corpus parquet")
+    c.add_argument("-o", "--outdir", required=True)
+    c.add_argument("--id-column", default="doc_id")
+    c.add_argument("--text-column", default="text")
+    c.add_argument("--max-len", type=int, default=2048)
+    c.set_defaults(fn=cmd_curate)
 
     c = sub.add_parser("pack", help="sequence-packing plan (token offsets + windows)")
     c.add_argument("-i", "--infile", required=True)

@@ -1,0 +1,83 @@
+"""End-to-end LLM corpus curation: the pipeline a pretraining team
+actually runs, composed from the engine's verified operators —
+
+    1. quality filter        (Gopher-style heuristics, text/analysis.py)
+    2. near-dup clustering   (word-3-gram Jaccard -> connected
+                              components, dedup/jaccard.py + cluster.py)
+    3. representative keep   (highest-token member per cluster,
+                              dedup/cluster.cluster_representatives)
+    4. decontamination       (drop docs sharing eval-set word k-grams,
+                              text/decontaminate.py)
+    5. sequence packing      (global token offsets + context windows,
+                              text/packing.py)
+
+Every stage is individually bit-exact against a DuckDB twin, so the
+COMPOSITION is too (pipelines/queries.py SQL_CURATE) — the full
+curation run sits under the driver's hash gate, not just its pieces.
+
+Scale shape: the text corpus is never materialized; each stage
+re-streams the pruned read (texts pass through map-side only), and
+everything that shuffles is light rows — gram hashes, (int64, int64)
+cluster labels, per-bucket token totals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def curate_corpus(train_ds, eval_ds, max_len: int = 2048,
+                  jaccard_k: int = 3, jaccard_threshold: float = 0.2,
+                  decontam_k: int = 3, id_column: str = "doc_id",
+                  text_column: str = "text", num_buckets: int = 64):
+    """(id, n_tokens, start_tok, win_first, win_last) for every
+    document that survives curation; offsets are over the id-ordered
+    concatenation of the survivors only."""
+    import pyarrow.compute as pc
+
+    from osm_merge_ray.dedup.cluster import (cluster_representatives,
+                                             connected_components)
+    from osm_merge_ray.dedup.jaccard import jaccard_pairs
+    from osm_merge_ray.ops import bucketed_hash_join
+    from osm_merge_ray.text.analysis import quality_score
+    from osm_merge_ray.text.decontaminate import decontaminate
+    from osm_merge_ray.text.packing import pack_sequences
+
+    def keep_quality(t: pa.Table) -> pa.Table:
+        scored = quality_score(t)
+        return scored.filter(scored.column("quality_keep")) \
+            .select([id_column, text_column])
+
+    kept = train_ds.map_batches(keep_quality, batch_format="pyarrow")
+
+    pairs = jaccard_pairs(kept, k=jaccard_k, threshold=jaccard_threshold,
+                          id_column=id_column, text_column=text_column)
+    kept_ids = kept.select_columns([id_column])
+    # near-dup graphs are shallow (diameter ~2-3): min-propagation
+    # converges in that many rounds at one join+reduce each, cheaper
+    # than star contraction's fixed two-reduce rounds here; it RAISES
+    # on non-convergence, so a pathological chain fails loudly and the
+    # caller reruns with method="star"
+    clusters = connected_components(pairs, kept_ids, node_column=id_column,
+                                    method="minprop")
+
+    def ntok(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(t.column(text_column), " "))
+        return pa.table({id_column: t.column(id_column),
+                         "n_tokens": n.cast(pa.int64())})
+
+    reps = cluster_representatives(clusters, kept.map_batches(
+        ntok, batch_format="pyarrow"), node_column=id_column,
+        num_buckets=num_buckets)
+    rep_ids = reps.map_batches(
+        lambda t: pa.table({id_column: t.column("rep_id").cast(pa.int64())}),
+        batch_format="pyarrow")
+    survivors = bucketed_hash_join(kept, rep_ids, key=id_column,
+                                   num_buckets=num_buckets, how="inner")
+
+    clean = decontaminate(survivors, eval_ds, k=decontam_k,
+                          id_column=id_column, text_column=text_column,
+                          num_buckets=num_buckets)
+    return pack_sequences(clean, max_len=max_len, id_column=id_column,
+                          text_column=text_column, num_buckets=num_buckets)

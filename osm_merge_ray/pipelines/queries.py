@@ -1018,6 +1018,103 @@ HAVING count(*) >= 1
 """
 
 
+def curate_corpus_q(sf_dir: str):
+    """End-to-end corpus curation (pipelines/curation.py): quality
+    filter -> near-dup cluster -> best-member keep -> decontamination
+    vs the eval slice (doc_id % 20 == 0) -> sequence-packing plan.
+    Every stage is individually bit-exact, so the composition is too —
+    one driver row per surviving document."""
+    from osm_merge_ray.pipelines.curation import curate_corpus
+
+    def split(t: pa.Table, keep_eval: bool) -> pa.Table:
+        m = (t.column("doc_id").to_numpy() % 20 == 0)
+        return t.filter(pa.array(m if keep_eval else ~m))
+
+    train = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: split(t, False), batch_format="pyarrow")
+    evals = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: split(t, True), batch_format="pyarrow")
+    return curate_corpus(train, evals, max_len=2048)
+
+
+SQL_CURATE = """
+WITH RECURSIVE kept AS (
+  SELECT doc_id, text, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE doc_id % 20 != 0
+    AND len(string_split(text, ' ')) >= 5
+    AND len(string_split(text, ' ')) <= 100000
+), w AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM kept
+), gk AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+    FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+    WHERE len(ws) >= 3
+    UNION ALL
+    SELECT doc_id, text AS gram FROM w WHERE len(ws) < 3 AND text != ''
+  )
+), ng AS (
+  SELECT doc_id, count(*) AS n FROM gk GROUP BY doc_id
+), jp AS (
+  SELECT g1.doc_id AS id_a, g2.doc_id AS id_b, count(*) AS inter
+  FROM gk g1 JOIN gk g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM jp
+  JOIN ng na ON jp.id_a = na.doc_id JOIN ng nb ON jp.id_b = nb.doc_id
+  WHERE CAST(jp.inter AS DOUBLE) / (na.n + nb.n - jp.inter) >= 0.2
+), und AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL SELECT id_b AS s, id_a AS d FROM pairs
+), reach(v, l) AS (
+  SELECT doc_id, doc_id FROM kept
+  UNION
+  SELECT u.d, reach.l FROM reach JOIN und u ON u.s = reach.v
+), cl AS (
+  SELECT v AS doc_id, min(l) AS cluster_id FROM reach GROUP BY v
+), reps AS (
+  SELECT doc_id FROM (
+    SELECT c.doc_id,
+           row_number() OVER (PARTITION BY c.cluster_id
+                              ORDER BY k.n_tokens DESC, c.doc_id) AS rn
+    FROM cl c JOIN kept k ON k.doc_id = c.doc_id
+  ) WHERE rn = 1
+), surv AS (
+  SELECT k.doc_id, k.n_tokens FROM kept k JOIN reps r ON r.doc_id = k.doc_id
+), we AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
+  WHERE doc_id % 20 = 0
+), ge AS (
+  SELECT DISTINCT gram FROM (
+    SELECT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+    FROM we, UNNEST(range(1, greatest(len(ws) - 1, 1))) AS t(i)
+    WHERE len(ws) >= 3
+    UNION ALL
+    SELECT text AS gram FROM we WHERE len(ws) < 3 AND text != ''
+  )
+), bad AS (
+  SELECT DISTINCT gs.doc_id
+  FROM (SELECT s.doc_id, g.gram FROM surv s
+        JOIN gk g ON g.doc_id = s.doc_id) gs
+  JOIN ge ON ge.gram = gs.gram
+), cur AS (
+  SELECT s.doc_id, s.n_tokens FROM surv s
+  LEFT JOIN bad b ON b.doc_id = s.doc_id WHERE b.doc_id IS NULL
+), sc AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+  FROM cur
+)
+SELECT doc_id, n_tokens, start_tok,
+       CAST(start_tok // 2048 AS BIGINT) AS win_first,
+       CAST((start_tok + n_tokens - 1) // 2048 AS BIGINT) AS win_last
+FROM sc
+"""
+
+
 def text_repetition_q(sf_dir: str):
     """Gopher-style repetition stats per document (text/analysis.py
     repetition_stats): word/unique-word counts, max single-word and
@@ -3241,6 +3338,7 @@ QUERIES = {
     "dedup_semantic": dedup_semantic_q,
     "dedup_incremental": dedup_incremental_q,
     "graph_pagerank": graph_pagerank_q,
+    "curate_corpus": curate_corpus_q,
     "convert_nps": convert_nps_q,
     "text_token_count": text_token_count_q,
     "text_quality_score": text_quality_q,
@@ -3322,6 +3420,7 @@ ORACLE_SQL = {
     "dedup_semantic": SQL_SEMDEDUP,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "graph_pagerank": SQL_PAGERANK,
+    "curate_corpus": SQL_CURATE,
     "knn_ivf": SQL_KNN_IVF,
     "image_decode_stats": SQL_DECODE_STATS,
     "image_pixel_embed": SQL_PIXEL_EMBED,
