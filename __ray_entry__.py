@@ -8,11 +8,12 @@ The driver initialises Ray BEFORE importing this module; nothing here
 * ``queries()`` — one callable per implemented operator family
   (SURVEY.md §2 + the training-data operators), each ``(sf_dir) →``
   Dataset / DataFrame / Table.
-* ``oracle_sql()`` — DuckDB-equivalent SQL for every query whose
-  semantics are SQL-expressible; the remaining entries (LSH/IVF
-  internals, image decoding, the image-table conflation itself) are
-  rows-only here and oracle-verified in pytest instead
-  (tests/test_conflation.py: brute-force O(N*M) oracle).
+* ``oracle_sql()`` — DuckDB-equivalent SQL for EVERY query (59/59 as
+  of r3; zero rows-only): float-boundary semantics are made
+  SQL-mirrorable by integer quantization / poly41 hashing / round-6
+  similarities, and the multimodal stand-ins by parametric twins.
+  Content-dependent float internals additionally carry brute-force
+  pytest oracles (tests/test_conflation.py: O(N*M) oracle).
 """
 
 from __future__ import annotations
