@@ -54,13 +54,11 @@ def curate_corpus(train_ds, eval_ds, max_len: int = 2048,
     pairs = jaccard_pairs(kept, k=jaccard_k, threshold=jaccard_threshold,
                           id_column=id_column, text_column=text_column)
     kept_ids = kept.select_columns([id_column])
-    # near-dup graphs are shallow (diameter ~2-3): min-propagation
-    # converges in that many rounds at one join+reduce each, cheaper
-    # than star contraction's fixed two-reduce rounds here; it RAISES
-    # on non-convergence, so a pathological chain fails loudly and the
-    # caller reruns with method="star"
-    clusters = connected_components(pairs, kept_ids, node_column=id_column,
-                                    method="minprop")
+    # star contraction (the default): measured 4x faster than
+    # min-propagation even on shallow near-dup graphs — minprop's
+    # per-round bucketed join + fixpoint checks outweigh its lower
+    # round count (A/B at sf0.1: 5.6 s vs 24 s)
+    clusters = connected_components(pairs, kept_ids, node_column=id_column)
 
     def ntok(t: pa.Table) -> pa.Table:
         n = pc.list_value_length(pc.split_pattern(t.column(text_column), " "))
