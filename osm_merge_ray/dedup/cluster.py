@@ -16,8 +16,11 @@ Two algorithms, same output contract (cluster id = min reachable id):
   logarithmically.
 * ``method="minprop"``: iterative min-label propagation (hash-to-min) —
   one join + one grouped min per round, rounds = graph diameter. Kept
-  as the independent cross-check (tests assert star ≡ minprop) and for
-  shallow dense near-dup graphs where a couple of rounds win.
+  as the independent cross-check (tests assert star ≡ minprop) only:
+  measured 4x SLOWER than star even on shallow near-dup graphs (sf0.1
+  A/B: 5.6 s vs 24 s — its per-round bucketed join + fixpoint
+  materializations outweigh the lower round count), so star is the
+  right choice at every graph shape.
 """
 
 from __future__ import annotations
