@@ -90,13 +90,17 @@ def semantic_dedup_pairs(ds, cents: np.ndarray, threshold: float = 0.35,
         # (normalize-then-dot rounds differently at round-6 boundaries)
         norms = np.linalg.norm(m, axis=1)
         sims = np.round((m @ m.T) / (norms[:, None] * norms[None, :]), 6)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= threshold
+        # mask-then-nonzero: allocates one bool D^2 plus the qualifying
+        # hits only — triu_indices would materialize O(D^2) int64 rows
+        # (~1 GB at D=8k) even when almost nothing clears threshold
+        ia, ib = np.nonzero(sims >= threshold)
+        keep = ia < ib
+        ia, ib = ia[keep], ib[keep]
         return pd.DataFrame({
-            "cid": np.full(int(keep.sum()), int(df["cid"].iloc[0]), dtype=np.int64),
-            "id_a": ids[ia[keep]].astype(np.int64),
-            "id_b": ids[ib[keep]].astype(np.int64),
-            "sim": sims[ia[keep], ib[keep]],
+            "cid": np.full(len(ia), int(df["cid"].iloc[0]), dtype=np.int64),
+            "id_a": ids[ia].astype(np.int64),
+            "id_b": ids[ib].astype(np.int64),
+            "sim": sims[ia, ib],
         })
 
     return with_cid.groupby("cid").map_groups(pairs, batch_format="pandas")

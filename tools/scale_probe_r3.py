@@ -87,6 +87,41 @@ def main():
     print(f"incremental_dedup corpus={n} batch={batch.count()}: "
           f"{t_inc:.1f}s, dups_flagged={n_dup} (expected {k // 100})")
 
+    # --- SemDeDup production path: trained centroids at n/4 vectors --
+    import pyarrow as pa
+
+    from osm_merge_ray.sim.knn import train_centroids_distributed
+    from osm_merge_ray.sim.semdedup import semantic_dedup_pairs
+    from osm_merge_ray.util import splitmix64
+
+    nv = min(n // 4, 500_000)
+
+    def make_vecs(batch):
+        ids = batch["id"].to_numpy().astype(np.int64)
+        # 16 latent archetypes + small deterministic noise; every 100th
+        # vector is a planted near-clone of its predecessor
+        base_id = np.where(ids % 100 == 99, ids - 1, ids)
+        h = splitmix64(base_id.astype(np.uint64)[:, None] * np.uint64(97)
+                       + np.arange(32, dtype=np.uint64)[None, :])
+        arch = splitmix64((base_id % 16).astype(np.uint64)[:, None]
+                          * np.uint64(131) + np.arange(32, dtype=np.uint64))
+        v = (arch % 1000).astype(np.float64) + 0.4 * (h % 1000).astype(np.float64)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "embedding": pa.array(list(v), pa.list_(pa.float64()))})
+
+    vecs = rd.range(nv, override_num_blocks=64).map_batches(
+        make_vecs, batch_format="pyarrow").materialize()
+    t0 = time.time()
+    cents = train_centroids_distributed(vecs, 64)
+    t_train = time.time() - t0
+    t0 = time.time()
+    sd = semantic_dedup_pairs(vecs, cents, threshold=0.999).materialize()
+    t_sd = time.time() - t0
+    print(f"semdedup n={nv} k=64 trained: train {t_train:.1f}s, "
+          f"pairs {t_sd:.1f}s ({nv / t_sd:,.0f} vecs/s), "
+          f"pairs={sd.count()} (>= {nv // 100} planted clones)")
+
     # --- winnow with the MOSS df cap on a low-entropy corpus ---------
     wn = min(n // 10, 200_000)
     sub = docs.limit(wn).materialize()
