@@ -2124,6 +2124,52 @@ FROM u WHERE round(dot / (sqrt(sx) * sqrt(sy)), 6) >= 0.35
 # relational / streaming-shaped
 # ---------------------------------------------------------------------------
 
+def events_distinct_sketch_q(sf_dir: str):
+    """KMV distinct-count sketch (sketch.py) over events.user_id (few
+    distinct: sketch == exact) and event_id (cardinality > k: the
+    (k-1)*M // h_k estimator path) — a mergeable cardinality sketch
+    whose every step is int64 arithmetic, unlike HyperLogLog whose
+    float estimator no SQL twin reproduces. Exact distinct counts ride
+    along so the estimator's error is visible."""
+    from osm_merge_ray.sketch import distinct_sketch
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id"])
+    return distinct_sketch(ds, ["user_id", "event_id"], k=256)
+
+
+# the engine's kmv_mix (sketch.py), spelled in BIGINT: two affine-mod
+# rounds interleaved with invertible xorshifts
+_KMV_MIX = (
+    "xor((920461 * xor((69069 * {x} + 12345) % 2199023255551, "
+    "((69069 * {x} + 12345) % 2199023255551) >> 21) + 7) % 2199023255551, "
+    "((920461 * xor((69069 * {x} + 12345) % 2199023255551, "
+    "((69069 * {x} + 12345) % 2199023255551) >> 21) + 7) % 2199023255551) >> 13)"
+)
+
+SQL_DISTINCT_SKETCH = f"""
+WITH hu AS (
+  SELECT DISTINCT {_KMV_MIX.format(x='user_id')} AS h FROM events
+), bu AS (SELECT h FROM hu ORDER BY h LIMIT 256),
+su AS (SELECT max(h) AS kth, count(*) AS n FROM bu),
+he AS (
+  SELECT DISTINCT {_KMV_MIX.format(x='event_id')} AS h FROM events
+), be AS (SELECT h FROM he ORDER BY h LIMIT 256),
+se AS (SELECT max(h) AS kth, count(*) AS n FROM be)
+SELECT 'user_id' AS key, CAST(kth AS BIGINT) AS kth_min,
+       CAST(n AS BIGINT) AS n_sketch,
+       CAST(CASE WHEN n < 256 THEN n
+            ELSE 255 * 2199023255551 // kth END AS BIGINT) AS est_distinct,
+       (SELECT count(DISTINCT user_id) FROM events) AS n_distinct
+FROM su
+UNION ALL
+SELECT 'event_id', CAST(kth AS BIGINT), CAST(n AS BIGINT),
+       CAST(CASE WHEN n < 256 THEN n
+            ELSE 255 * 2199023255551 // kth END AS BIGINT),
+       (SELECT count(DISTINCT event_id) FROM events)
+FROM se
+"""
+
+
 def q1_pricing_summary(sf_dir: str):
     """TPC-H-Q1-shaped aggregate with exact integer partial aggregation
     inside map_batches before the (tiny) groupby — the canonical
@@ -3361,6 +3407,7 @@ QUERIES = {
     "events_asof_join": events_asof_join,
     "events_quantiles": events_quantiles_q,
     "events_late_data": events_late_data_q,
+    "events_distinct_sketch": events_distinct_sketch_q,
     "text_top_ngrams": text_top_ngrams_q,
     "events_running_index": events_running_index,
     "events_sessionize": events_sessionize,
@@ -3412,6 +3459,7 @@ ORACLE_SQL = {
     "events_asof_join": SQL_EVENTS_ASOF,
     "events_quantiles": SQL_EVENTS_QUANTILES,
     "events_late_data": SQL_EVENTS_LATE,
+    "events_distinct_sketch": SQL_DISTINCT_SKETCH,
     "text_top_ngrams": SQL_TOP_NGRAMS,
     "events_running_index": SQL_EVENTS_RUNNING_INDEX,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,

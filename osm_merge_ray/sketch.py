@@ -1,0 +1,108 @@
+"""KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al.,
+"Counting distinct elements in a data stream", RANDOM 2002).
+
+The mergeable cardinality sketch with EXACT integer semantics: hash
+every key with an affine permutation ``h = (a*x + b) mod M`` (gcd(a,M)
+= 1 → injective, so distinct hashes == distinct keys), keep the k
+smallest distinct hashes; the k-th smallest estimates the cardinality
+as ``(k-1) * M // h_k`` (uniform order statistics), and when fewer
+than k distinct hashes exist the sketch IS the exact answer.
+
+Unlike HyperLogLog (whose estimator needs float log/harmonic means no
+SQL twin reproduces bit-for-bit), every KMV step is int64 arithmetic —
+sort, limit, floor-divide — so the sketch sits under the driver's
+bit-exact gate (pipelines/queries.py SQL_DISTINCT_SKETCH).
+
+Distributed shape: each block contributes its bottom-k distinct hashes
+(a fixed-size partial — k int64s per block reach the merge regardless
+of row count, the same driver-transfer bound as the Bloom build); the
+global bottom-k is the bottom-k of the union of partials.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from osm_merge_ray.util import POLY41_MOD
+
+def kmv_mix(x: np.ndarray, mod: int = POLY41_MOD) -> np.ndarray:
+    """41-bit integer mixer from SQL-safe ops only (affine mod M +
+    invertible xorshift, twice): a bare affine hash of sequential ids
+    is an arithmetic progression mod M whose bottom-k violates KMV's
+    uniform-order-statistics assumption (measured 100x over-estimate);
+    this mix lands 2-15%% error across sequential/strided/sparse key
+    sets. Every step is int64 +,*,%%,xor,>> — identically computable
+    in DuckDB BIGINT. Effectively injective on [0, M) (xorshift is
+    invertible at fixed width; empirically unique on 5M keys)."""
+    m = np.int64(mod)
+    h = (np.int64(69069) * x + np.int64(12345)) % m
+    h = h ^ (h >> np.int64(21))
+    h = (np.int64(920461) * h + np.int64(7)) % m
+    return h ^ (h >> np.int64(13))
+
+
+def kmv_bottom_k(ds, column: str, k: int = 256,
+                 mod: int = POLY41_MOD) -> np.ndarray:
+    """Global k smallest distinct mixed hashes of ``column`` (int64
+    keys), sorted ascending; fewer than k when the column has fewer
+    distinct values. Driver transfer: k values per block."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(column).to_numpy().astype(np.int64)
+        u = np.unique(kmv_mix(x, mod))  # sorted
+        return pa.table({"h": pa.array(u[:k], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    merged = np.unique(np.concatenate(
+        [bt.column("h").to_numpy() for bt in
+         parts.iter_batches(batch_format="pyarrow", batch_size=8192)]
+        or [np.empty(0, dtype=np.int64)]))
+    return merged[:k]
+
+
+def kmv_estimate(bottom: np.ndarray, k: int = 256,
+                 mod: int = POLY41_MOD) -> tuple[int, int, int]:
+    """(kth_min, n_sketch, est_distinct): exact when the sketch is not
+    full, ``(k-1) * M // h_k`` otherwise."""
+    n = len(bottom)
+    if n == 0:
+        return 0, 0, 0
+    kth = int(bottom[-1])
+    if n < k:
+        return kth, n, n
+    return kth, n, (k - 1) * mod // kth
+
+
+def exact_distinct(ds, column: str, num_buckets: int = 64) -> int:
+    """Exact distinct count, distributed over the RAW keys (no hash
+    assumptions): per-block distinct, per-bucket nunique partials (the
+    driver sees num_buckets ints), summed."""
+    from osm_merge_ray.ops import grouped_reduce
+
+    def krows(t: pa.Table) -> pa.Table:
+        x = t.column(column).to_numpy().astype(np.int64)
+        return pa.table({"h": pa.array(np.unique(x), pa.int64())})
+
+    hs = ds.map_batches(krows, batch_format="pyarrow")
+    parts = grouped_reduce(
+        hs, ["h"],
+        lambda df: pd.DataFrame({"n": [np.int64(df["h"].nunique())]}),
+        num_buckets=num_buckets)
+    return int(parts.sum("n") or 0)
+
+
+def distinct_sketch(ds, columns: list[str], k: int = 256) -> pd.DataFrame:
+    """One row per column: (key, kth_min, n_sketch, est_distinct,
+    n_distinct) — the bounded-transfer sketch estimate side by side
+    with the exact distributed distinct count, so consumers can see
+    the estimator's error at a glance."""
+    rows = []
+    for c in columns:
+        bottom = kmv_bottom_k(ds, c, k=k)
+        kth, n_sk, est = kmv_estimate(bottom, k=k)
+        rows.append({"key": c, "kth_min": kth, "n_sketch": n_sk,
+                     "est_distinct": est,
+                     "n_distinct": exact_distinct(ds, c)})
+    return pd.DataFrame(rows)

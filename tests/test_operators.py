@@ -166,6 +166,25 @@ def test_semantic_dedup_subset_of_exact_and_skew_guard(ray_session):
                              max_cluster_rows=3).to_pandas()
 
 
+def test_kmv_sketch_exact_below_k_and_accurate_above(ray_session):
+    from osm_merge_ray.sketch import distinct_sketch
+
+    n = 40_000
+    df = pd.DataFrame({
+        "small": np.arange(n) % 100,          # 100 distinct < k
+        "big": (np.arange(n) * 7) % 20_011,   # 20,011 distinct >> k
+    })
+    out = distinct_sketch(rd.from_pandas(df), ["small", "big"], k=256)
+    out = out.set_index("key")
+    assert out.loc["small", "est_distinct"] == 100   # exact mode
+    assert out.loc["small", "n_distinct"] == 100
+    assert out.loc["big", "n_distinct"] == 20_011
+    est = out.loc["big", "est_distinct"]
+    # KMV stderr ~ 1/sqrt(k) ≈ 6%; allow 4 sigma
+    assert abs(est - 20_011) / 20_011 < 0.25
+    assert out.loc["big", "n_sketch"] == 256
+
+
 def test_pagerank_integer_matches_numpy_oracle(ray_session):
     from osm_merge_ray.graph.pagerank import pagerank_integer
 
@@ -317,7 +336,7 @@ PARITY_QUERIES = [
     "spatial_polygon_overlap",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_winnow", "dedup_embedding_cosine",
     "dedup_representatives", "dedup_semantic", "dedup_incremental",
-    "graph_pagerank", "curate_corpus",
+    "graph_pagerank", "curate_corpus", "events_distinct_sketch",
     "text_token_count", "text_quality_score", "text_pack_sequences",
     "knn_cosine_topk",
     "q1_pricing_summary", "top_orders_by_revenue", "nation_revenue",
