@@ -262,6 +262,16 @@ def cmd_dedup(args) -> int:
 
         out = simhash_pairs(ds, id_column=args.id_column,
                             text_column=args.text_column)
+    elif args.method == "incremental":
+        if not args.corpus:
+            print("--method incremental requires --corpus")
+            return 2
+        from osm_merge_ray.dedup.incremental import incremental_dedup
+
+        corpus = rd.read_parquet(args.corpus,
+                                 columns=[args.id_column, args.text_column])
+        out = incremental_dedup(ds, corpus, id_column=args.id_column,
+                                text_column=args.text_column)
     elif args.method == "winnow":
         from osm_merge_ray.dedup.winnow import winnow_pairs
 
@@ -304,6 +314,28 @@ def cmd_dedup(args) -> int:
                             max_df=args.max_df or None)
     out.write_parquet(args.outdir)
     print(f"wrote {args.method} dedup output to {args.outdir}")
+    return 0
+
+
+def cmd_semdedup(args) -> int:
+    """SemDeDup over an embeddings parquet: distributed-Lloyd centroid
+    training, then within-cluster cosine near-dup pairs."""
+    _ray()
+    import ray.data as rd
+
+    from osm_merge_ray.sim.knn import train_centroids_distributed
+    from osm_merge_ray.sim.semdedup import semantic_dedup_pairs
+
+    ds = rd.read_parquet(args.infile,
+                         columns=[args.id_column, args.vec_column]).materialize()
+    cents = train_centroids_distributed(ds, args.centroids,
+                                        vec_column=args.vec_column)
+    out = semantic_dedup_pairs(ds, cents, threshold=args.threshold,
+                               id_column=args.id_column,
+                               vec_column=args.vec_column)
+    out.write_parquet(args.outdir)
+    print(f"wrote semantic near-dup pairs (k={args.centroids}, "
+          f"t={args.threshold}) to {args.outdir}")
     return 0
 
 
@@ -409,7 +441,9 @@ def main(argv=None) -> int:
     c.add_argument("-o", "--outdir", required=True)
     c.add_argument("--method", default="exact",
                    choices=["exact", "minhash", "simhash", "jaccard",
-                            "winnow", "cluster"])
+                            "winnow", "cluster", "incremental"])
+    c.add_argument("--corpus", default=None,
+                   help="stored-corpus parquet for --method incremental")
     c.add_argument("--id-column", default="doc_id")
     c.add_argument("--text-column", default="text")
     c.add_argument("--threshold", type=float, default=0.5)
@@ -421,6 +455,15 @@ def main(argv=None) -> int:
                    help="drop grams shared by more than this many docs "
                         "(0 = no cap; exact but unsafe at scale)")
     c.set_defaults(fn=cmd_dedup)
+
+    c = sub.add_parser("semdedup", help="SemDeDup embedding near-dup pairs")
+    c.add_argument("-i", "--infile", required=True, help="embeddings parquet")
+    c.add_argument("-o", "--outdir", required=True)
+    c.add_argument("--id-column", default="vec_id")
+    c.add_argument("--vec-column", default="embedding")
+    c.add_argument("--centroids", type=int, default=64)
+    c.add_argument("--threshold", type=float, default=0.95)
+    c.set_defaults(fn=cmd_semdedup)
 
     c = sub.add_parser("curate", help="quality+dedup+decontaminate+pack pipeline")
     c.add_argument("-i", "--infile", required=True, help="train corpus parquet")

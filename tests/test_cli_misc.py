@@ -12,7 +12,7 @@ from osm_merge_ray.sources.osm_xml import parse_osm_bytes, render_osm_xml
 
 def test_cli_subcommands_parse():
     for sub in ("convert", "conflate-lines", "conflate-images", "tm-split",
-                "pipeline", "dedup", "poly", "pack", "curate"):
+                "pipeline", "dedup", "poly", "pack", "curate", "semdedup"):
         with pytest.raises(SystemExit) as exc:
             cli_main([sub, "--help"])
         assert exc.value.code == 0, sub
@@ -166,3 +166,30 @@ def test_cli_dedup_cluster_and_pack(ray_session, tmp_path):
     n = docs["text"].map(lambda s: len(s.split(" "))).to_numpy()
     assert (plan["start_tok"].to_numpy()
             == np.concatenate([[0], np.cumsum(n)[:-1]])).all()
+
+
+def test_cli_incremental_and_semdedup(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus = pd.DataFrame({"doc_id": range(6),
+                           "text": [f"stored doc {i} body" for i in range(6)]})
+    batch = pd.DataFrame({"doc_id": [100, 101, 102],
+                          "text": ["stored doc 2 body", "brand new thing",
+                                   "stored doc 5 body"]})
+    cp, bp = tmp_path / "corpus.parquet", tmp_path / "batch.parquet"
+    pq.write_table(pa.Table.from_pandas(corpus, preserve_index=False), cp)
+    pq.write_table(pa.Table.from_pandas(batch, preserve_index=False), bp)
+    out = tmp_path / "inc"
+    assert cli_main(["dedup", "-i", str(bp), "-o", str(out),
+                     "--method", "incremental", "--corpus", str(cp)]) == 0
+    flags = pq.read_table(out).to_pandas().set_index("doc_id")["is_dup"]
+    assert flags.to_dict() == {100: True, 101: False, 102: True}
+
+    outs = tmp_path / "sem"
+    assert cli_main(["semdedup", "-i", "/root/testdata/sf0.001/embeddings.parquet",
+                     "-o", str(outs), "--centroids", "4",
+                     "--threshold", "0.35"]) == 0
+    pairs = pq.read_table(outs).to_pandas()
+    assert len(pairs) > 0 and (pairs["id_a"] < pairs["id_b"]).all()
