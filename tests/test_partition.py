@@ -275,3 +275,53 @@ def test_lines_engine_matches_bruteforce_oracle(ray_session):
         if got != (mid, dec, h):
             mism.append((i, (mid, dec, h), got))
     assert not mism, mism[:10]
+
+
+def test_douglas_peucker_properties(ray_session):
+    """DP invariants: endpoints kept, deviation bound honored, straight
+    collinear runs collapse, sharp corners survive."""
+    import json
+
+    import ray.data as rd
+
+    from osm_merge_ray.geo.simplify import simplify_coords, simplify_lines
+
+    # collinear with sub-tolerance jitter -> collapses to endpoints
+    n = 50
+    lon = -105.0 + np.arange(n) * 1e-4
+    lat = np.full(n, 39.0)
+    lat[1:-1] += 1e-7  # ~1 cm jitter
+    line = np.column_stack([lon, lat])
+    out = simplify_coords(line, tolerance_m=1.0)
+    assert len(out) == 2 and (out[0] == line[0]).all() and (out[-1] == line[-1]).all()
+
+    # an L-corner far beyond tolerance must survive
+    corner = np.array([[-105.0, 39.0], [-104.99, 39.0], [-104.99, 39.01]])
+    out = simplify_coords(corner, tolerance_m=5.0)
+    assert len(out) == 3
+
+    # deviation bound: every dropped vertex within tolerance of the
+    # simplified line (checked in the same planar metric)
+    rng = np.random.default_rng(3)
+    wob = np.column_stack([
+        -105.0 + np.cumsum(rng.random(60)) * 1e-4,
+        39.0 + np.sin(np.arange(60) / 5.0) * 2e-5 + rng.random(60) * 5e-6,
+    ])
+    tol = 2.0
+    simple = simplify_coords(wob, tol)
+    from osm_merge_ray.geo.distance import point_segment_dist2
+    lat0 = float(wob[:, 1].mean())
+    kx = 111320.0 * float(np.cos(np.radians(lat0)))
+    px, py = wob[:, 0] * kx, wob[:, 1] * 110540.0
+    sx, sy = simple[:, 0] * kx, simple[:, 1] * 110540.0
+    best = np.full(len(wob), np.inf)
+    for i in range(len(simple) - 1):
+        best = np.minimum(best, point_segment_dist2(
+            px, py, sx[i], sy[i], sx[i + 1], sy[i + 1]))
+    assert np.sqrt(best.max()) <= tol + 1e-9
+
+    # dataset stage: counts ride along
+    ds = rd.from_items([{"feature_id": 1,
+                         "coords_json": json.dumps(line.tolist())}])
+    got = simplify_lines(ds, tolerance_m=1.0).to_pandas()
+    assert got.iloc[0]["n_points_in"] == 50 and got.iloc[0]["n_points_out"] == 2
