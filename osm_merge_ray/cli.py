@@ -317,6 +317,20 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_simplify(args) -> int:
+    """Douglas-Peucker vertex cleanup over a GeoJSON file (the standard
+    pre-import pass for vertex-spammy agency exports)."""
+    from osm_merge_ray.geo.simplify import simplify_lines
+    from osm_merge_ray.sources.geojson import read_geojson, write_geojson
+
+    _ray()
+    out = simplify_lines(read_geojson(args.infile), tolerance_m=args.tolerance)
+    n = write_geojson(out.drop_columns(["n_points_in", "n_points_out"])
+                      if args.drop_counts else out, args.outfile)
+    print(f"wrote {n} simplified features to {args.outfile}")
+    return 0
+
+
 def cmd_semdedup(args) -> int:
     """SemDeDup over an embeddings parquet: distributed-Lloyd centroid
     training, then within-cluster cosine near-dup pairs."""
@@ -455,6 +469,14 @@ def main(argv=None) -> int:
                    help="drop grams shared by more than this many docs "
                         "(0 = no cap; exact but unsafe at scale)")
     c.set_defaults(fn=cmd_dedup)
+
+    c = sub.add_parser("simplify", help="Douglas-Peucker GeoJSON line simplification")
+    c.add_argument("-i", "--infile", required=True)
+    c.add_argument("-o", "--outfile", required=True)
+    c.add_argument("--tolerance", type=float, default=1.0, help="meters")
+    c.add_argument("--drop-counts", action="store_true",
+                   help="omit n_points_in/out from the output properties")
+    c.set_defaults(fn=cmd_simplify)
 
     c = sub.add_parser("semdedup", help="SemDeDup embedding near-dup pairs")
     c.add_argument("-i", "--infile", required=True, help="embeddings parquet")

@@ -12,7 +12,8 @@ from osm_merge_ray.sources.osm_xml import parse_osm_bytes, render_osm_xml
 
 def test_cli_subcommands_parse():
     for sub in ("convert", "conflate-lines", "conflate-images", "tm-split",
-                "pipeline", "dedup", "poly", "pack", "curate", "semdedup"):
+                "pipeline", "dedup", "poly", "pack", "curate", "semdedup",
+                "simplify"):
         with pytest.raises(SystemExit) as exc:
             cli_main([sub, "--help"])
         assert exc.value.code == 0, sub
