@@ -27,13 +27,11 @@ import numpy as np
 import pyarrow as pa
 
 
-def curate_corpus(train_ds, eval_ds, max_len: int = 2048,
-                  jaccard_k: int = 3, jaccard_threshold: float = 0.2,
-                  decontam_k: int = 3, id_column: str = "doc_id",
-                  text_column: str = "text", num_buckets: int = 64):
-    """(id, n_tokens, start_tok, win_first, win_last) for every
-    document that survives curation; offsets are over the id-ordered
-    concatenation of the survivors only."""
+def _survivors(train_ds, eval_ds, jaccard_k: int, jaccard_threshold: float,
+               decontam_k: int, id_column: str, text_column: str,
+               num_buckets: int):
+    """Stages 1-4 (quality -> near-dup cluster -> representative keep ->
+    decontaminate): the curated (id, text) document set."""
     import pyarrow.compute as pc
 
     from osm_merge_ray.dedup.cluster import (cluster_representatives,
@@ -42,7 +40,6 @@ def curate_corpus(train_ds, eval_ds, max_len: int = 2048,
     from osm_merge_ray.ops import bucketed_hash_join
     from osm_merge_ray.text.analysis import quality_score
     from osm_merge_ray.text.decontaminate import decontaminate
-    from osm_merge_ray.text.packing import pack_sequences
 
     def keep_quality(t: pa.Table) -> pa.Table:
         scored = quality_score(t)
@@ -74,8 +71,130 @@ def curate_corpus(train_ds, eval_ds, max_len: int = 2048,
     survivors = bucketed_hash_join(kept, rep_ids, key=id_column,
                                    num_buckets=num_buckets, how="inner")
 
-    clean = decontaminate(survivors, eval_ds, k=decontam_k,
-                          id_column=id_column, text_column=text_column,
-                          num_buckets=num_buckets)
+    return decontaminate(survivors, eval_ds, k=decontam_k,
+                         id_column=id_column, text_column=text_column,
+                         num_buckets=num_buckets)
+
+
+def curate_corpus(train_ds, eval_ds, max_len: int = 2048,
+                  jaccard_k: int = 3, jaccard_threshold: float = 0.2,
+                  decontam_k: int = 3, id_column: str = "doc_id",
+                  text_column: str = "text", num_buckets: int = 64):
+    """(id, n_tokens, start_tok, win_first, win_last) for every
+    document that survives curation; offsets are over the id-ordered
+    concatenation of the survivors only."""
+    from osm_merge_ray.text.packing import pack_sequences
+
+    clean = _survivors(train_ds, eval_ds, jaccard_k, jaccard_threshold,
+                       decontam_k, id_column, text_column, num_buckets)
     return pack_sequences(clean, max_len=max_len, id_column=id_column,
                           text_column=text_column, num_buckets=num_buckets)
+
+
+def _params_fingerprint(params: dict) -> str:
+    import hashlib
+    import json
+
+    return hashlib.sha256(
+        json.dumps(params, sort_keys=True).encode()).hexdigest()[:16]
+
+
+def run_curation_checkpointed(train_ds, eval_ds, out_dir: str,
+                              resume: bool = True, max_len: int = 2048,
+                              jaccard_k: int = 3,
+                              jaccard_threshold: float = 0.2,
+                              decontam_k: int = 3,
+                              id_column: str = "doc_id",
+                              text_column: str = "text",
+                              num_buckets: int = 64) -> dict:
+    """Curation with stage-level checkpointing: the expensive front half
+    (quality -> dedup keep-one -> decontaminate) persists its survivors
+    to ``out_dir/survivors/`` and the packing plan to ``out_dir/plan/``,
+    each atomically (tmp-dir rename, manifest flag written after data —
+    the same write-then-manifest discipline as state/checkpoint.py).
+    A resumed run skips finished stages; a resume under different
+    parameters or a different input refuses (fingerprint guard), since
+    stale survivors would silently produce a wrong plan.
+
+    Returns {"survivors": n, "plan_rows": n, "stages_run": [...]}.
+    """
+    import json
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    man_dir = os.path.join(out_dir, "_manifest")
+    man_path = os.path.join(man_dir, "curation.json")
+    os.makedirs(man_dir, exist_ok=True)
+
+    train_rows = train_ds.count()
+    fp = _params_fingerprint({
+        "max_len": max_len, "jaccard_k": jaccard_k,
+        "jaccard_threshold": jaccard_threshold, "decontam_k": decontam_k,
+        "id_column": id_column, "text_column": text_column,
+        "num_buckets": num_buckets, "train_rows": train_rows,
+    })
+    man = {}
+    if os.path.exists(man_path):
+        try:
+            with open(man_path) as fh:
+                man = json.load(fh)
+        except (json.JSONDecodeError, OSError):
+            man = {}
+        prior = man.get("fingerprint")
+        if prior is not None and prior != fp:
+            raise ValueError(
+                f"curation checkpoint {out_dir!r} was written under "
+                f"different parameters or input (fingerprint {prior} != "
+                f"{fp}); stale survivors would produce a wrong plan — "
+                "use a fresh out_dir")
+    man.setdefault("fingerprint", fp)
+
+    def save_manifest():
+        tmp = man_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(man, fh)
+        os.replace(tmp, man_path)
+
+    def atomic_write(ds, name: str):
+        final = os.path.join(out_dir, name)
+        tmp = final + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(final, ignore_errors=True)
+        ds.write_parquet(tmp)
+        os.rename(tmp, final)
+        return final
+
+    stages_run = []
+    surv_dir = os.path.join(out_dir, "survivors")
+    if resume and man.get("survivors_done") and os.path.isdir(surv_dir):
+        clean = rd.read_parquet(surv_dir)
+    else:
+        clean = _survivors(train_ds, eval_ds, jaccard_k, jaccard_threshold,
+                           decontam_k, id_column, text_column, num_buckets)
+        atomic_write(clean, "survivors")
+        man["survivors_done"] = True
+        save_manifest()
+        stages_run.append("survivors")
+        clean = rd.read_parquet(surv_dir)
+
+    plan_dir = os.path.join(out_dir, "plan")
+    if not (resume and man.get("plan_done") and os.path.isdir(plan_dir)):
+        from osm_merge_ray.text.packing import pack_sequences
+
+        plan = pack_sequences(clean, max_len=max_len, id_column=id_column,
+                              text_column=text_column,
+                              num_buckets=num_buckets)
+        atomic_write(plan, "plan")
+        man["plan_done"] = True
+        save_manifest()
+        stages_run.append("plan")
+
+    import pyarrow.parquet as pq
+
+    return {
+        "survivors": pq.read_table(surv_dir, columns=[id_column]).num_rows,
+        "plan_rows": pq.read_table(plan_dir, columns=[id_column]).num_rows,
+        "stages_run": stages_run,
+    }

@@ -560,3 +560,34 @@ def test_ivf_partitioned_index_equals_inmemory(ray_session, tmp_path):
     import os
     parts = [d for d in os.listdir(idx_dir) if d.startswith("list_id=")]
     assert len(parts) >= 2
+
+
+def test_curation_checkpoint_resume_and_guard(docs_with_dups, tmp_path):
+    import json
+
+    from osm_merge_ray.pipelines.curation import run_curation_checkpointed
+
+    train = rd.from_pandas(docs_with_dups[docs_with_dups["doc_id"] % 5 != 0])
+    evals = rd.from_pandas(docs_with_dups[docs_with_dups["doc_id"] % 5 == 0])
+    out = str(tmp_path / "cur")
+
+    m1 = run_curation_checkpointed(train, evals, out)
+    assert m1["stages_run"] == ["survivors", "plan"]
+    assert m1["plan_rows"] == m1["survivors"] > 0
+
+    # full resume: nothing recomputes, same answer
+    m2 = run_curation_checkpointed(train, evals, out)
+    assert m2["stages_run"] == [] and m2["plan_rows"] == m1["plan_rows"]
+
+    # lose the plan stage only -> exactly the plan is rebuilt
+    import shutil
+    shutil.rmtree(f"{out}/plan")
+    man = json.load(open(f"{out}/_manifest/curation.json"))
+    man["plan_done"] = False
+    json.dump(man, open(f"{out}/_manifest/curation.json", "w"))
+    m3 = run_curation_checkpointed(train, evals, out)
+    assert m3["stages_run"] == ["plan"] and m3["plan_rows"] == m1["plan_rows"]
+
+    # changed params on the same dir must refuse (stale survivors)
+    with pytest.raises(ValueError, match="different parameters"):
+        run_curation_checkpointed(train, evals, out, max_len=512)
