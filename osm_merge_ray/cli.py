@@ -356,18 +356,20 @@ def cmd_semdedup(args) -> int:
 def cmd_curate(args) -> int:
     """Full corpus curation (quality -> dedup-keep-one -> decontaminate
     -> packing plan) over train/eval parquet corpora."""
+    import json
+
     _ray()
     import ray.data as rd
 
-    from osm_merge_ray.pipelines.curation import curate_corpus
+    from osm_merge_ray.pipelines.curation import run_curation_checkpointed
 
     cols = [args.id_column, args.text_column]
-    out = curate_corpus(rd.read_parquet(args.infile, columns=cols),
-                        rd.read_parquet(args.eval, columns=cols),
-                        max_len=args.max_len, id_column=args.id_column,
-                        text_column=args.text_column)
-    out.write_parquet(args.outdir)
-    print(f"wrote curated packing plan to {args.outdir}")
+    m = run_curation_checkpointed(
+        rd.read_parquet(args.infile, columns=cols),
+        rd.read_parquet(args.eval, columns=cols),
+        args.outdir, resume=args.resume, max_len=args.max_len,
+        id_column=args.id_column, text_column=args.text_column)
+    print(json.dumps(m))
     return 0
 
 
@@ -494,6 +496,8 @@ def main(argv=None) -> int:
     c.add_argument("--id-column", default="doc_id")
     c.add_argument("--text-column", default="text")
     c.add_argument("--max-len", type=int, default=2048)
+    c.add_argument("--resume", action="store_true",
+                   help="skip stages already checkpointed in outdir")
     c.set_defaults(fn=cmd_curate)
 
     c = sub.add_parser("pack", help="sequence-packing plan (token offsets + windows)")

@@ -162,39 +162,50 @@ def run_curation_checkpointed(train_ds, eval_ds, out_dir: str,
         tmp = final + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(final, ignore_errors=True)
+        # pre-create so a fully-filtered (empty) stage still produces a
+        # valid empty partition dir instead of a rename failure
+        os.makedirs(tmp, exist_ok=True)
         ds.write_parquet(tmp)
         os.rename(tmp, final)
         return final
 
+    def n_rows(d: str) -> int:
+        import pyarrow.parquet as pq
+
+        files = [os.path.join(d, f) for f in os.listdir(d)
+                 if f.endswith(".parquet")]
+        return sum(pq.read_metadata(f).num_rows for f in files)
+
     stages_run = []
     surv_dir = os.path.join(out_dir, "survivors")
-    if resume and man.get("survivors_done") and os.path.isdir(surv_dir):
-        clean = rd.read_parquet(surv_dir)
-    else:
+    if not (resume and man.get("survivors_done") and os.path.isdir(surv_dir)):
         clean = _survivors(train_ds, eval_ds, jaccard_k, jaccard_threshold,
                            decontam_k, id_column, text_column, num_buckets)
         atomic_write(clean, "survivors")
         man["survivors_done"] = True
         save_manifest()
         stages_run.append("survivors")
-        clean = rd.read_parquet(surv_dir)
 
     plan_dir = os.path.join(out_dir, "plan")
     if not (resume and man.get("plan_done") and os.path.isdir(plan_dir)):
         from osm_merge_ray.text.packing import pack_sequences
 
-        plan = pack_sequences(clean, max_len=max_len, id_column=id_column,
-                              text_column=text_column,
-                              num_buckets=num_buckets)
+        if n_rows(surv_dir) == 0:
+            # everything was filtered: a valid (empty) plan, not a read
+            # error — the caller sees survivors == plan_rows == 0
+            plan = rd.from_items([]).map_batches(lambda t: t)
+        else:
+            plan = pack_sequences(rd.read_parquet(surv_dir), max_len=max_len,
+                                  id_column=id_column,
+                                  text_column=text_column,
+                                  num_buckets=num_buckets)
         atomic_write(plan, "plan")
         man["plan_done"] = True
         save_manifest()
         stages_run.append("plan")
 
-    import pyarrow.parquet as pq
-
     return {
-        "survivors": pq.read_table(surv_dir, columns=[id_column]).num_rows,
-        "plan_rows": pq.read_table(plan_dir, columns=[id_column]).num_rows,
+        "survivors": n_rows(surv_dir),
+        "plan_rows": n_rows(plan_dir),
         "stages_run": stages_run,
     }
