@@ -2124,6 +2124,60 @@ FROM u WHERE round(dot / (sqrt(sx) * sqrt(sy)), 6) >= 0.35
 # relational / streaming-shaped
 # ---------------------------------------------------------------------------
 
+def events_retention_q(sf_dir: str):
+    """Cohort retention matrix — the classic product-analytics rollup
+    with SELF-RELATIVE time bucketing: each user's cohort is their
+    first active week; output counts users from each cohort active k
+    weeks later. All rows of a user meet in one bucket (cohort needs
+    the user's min week), then a tiny (cohort, offset) sum. Integer
+    week arithmetic → bit-exact SQL twin."""
+    from osm_merge_ray.ops import grouped_reduce
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    week_us = 7 * 86_400_000_000
+
+    def user_weeks(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy().astype("datetime64[us]").view(np.int64)
+        uid = t.column("user_id").to_numpy().astype(np.int64)
+        key = np.stack([uid, ts // week_us])
+        uniq = np.unique(key, axis=1)
+        return pa.table({"user_id": pa.array(uniq[0], pa.int64()),
+                         "week": pa.array(uniq[1], pa.int64())})
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "week"])
+        cohort = df.groupby("user_id")["week"].transform("min")
+        out = pd.DataFrame({"cohort_week": cohort.astype(np.int64),
+                            "week_offset": (df["week"] - cohort).astype(np.int64)})
+        g = out.groupby(["cohort_week", "week_offset"], as_index=False) \
+            .size().rename(columns={"size": "n_users"})
+        g["n_users"] = g["n_users"].astype(np.int64)
+        return g
+
+    partials = grouped_reduce(
+        ds.map_batches(user_weeks, batch_format="pyarrow"),
+        ["user_id"], per_user)
+    return grouped_reduce(
+        partials, ["cohort_week", "week_offset"],
+        lambda df: df.groupby(["cohort_week", "week_offset"],
+                              as_index=False).agg(n_users=("n_users", "sum")))
+
+
+SQL_EVENTS_RETENTION = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week
+  FROM events
+), c AS (
+  SELECT user_id, min(week) AS cohort FROM uw GROUP BY user_id
+)
+SELECT c.cohort AS cohort_week,
+       CAST(uw.week - c.cohort AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN c USING (user_id) GROUP BY 1, 2
+"""
+
+
 def events_distinct_sketch_q(sf_dir: str):
     """KMV distinct-count sketch (sketch.py) over events.user_id (few
     distinct: sketch == exact) and event_id (cardinality > k: the
@@ -3408,6 +3462,7 @@ QUERIES = {
     "events_quantiles": events_quantiles_q,
     "events_late_data": events_late_data_q,
     "events_distinct_sketch": events_distinct_sketch_q,
+    "events_retention": events_retention_q,
     "text_top_ngrams": text_top_ngrams_q,
     "events_running_index": events_running_index,
     "events_sessionize": events_sessionize,
@@ -3460,6 +3515,7 @@ ORACLE_SQL = {
     "events_quantiles": SQL_EVENTS_QUANTILES,
     "events_late_data": SQL_EVENTS_LATE,
     "events_distinct_sketch": SQL_DISTINCT_SKETCH,
+    "events_retention": SQL_EVENTS_RETENTION,
     "text_top_ngrams": SQL_TOP_NGRAMS,
     "events_running_index": SQL_EVENTS_RUNNING_INDEX,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
