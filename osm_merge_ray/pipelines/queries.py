@@ -2124,6 +2124,78 @@ FROM u WHERE round(dot / (sqrt(sx) * sqrt(sy)), 6) >= 0.35
 # relational / streaming-shaped
 # ---------------------------------------------------------------------------
 
+def events_funnel_q(sf_dir: str,
+                    stages: tuple = ("view", "click", "purchase")):
+    """Funnel analysis — sequential pattern matching per user (greedy
+    first-match): t1 = first 'view', t2 = first 'click' AFTER t1,
+    t3 = first 'purchase' AFTER t2. Emits each user's furthest stage
+    and the exact stage timestamps (epoch us; -1 when not reached).
+    All rows of a user meet in one bucket; exact integer time."""
+    from osm_merge_ray.ops import grouped_reduce
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def light(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy().astype("datetime64[us]").view(np.int64)
+        return pa.table({"user_id": t.column("user_id").cast(pa.int64()),
+                         "t": pa.array(ts, pa.int64()),
+                         "event_type": t.column("event_type")})
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in df.groupby("user_id", sort=False):
+            et = g["event_type"].to_numpy()
+            tt = g["t"].to_numpy()
+            cut = np.int64(-1)
+            hits = []
+            for s in stages:
+                m = (et == s) & (tt > cut)
+                if not m.any():
+                    break
+                cut = tt[m].min()
+                hits.append(int(cut))
+            rows.append({
+                "user_id": int(uid), "stage_reached": len(hits),
+                "t1_us": hits[0] if len(hits) > 0 else -1,
+                "t2_us": hits[1] if len(hits) > 1 else -1,
+                "t3_us": hits[2] if len(hits) > 2 else -1,
+            })
+        out = pd.DataFrame(rows, columns=["user_id", "stage_reached",
+                                          "t1_us", "t2_us", "t3_us"])
+        return out.astype(np.int64)
+
+    return grouped_reduce(ds.map_batches(light, batch_format="pyarrow"),
+                          ["user_id"], per_user)
+
+
+SQL_EVENTS_FUNNEL = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS t FROM events
+), s1 AS (
+  SELECT user_id, min(t) AS t1 FROM e WHERE event_type = 'view'
+  GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+  WHERE event_type = 'click' AND t > t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+  WHERE event_type = 'purchase' AND t > t2 GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                 WHEN s2.t2 IS NOT NULL THEN 2
+                 WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS stage_reached,
+       CAST(coalesce(s1.t1, -1) AS BIGINT) AS t1_us,
+       CAST(coalesce(s2.t2, -1) AS BIGINT) AS t2_us,
+       CAST(coalesce(s3.t3, -1) AS BIGINT) AS t3_us
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 ON s1.user_id = u.user_id
+LEFT JOIN s2 ON s2.user_id = u.user_id
+LEFT JOIN s3 ON s3.user_id = u.user_id
+"""
+
+
 def events_retention_q(sf_dir: str):
     """Cohort retention matrix — the classic product-analytics rollup
     with SELF-RELATIVE time bucketing: each user's cohort is their
@@ -3463,6 +3535,7 @@ QUERIES = {
     "events_late_data": events_late_data_q,
     "events_distinct_sketch": events_distinct_sketch_q,
     "events_retention": events_retention_q,
+    "events_funnel": events_funnel_q,
     "text_top_ngrams": text_top_ngrams_q,
     "events_running_index": events_running_index,
     "events_sessionize": events_sessionize,
@@ -3516,6 +3589,7 @@ ORACLE_SQL = {
     "events_late_data": SQL_EVENTS_LATE,
     "events_distinct_sketch": SQL_DISTINCT_SKETCH,
     "events_retention": SQL_EVENTS_RETENTION,
+    "events_funnel": SQL_EVENTS_FUNNEL,
     "text_top_ngrams": SQL_TOP_NGRAMS,
     "events_running_index": SQL_EVENTS_RUNNING_INDEX,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
