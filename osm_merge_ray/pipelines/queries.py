@@ -2142,27 +2142,29 @@ def events_funnel_q(sf_dir: str,
                          "event_type": t.column("event_type")})
 
     def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for uid, g in df.groupby("user_id", sort=False):
-            et = g["event_type"].to_numpy()
-            tt = g["t"].to_numpy()
-            cut = np.int64(-1)
-            hits = []
-            for s in stages:
-                m = (et == s) & (tt > cut)
-                if not m.any():
-                    break
-                cut = tt[m].min()
-                hits.append(int(cut))
-            rows.append({
-                "user_id": int(uid), "stage_reached": len(hits),
-                "t1_us": hits[0] if len(hits) > 0 else -1,
-                "t2_us": hits[1] if len(hits) > 1 else -1,
-                "t3_us": hits[2] if len(hits) > 2 else -1,
-            })
-        out = pd.DataFrame(rows, columns=["user_id", "stage_reached",
-                                          "t1_us", "t2_us", "t3_us"])
-        return out.astype(np.int64)
+        # vectorized across ALL users in the bucket: one np.minimum.at
+        # per stage (no per-user Python loop — a bucket holds many
+        # thousands of users at scale)
+        uids, ui = np.unique(df["user_id"].to_numpy(), return_inverse=True)
+        et = df["event_type"].to_numpy()
+        tt = df["t"].to_numpy().astype(np.int64)
+        nu = len(uids)
+        big = np.iinfo(np.int64).max
+        cut = np.full(nu, -1, dtype=np.int64)
+        reached = np.zeros(nu, dtype=np.int64)
+        times = np.full((len(stages), nu), -1, dtype=np.int64)
+        for si, s in enumerate(stages):
+            ok = (et == s) & (tt > cut[ui]) & (reached[ui] == si)
+            best = np.full(nu, big, dtype=np.int64)
+            np.minimum.at(best, ui[ok], tt[ok])
+            hit = best != big
+            cut = np.where(hit, best, cut)
+            times[si][hit] = best[hit]
+            reached += hit
+        return pd.DataFrame({
+            "user_id": uids.astype(np.int64), "stage_reached": reached,
+            "t1_us": times[0], "t2_us": times[1], "t3_us": times[2],
+        })
 
     return grouped_reduce(ds.map_batches(light, batch_format="pyarrow"),
                           ["user_id"], per_user)
