@@ -292,3 +292,27 @@ def dedup_pairs(id_a: np.ndarray, id_b: np.ndarray
     u, first = np.unique(v, return_index=True)
     return (np.ascontiguousarray(u["a"]), np.ascontiguousarray(u["b"]),
             first)
+
+
+def merge_upsert(base_ds, delta_ds, key_column: str, version_column: str,
+                 num_buckets: int = 64):
+    """Lakehouse-style MERGE / upsert: union base and delta, keep per
+    key the row with the highest ``version_column`` (a delta row
+    carries a higher version than the base row it replaces; (key,
+    version) must be unique for a deterministic result). Both sides
+    must share one Arrow schema (the union-feeds-groupby rule).
+
+    Shape: one union + one bucketed grouped arg-max — the delta is
+    usually tiny next to the base, and only (key, version)-light rows
+    beyond the payload move through the one exchange.
+    """
+    import pandas as pd
+
+    u = base_ds.union(delta_ds)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([version_column, key_column],
+                            ascending=[False, True], kind="stable")
+        return df.groupby(key_column, sort=False).head(1)
+
+    return grouped_reduce(u, [key_column], pick, num_buckets=num_buckets)

@@ -2124,6 +2124,56 @@ FROM u WHERE round(dot / (sqrt(sx) * sqrt(sy)), 6) >= 0.35
 # relational / streaming-shaped
 # ---------------------------------------------------------------------------
 
+def orders_upsert_q(sf_dir: str):
+    """CDC merge / upsert (ops.merge_upsert): a delta restating every
+    10th order at +$1 wins over the base row by version — per key keep
+    the highest-version row. Exact integer cents both sides."""
+    from osm_merge_ray.ops import merge_upsert
+
+    def side(src: int):
+        def f(t: pa.Table) -> pa.Table:
+            key = t.column("o_orderkey").to_numpy().astype(np.int64)
+            cents = np.floor(t.column("o_totalprice").to_numpy() * 100.0
+                             + 0.5).astype(np.int64)
+            if src == 1:
+                keep = key % 10 == 0
+                key, cents = key[keep], cents[keep] + 100
+            return pa.table({
+                "o_orderkey": pa.array(key, pa.int64()),
+                "price_e2": pa.array(cents, pa.int64()),
+                "src": pa.array(np.full(len(key), src, dtype=np.int64)),
+            })
+        return f
+
+    base = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]) \
+        .map_batches(side(0), batch_format="pyarrow")
+    delta = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]) \
+        .map_batches(side(1), batch_format="pyarrow")
+    return merge_upsert(base, delta, "o_orderkey", "src")
+
+
+SQL_ORDERS_UPSERT = """
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_e2,
+         CAST(0 AS BIGINT) AS src
+  FROM orders
+), delta AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 100 AS price_e2,
+         CAST(1 AS BIGINT) AS src
+  FROM orders WHERE o_orderkey % 10 = 0
+), u AS (
+  SELECT * FROM base UNION ALL SELECT * FROM delta
+)
+SELECT o_orderkey, price_e2, src FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY src DESC) AS rn
+  FROM u
+) WHERE rn = 1
+"""
+
+
 def events_funnel_q(sf_dir: str,
                     stages: tuple = ("view", "click", "purchase")):
     """Funnel analysis — sequential pattern matching per user (greedy
@@ -3538,6 +3588,7 @@ QUERIES = {
     "events_distinct_sketch": events_distinct_sketch_q,
     "events_retention": events_retention_q,
     "events_funnel": events_funnel_q,
+    "orders_upsert": orders_upsert_q,
     "text_top_ngrams": text_top_ngrams_q,
     "events_running_index": events_running_index,
     "events_sessionize": events_sessionize,
@@ -3592,6 +3643,7 @@ ORACLE_SQL = {
     "events_distinct_sketch": SQL_DISTINCT_SKETCH,
     "events_retention": SQL_EVENTS_RETENTION,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "orders_upsert": SQL_ORDERS_UPSERT,
     "text_top_ngrams": SQL_TOP_NGRAMS,
     "events_running_index": SQL_EVENTS_RUNNING_INDEX,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
