@@ -2348,6 +2348,40 @@ FROM se
 """
 
 
+def source_weighted_sample_q(sf_dir: str):
+    """Deterministic weighted mixture downsampling (the application
+    step of DoReMi-style per-source reweighting): source srcK keeps a
+    (K+1)/20 fraction of its documents via a hash-threshold Bernoulli —
+    keep iff mix(doc_id) mod 2^20 < floor(w * 2^20). Same integer
+    mixer as the KMV sketch, so the SQL twin is exact; reproducible
+    (no RNG state) and stable under re-partitioning."""
+    from osm_merge_ray.sketch import kmv_mix
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        src = t.column("source").to_pylist()
+        idx = np.array([int(s[3:]) for s in src], dtype=np.int64)
+        thresh = (idx + 1) * np.int64(1 << 20) // np.int64(20)
+        keep = (kmv_mix(ids) % np.int64(1 << 20)) < thresh
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "source": pa.array([s for s, k in zip(src, keep) if k]),
+            "thresh_q20": pa.array(thresh[keep], pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", columns=["doc_id", "source"]) \
+        .map_batches(sample, batch_format="pyarrow")
+
+
+SQL_SOURCE_WEIGHTED = f"""
+SELECT doc_id, source,
+       (CAST(substr(source, 4) AS BIGINT) + 1) * 1048576 // 20 AS thresh_q20
+FROM documents
+WHERE ({_KMV_MIX.format(x='doc_id')}) % 1048576
+      < (CAST(substr(source, 4) AS BIGINT) + 1) * 1048576 // 20
+"""
+
+
 def q1_pricing_summary(sf_dir: str):
     """TPC-H-Q1-shaped aggregate with exact integer partial aggregation
     inside map_batches before the (tiny) groupby — the canonical
@@ -3589,6 +3623,7 @@ QUERIES = {
     "events_retention": events_retention_q,
     "events_funnel": events_funnel_q,
     "orders_upsert": orders_upsert_q,
+    "source_weighted_sample": source_weighted_sample_q,
     "text_top_ngrams": text_top_ngrams_q,
     "events_running_index": events_running_index,
     "events_sessionize": events_sessionize,
@@ -3644,6 +3679,7 @@ ORACLE_SQL = {
     "events_retention": SQL_EVENTS_RETENTION,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "orders_upsert": SQL_ORDERS_UPSERT,
+    "source_weighted_sample": SQL_SOURCE_WEIGHTED,
     "text_top_ngrams": SQL_TOP_NGRAMS,
     "events_running_index": SQL_EVENTS_RUNNING_INDEX,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
