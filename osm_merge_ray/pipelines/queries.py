@@ -2248,6 +2248,76 @@ LEFT JOIN s3 ON s3.user_id = u.user_id
 """
 
 
+def events_ewma_q(sf_dir: str, num: int = 30, den: int = 100):
+    """Per-user integer EWMA over the event stream — TRUE sequential
+    state (the floor at every step breaks the telescoping that would
+    let a window function express it): ewma_1 = v_1;
+    ewma_k = (30*v_k + 70*ewma_{k-1}) // 100. Vectorized across users
+    per time-rank (rows sorted (user, ts): step k updates every user's
+    k-th event in one numpy op). Recursive-CTE SQL twin."""
+    from osm_merge_ray.ops import grouped_reduce
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def light(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy().astype("datetime64[us]").view(np.int64)
+        v = np.floor(t.column("value").to_numpy() * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"event_id": t.column("event_id").cast(pa.int64()),
+                         "user_id": t.column("user_id").cast(pa.int64()),
+                         "t": pa.array(ts, pa.int64()),
+                         "v": pa.array(v, pa.int64())})
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy()
+        uid = df["user_id"].to_numpy()
+        tt = df["t"].to_numpy()
+        v = df["v"].to_numpy()
+        if len(v) and v.min() < 0:
+            # numpy // floors, DuckDB // truncates toward zero: the two
+            # recursions diverge on negative values — refuse loudly
+            raise ValueError("events_ewma requires non-negative values "
+                             "(floor-div vs trunc-div divergence)")
+        order = np.lexsort((eid, tt, uid))
+        eid, uid, tt, v = eid[order], uid[order], tt[order], v[order]
+        new_user = np.r_[True, uid[1:] != uid[:-1]]
+        starts = np.flatnonzero(new_user)
+        sizes = np.diff(np.r_[starts, len(uid)])
+        rank = np.arange(len(uid)) - np.repeat(starts, sizes)  # 0-based
+        ewma = v.copy()
+        a, b = np.int64(num), np.int64(den - num)
+        for k in range(1, int(sizes.max()) if len(sizes) else 0):
+            idx = np.flatnonzero(rank == k)
+            ewma[idx] = (a * v[idx] + b * ewma[idx - 1]) // np.int64(den)
+        return pd.DataFrame({
+            "event_id": eid.astype(np.int64),
+            "user_id": uid.astype(np.int64),
+            "rn": (rank + 1).astype(np.int64),
+            "ewma_e6": ewma.astype(np.int64),
+        })
+
+    return grouped_reduce(ds.map_batches(light, batch_format="pyarrow"),
+                          ["user_id"], per_user)
+
+
+SQL_EVENTS_EWMA = """
+WITH RECURSIVE e AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+), r(event_id, user_id, rn, ewma) AS (
+  SELECT event_id, user_id, rn, v FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.event_id, e.user_id, e.rn, (30 * e.v + 70 * r.ewma) // 100
+  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT event_id, user_id, CAST(rn AS BIGINT) AS rn,
+       CAST(ewma AS BIGINT) AS ewma_e6
+FROM r
+"""
+
+
 def events_retention_q(sf_dir: str):
     """Cohort retention matrix — the classic product-analytics rollup
     with SELF-RELATIVE time bucketing: each user's cohort is their
@@ -3624,6 +3694,7 @@ QUERIES = {
     "events_funnel": events_funnel_q,
     "orders_upsert": orders_upsert_q,
     "source_weighted_sample": source_weighted_sample_q,
+    "events_ewma": events_ewma_q,
     "text_top_ngrams": text_top_ngrams_q,
     "events_running_index": events_running_index,
     "events_sessionize": events_sessionize,
@@ -3680,6 +3751,7 @@ ORACLE_SQL = {
     "events_funnel": SQL_EVENTS_FUNNEL,
     "orders_upsert": SQL_ORDERS_UPSERT,
     "source_weighted_sample": SQL_SOURCE_WEIGHTED,
+    "events_ewma": SQL_EVENTS_EWMA,
     "text_top_ngrams": SQL_TOP_NGRAMS,
     "events_running_index": SQL_EVENTS_RUNNING_INDEX,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
