@@ -32,8 +32,8 @@ def kmv_mix(x: np.ndarray, mod: int = POLY41_MOD) -> np.ndarray:
     invertible xorshift, twice): a bare affine hash of sequential ids
     is an arithmetic progression mod M whose bottom-k violates KMV's
     uniform-order-statistics assumption (measured 100x over-estimate);
-    this mix lands 2-15%% error across sequential/strided/sparse key
-    sets. Every step is int64 +,*,%%,xor,>> — identically computable
+    this mix lands 2-15% error across sequential/strided/sparse key
+    sets. Every step is int64 +,*,%,xor,>> — identically computable
     in DuckDB BIGINT. Effectively injective on [0, M) (xorshift is
     invertible at fixed width; empirically unique on 5M keys)."""
     m = np.int64(mod)
