@@ -183,6 +183,9 @@ def run_curation_checkpointed(train_ds, eval_ds, out_dir: str,
                            decontam_k, id_column, text_column, num_buckets)
         atomic_write(clean, "survivors")
         man["survivors_done"] = True
+        # recomputed survivors invalidate any previously-finished plan:
+        # skipping it would pack the OLD survivor set
+        man["plan_done"] = False
         save_manifest()
         stages_run.append("survivors")
 

@@ -590,6 +590,16 @@ def test_curation_checkpoint_resume_and_guard(docs_with_dups, tmp_path):
     m3 = run_curation_checkpointed(train, evals, out)
     assert m3["stages_run"] == ["plan"] and m3["plan_rows"] == m1["plan_rows"]
 
+    # a lost survivors stage invalidates the plan too: skipping the
+    # pack over recomputed survivors would keep a stale plan
+    shutil.rmtree(f"{out}/survivors")
+    man = json.load(open(f"{out}/_manifest/curation.json"))
+    man["survivors_done"] = False
+    json.dump(man, open(f"{out}/_manifest/curation.json", "w"))
+    m4 = run_curation_checkpointed(train, evals, out)
+    assert m4["stages_run"] == ["survivors", "plan"]
+    assert m4["plan_rows"] == m1["plan_rows"]
+
     # changed params on the same dir must refuse (stale survivors)
     with pytest.raises(ValueError, match="different parameters"):
         run_curation_checkpointed(train, evals, out, max_len=512)
