@@ -1897,6 +1897,69 @@ FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
 """
 
 
+def text_length_deciles_q(sf_dir: str, n_tiles: int = 10):
+    """Equi-depth length bucketing (global rank -> decile) — the
+    length-stratification step before stratified sampling/packing.
+    Global rank over (n_chars, doc_id) via the same two-level scan as
+    text/packing.py: per-value-range bucket counts (only num_buckets
+    ints reach the driver), broadcast offsets, in-bucket lexsort rank.
+    decile = rank0 * 10 // total — explicit integer formula in both
+    engine and SQL (NTILE's ragged-group rule differs)."""
+    from osm_merge_ray.ops import grouped_reduce
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    num_buckets = 64
+    max_chars = int(ds.max("n_chars"))
+    total = ds.count()
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        nc = t.column("n_chars").to_numpy().astype(np.int64)
+        b = nc * np.int64(num_buckets) // np.int64(max_chars + 1)
+        return pa.table({"doc_id": t.column("doc_id").cast(pa.int64()),
+                         "n_chars": pa.array(nc, pa.int64()),
+                         "rbucket": pa.array(b, pa.int64())})
+
+    bucketed = ds.map_batches(with_bucket, batch_format="pyarrow")
+    counts = {int(r["rbucket"]): int(r["count()"])
+              for r in bucketed.groupby("rbucket").count().take_all()}
+    offsets = np.zeros(num_buckets, dtype=np.int64)
+    acc = 0
+    for b in range(num_buckets):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    off = offsets.tolist()
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["rbucket", "n_chars", "doc_id"], kind="stable")
+        rb = df["rbucket"].to_numpy().astype(np.int64)
+        seg = np.flatnonzero(np.r_[True, rb[1:] != rb[:-1]])
+        sizes = np.diff(np.r_[seg, len(rb)])
+        local = np.arange(len(rb)) - np.repeat(seg, sizes)
+        r0 = np.asarray(off, dtype=np.int64)[rb] + local
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+            "n_chars": df["n_chars"].to_numpy().astype(np.int64),
+            "rank0": r0,
+            "decile": (r0 * n_tiles // total).astype(np.int64),
+        })
+
+    return grouped_reduce(bucketed, ["rbucket"], rank)
+
+
+SQL_LENGTH_DECILES = """
+WITH r AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT)
+           AS rank0
+  FROM documents
+)
+SELECT doc_id, n_chars, rank0,
+       CAST(rank0 * 10 // (SELECT count(*) FROM documents) AS BIGINT)
+         AS decile
+FROM r
+"""
+
+
 def dedup_winnow_q(sf_dir: str, threshold: float = 0.2, max_df: int = 50):
     """``max_df=50`` drops fingerprints present in >50 docs before pair
     counting — MOSS's standard boilerplate suppression, mirrored
@@ -2245,6 +2308,84 @@ FROM (SELECT DISTINCT user_id FROM events) u
 LEFT JOIN s1 ON s1.user_id = u.user_id
 LEFT JOIN s2 ON s2.user_id = u.user_id
 LEFT JOIN s3 ON s3.user_id = u.user_id
+"""
+
+
+def events_cooccurrence_q(sf_dir: str):
+    """Association mining (market-basket co-occurrence): for every
+    unordered event_type pair, how many users did both, plus each
+    type's user count — the exact integer ingredients of
+    support/confidence/lift. Per-user distinct types meet in one
+    bucket; pairs per user are tiny (k choose 2 over ~5 types)."""
+    from osm_merge_ray.ops import grouped_reduce
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def user_types(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"user_id": t.column("user_id").to_numpy(),
+                           "event_type": t.column("event_type").to_pylist()})
+        u = df.drop_duplicates()
+        return pa.Table.from_pandas(u, preserve_index=False)
+
+    def per_user_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "event_type"])
+        df = df.sort_values(["user_id", "event_type"], kind="stable")
+        rows = {"type_a": [], "type_b": []}
+        for _, g in df.groupby("user_id", sort=False):
+            ts = g["event_type"].tolist()
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    rows["type_a"].append(ts[i])
+                    rows["type_b"].append(ts[j])
+        out = pd.DataFrame(rows)
+        if out.empty:
+            return pd.DataFrame({"type_a": pd.Series(dtype=str),
+                                 "type_b": pd.Series(dtype=str),
+                                 "n_both": pd.Series(dtype=np.int64)})
+        g = out.groupby(["type_a", "type_b"], as_index=False).size() \
+            .rename(columns={"size": "n_both"})
+        g["n_both"] = g["n_both"].astype(np.int64)
+        return g
+
+    uniq = ds.map_batches(user_types, batch_format="pyarrow")
+    pairs = grouped_reduce(uniq, ["user_id"], per_user_pairs)
+    pair_counts = grouped_reduce(
+        pairs, ["type_a", "type_b"],
+        lambda df: df.groupby(["type_a", "type_b"], as_index=False)
+        .agg(n_both=("n_both", "sum")))
+
+    # per-type user counts: small (5 types) — broadcast by value
+    type_counts = grouped_reduce(
+        uniq, ["event_type"],
+        lambda df: df.groupby("event_type", as_index=False)
+        .agg(n_users=("user_id", "nunique"))).to_pandas()
+    tc = {r.event_type: int(r.n_users) for r in type_counts.itertuples()}
+
+    def attach(t: pa.Table) -> pa.Table:
+        na = [tc[x] for x in t.column("type_a").to_pylist()]
+        nb = [tc[x] for x in t.column("type_b").to_pylist()]
+        t = t.append_column("n_users_a", pa.array(na, pa.int64()))
+        return t.append_column("n_users_b", pa.array(nb, pa.int64()))
+
+    return pair_counts.map_batches(attach, batch_format="pyarrow")
+
+
+SQL_EVENTS_COOCCURRENCE = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), tc AS (
+  SELECT event_type, count(*) AS n_users FROM ut GROUP BY event_type
+), p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_both,
+       ta.n_users AS n_users_a, tb.n_users AS n_users_b
+FROM p JOIN tc ta ON ta.event_type = p.type_a
+       JOIN tc tb ON tb.event_type = p.type_b
 """
 
 
@@ -3695,6 +3836,8 @@ QUERIES = {
     "orders_upsert": orders_upsert_q,
     "source_weighted_sample": source_weighted_sample_q,
     "events_ewma": events_ewma_q,
+    "events_cooccurrence": events_cooccurrence_q,
+    "text_length_deciles": text_length_deciles_q,
     "text_top_ngrams": text_top_ngrams_q,
     "events_running_index": events_running_index,
     "events_sessionize": events_sessionize,
@@ -3752,6 +3895,8 @@ ORACLE_SQL = {
     "orders_upsert": SQL_ORDERS_UPSERT,
     "source_weighted_sample": SQL_SOURCE_WEIGHTED,
     "events_ewma": SQL_EVENTS_EWMA,
+    "events_cooccurrence": SQL_EVENTS_COOCCURRENCE,
+    "text_length_deciles": SQL_LENGTH_DECILES,
     "text_top_ngrams": SQL_TOP_NGRAMS,
     "events_running_index": SQL_EVENTS_RUNNING_INDEX,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,

@@ -338,7 +338,8 @@ PARITY_QUERIES = [
     "dedup_representatives", "dedup_semantic", "dedup_incremental",
     "graph_pagerank", "curate_corpus", "events_distinct_sketch",
     "events_retention", "events_funnel", "orders_upsert",
-    "source_weighted_sample", "events_ewma",
+    "source_weighted_sample", "events_ewma", "events_cooccurrence",
+    "text_length_deciles",
     "text_token_count", "text_quality_score", "text_pack_sequences",
     "knn_cosine_topk",
     "q1_pricing_summary", "top_orders_by_revenue", "nation_revenue",
