@@ -1451,6 +1451,41 @@ def _pagerank_sql(iters: int = 5, scale: int = 1 << 20,
 SQL_PAGERANK = _pagerank_sql(iters=3)
 
 
+def graph_triangles_q(sf_dir: str, threshold: float = 0.25):
+    """Per-node triangle counts over the semantic similarity graph
+    (graph/triangles.py wedge join) — local clustering evidence that a
+    near-dup group is a genuine clique, not a chain of borderline
+    pairs. Edge set = SemDeDup pairs at a looser threshold."""
+    import pyarrow.parquet as pq
+
+    from osm_merge_ray.graph.triangles import triangle_counts
+    from osm_merge_ray.sim.semdedup import semantic_dedup_pairs
+
+    cents = (pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+             .to_pandas().sort_values("vec_id").head(8))
+    cm = np.vstack([np.asarray(v, dtype=np.float64) for v in cents["embedding"]])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    edges = semantic_dedup_pairs(ds, cm, threshold=threshold)
+    return triangle_counts(edges)
+
+
+def _triangles_sql() -> str:
+    pairs = SQL_SEMDEDUP.replace(">= 0.35", ">= 0.25")
+    return f"""
+WITH pairs AS ({pairs}), tri AS (
+  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+  FROM pairs e1 JOIN pairs e2 ON e2.id_a = e1.id_b
+  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+), n AS (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM n GROUP BY node
+"""
+
+
 def dedup_minhash_q(sf_dir: str):
     """MinHash-LSH candidate pairs with the SQL-mirrorable variant:
     poly41 char-8-gram hashes, affine permutations (a*x+b) % (2^41-1)
@@ -3811,6 +3846,7 @@ QUERIES = {
     "dedup_semantic": dedup_semantic_q,
     "dedup_incremental": dedup_incremental_q,
     "graph_pagerank": graph_pagerank_q,
+    "graph_triangles": graph_triangles_q,
     "curate_corpus": curate_corpus_q,
     "convert_nps": convert_nps_q,
     "text_token_count": text_token_count_q,
@@ -3909,6 +3945,7 @@ ORACLE_SQL = {
     "dedup_semantic": SQL_SEMDEDUP,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "graph_pagerank": SQL_PAGERANK,
+    "graph_triangles": _triangles_sql(),
     "curate_corpus": SQL_CURATE,
     "knn_ivf": SQL_KNN_IVF,
     "image_decode_stats": SQL_DECODE_STATS,

@@ -185,6 +185,19 @@ def test_kmv_sketch_exact_below_k_and_accurate_above(ray_session):
     assert out.loc["big", "n_sketch"] == 256
 
 
+def test_triangle_counts_k4_plus_path(ray_session):
+    from osm_merge_ray.graph.triangles import triangle_counts
+
+    # K4 on {0,1,2,3}: C(4,3)=4 triangles, every node in 3;
+    # path 10-11-12 contributes none
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = pd.DataFrame(k4 + [(10, 11), (11, 12)],
+                         columns=["id_a", "id_b"])
+    out = triangle_counts(rd.from_pandas(edges)).to_pandas()
+    got = dict(zip(out["node"], out["n_triangles"]))
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
 def test_pagerank_integer_matches_numpy_oracle(ray_session):
     from osm_merge_ray.graph.pagerank import pagerank_integer
 
@@ -336,7 +349,8 @@ PARITY_QUERIES = [
     "spatial_polygon_overlap",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_winnow", "dedup_embedding_cosine",
     "dedup_representatives", "dedup_semantic", "dedup_incremental",
-    "graph_pagerank", "curate_corpus", "events_distinct_sketch",
+    "graph_pagerank", "graph_triangles", "curate_corpus",
+    "events_distinct_sketch",
     "events_retention", "events_funnel", "orders_upsert",
     "source_weighted_sample", "events_ewma", "events_cooccurrence",
     "text_length_deciles",
