@@ -2594,6 +2594,58 @@ FROM se
 """
 
 
+def events_cms_q(sf_dir: str, k: int = 20, w: int = 1024):
+    """Count-Min Sketch point queries (sketch.py cms_build/estimate):
+    the 4x1024 counter grid is built from fixed-size per-block partials
+    (one dense grid each — row-count-independent driver transfer), then
+    the top-k users by TRUE count get their CMS estimate side by side
+    (est >= true always; the gap is the sketch's collision overcount).
+    At corpus scale the true-count side is the heavy-hitters path; here
+    user cardinality is small so an exact grouped count suffices."""
+    from osm_merge_ray.ops import grouped_reduce
+    from osm_merge_ray.sketch import cms_build, cms_estimate
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    counts = grouped_reduce(
+        ds, ["user_id"],
+        lambda df: df.groupby("user_id", as_index=False)
+        .agg(true_count=("user_id", "size"))).to_pandas()
+    counts["true_count"] = counts["true_count"].astype(np.int64)
+    top = counts.sort_values(["true_count", "user_id"],
+                             ascending=[False, True], kind="stable").head(k)
+
+    grid = cms_build(ds, "user_id", w=w)
+    keys = top["user_id"].to_numpy().astype(np.int64)
+    est = cms_estimate(grid, keys, w=w)
+    return pd.DataFrame({"user_id": keys,
+                         "true_count": top["true_count"].to_numpy(),
+                         "cms_est": est})
+
+
+def _cms_sql(k: int = 20, w: int = 1024) -> str:
+    from osm_merge_ray.sketch import CMS_SALTS
+
+    cnt = []
+    joins = []
+    for j, s in enumerate(CMS_SALTS):
+        expr = _KMV_MIX.format(x=f"xor(user_id, {s})")
+        texpr = _KMV_MIX.format(x=f"xor(t.user_id, {s})")
+        cnt.append(f"cnt{j} AS (SELECT ({expr}) % {w} AS cell, "
+                   f"count(*) AS n FROM events GROUP BY 1)")
+        joins.append(f"JOIN cnt{j} c{j} ON c{j}.cell = ({texpr}) % {w}")
+    return f"""
+WITH {', '.join(cnt)},
+top AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS true_count FROM events
+  GROUP BY user_id ORDER BY true_count DESC, user_id LIMIT {k}
+)
+SELECT t.user_id, t.true_count,
+       CAST(least(c0.n, c1.n, c2.n, c3.n) AS BIGINT) AS cms_est
+FROM top t
+{' '.join(joins)}
+"""
+
+
 def source_weighted_sample_q(sf_dir: str):
     """Deterministic weighted mixture downsampling (the application
     step of DoReMi-style per-source reweighting): source srcK keeps a
@@ -3874,6 +3926,7 @@ QUERIES = {
     "events_ewma": events_ewma_q,
     "events_cooccurrence": events_cooccurrence_q,
     "text_length_deciles": text_length_deciles_q,
+    "events_cms_heavy_hitters": events_cms_q,
     "text_top_ngrams": text_top_ngrams_q,
     "events_running_index": events_running_index,
     "events_sessionize": events_sessionize,
@@ -3933,6 +3986,7 @@ ORACLE_SQL = {
     "events_ewma": SQL_EVENTS_EWMA,
     "events_cooccurrence": SQL_EVENTS_COOCCURRENCE,
     "text_length_deciles": SQL_LENGTH_DECILES,
+    "events_cms_heavy_hitters": _cms_sql(),
     "text_top_ngrams": SQL_TOP_NGRAMS,
     "events_running_index": SQL_EVENTS_RUNNING_INDEX,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,

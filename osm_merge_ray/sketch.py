@@ -106,3 +106,45 @@ def distinct_sketch(ds, columns: list[str], k: int = 256) -> pd.DataFrame:
                      "est_distinct": est,
                      "n_distinct": exact_distinct(ds, c)})
     return pd.DataFrame(rows)
+
+
+CMS_SALTS = (0, 7919, 104729, 1299709)  # d=4 rows, inline in the SQL twin
+
+
+def cms_build(ds, column: str, w: int = 1024,
+              salts: tuple = CMS_SALTS) -> np.ndarray:
+    """Count-Min Sketch (Cormode & Muthukrishnan, 2005): a (d, w) grid
+    of counters; row j counts at cell kmv_mix(x ^ salt_j) % w. Every
+    block ships ONE dense (d, w) int64 grid (d*w*8 bytes, independent
+    of row count — the Bloom-build transfer bound); grids sum exactly,
+    so the sketch is deterministic and mergeable."""
+    import pyarrow as pa
+
+    d = len(salts)
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column(column).to_numpy().astype(np.int64)
+        grid = np.zeros((d, w), dtype=np.int64)
+        for j, s in enumerate(salts):
+            cells = (kmv_mix(x ^ np.int64(s)) % np.int64(w)).astype(np.int64)
+            np.add.at(grid[j], cells, 1)
+        return pa.table({"grid": pa.array([grid.tobytes()], pa.binary())})
+
+    total = np.zeros((d, w), dtype=np.int64)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=1024):
+        for buf in b.column("grid").to_pylist():
+            total += np.frombuffer(buf, dtype=np.int64).reshape(d, w)
+    return total
+
+
+def cms_estimate(grid: np.ndarray, keys: np.ndarray, w: int = 1024,
+                 salts: tuple = CMS_SALTS) -> np.ndarray:
+    """Point-query estimates: min over rows — always >= the true count
+    (all arithmetic int64, identical in the SQL twin)."""
+    keys = keys.astype(np.int64)
+    est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+    for j, s in enumerate(salts):
+        cells = (kmv_mix(keys ^ np.int64(s)) % np.int64(w)).astype(np.int64)
+        est = np.minimum(est, grid[j][cells])
+    return est

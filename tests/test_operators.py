@@ -166,6 +166,22 @@ def test_semantic_dedup_subset_of_exact_and_skew_guard(ray_session):
                              max_cluster_rows=3).to_pandas()
 
 
+def test_cms_overcounts_never_undercounts(ray_session):
+    from osm_merge_ray.sketch import cms_build, cms_estimate
+
+    rng = np.random.default_rng(5)
+    keys = rng.zipf(1.5, 50_000).astype(np.int64) % 10_000
+    df = pd.DataFrame({"k": keys})
+    grid = cms_build(rd.from_pandas(df), "k", w=512)
+    assert int(grid[0].sum()) == len(keys)  # every row counts every item
+    q = np.unique(keys)[:200]
+    true = pd.Series(keys).value_counts()
+    est = cms_estimate(grid, q, w=512)
+    t = np.array([true[x] for x in q])
+    assert (est >= t).all()                  # CMS never undercounts
+    assert np.median(est - t) <= 0.02 * len(keys)  # eps ~ e/w bound
+
+
 def test_kmv_sketch_exact_below_k_and_accurate_above(ray_session):
     from osm_merge_ray.sketch import distinct_sketch
 
@@ -353,7 +369,7 @@ PARITY_QUERIES = [
     "events_distinct_sketch",
     "events_retention", "events_funnel", "orders_upsert",
     "source_weighted_sample", "events_ewma", "events_cooccurrence",
-    "text_length_deciles",
+    "text_length_deciles", "events_cms_heavy_hitters",
     "text_token_count", "text_quality_score", "text_pack_sequences",
     "knn_cosine_topk",
     "q1_pricing_summary", "top_orders_by_revenue", "nation_revenue",
