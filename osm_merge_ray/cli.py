@@ -317,6 +317,54 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_graph(args) -> int:
+    """Graph analytics over an (id_a, id_b) edge parquet: connected
+    components (star contraction), integer PageRank, or triangle
+    counts."""
+    _ray()
+    import ray.data as rd
+
+    edges = rd.read_parquet(args.infile, columns=["id_a", "id_b"])
+    if args.method == "cc":
+        import pyarrow as pa
+
+        from osm_merge_ray.dedup.cluster import connected_components
+
+        def nodes_of(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            a = t.column("id_a").to_numpy()
+            b = t.column("id_b").to_numpy()
+            return pa.table({"node": pa.array(
+                np.unique(np.concatenate([a, b])), pa.int64())})
+
+        nodes = edges.map_batches(nodes_of, batch_format="pyarrow")
+        out = connected_components(edges, nodes, node_column="node")
+    elif args.method == "pagerank":
+        import pyarrow as pa
+
+        from osm_merge_ray.graph.pagerank import pagerank_integer
+
+        def nodes_of(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            a = t.column("id_a").to_numpy()
+            b = t.column("id_b").to_numpy()
+            return pa.table({"node": pa.array(
+                np.unique(np.concatenate([a, b])), pa.int64())})
+
+        nodes = edges.map_batches(nodes_of, batch_format="pyarrow")
+        out = pagerank_integer(edges, nodes, node_column="node",
+                               iters=args.iters)
+    else:  # triangles
+        from osm_merge_ray.graph.triangles import triangle_counts
+
+        out = triangle_counts(edges)
+    out.write_parquet(args.outdir)
+    print(f"wrote {args.method} output to {args.outdir}")
+    return 0
+
+
 def cmd_simplify(args) -> int:
     """Douglas-Peucker vertex cleanup over a GeoJSON file (the standard
     pre-import pass for vertex-spammy agency exports)."""
@@ -471,6 +519,14 @@ def main(argv=None) -> int:
                    help="drop grams shared by more than this many docs "
                         "(0 = no cap; exact but unsafe at scale)")
     c.set_defaults(fn=cmd_dedup)
+
+    c = sub.add_parser("graph", help="cc/pagerank/triangles over an edge parquet")
+    c.add_argument("-i", "--infile", required=True, help="(id_a, id_b) parquet")
+    c.add_argument("-o", "--outdir", required=True)
+    c.add_argument("--method", default="cc",
+                   choices=["cc", "pagerank", "triangles"])
+    c.add_argument("--iters", type=int, default=5, help="pagerank iterations")
+    c.set_defaults(fn=cmd_graph)
 
     c = sub.add_parser("simplify", help="Douglas-Peucker GeoJSON line simplification")
     c.add_argument("-i", "--infile", required=True)

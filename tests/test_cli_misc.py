@@ -13,7 +13,7 @@ from osm_merge_ray.sources.osm_xml import parse_osm_bytes, render_osm_xml
 def test_cli_subcommands_parse():
     for sub in ("convert", "conflate-lines", "conflate-images", "tm-split",
                 "pipeline", "dedup", "poly", "pack", "curate", "semdedup",
-                "simplify"):
+                "simplify", "graph"):
         with pytest.raises(SystemExit) as exc:
             cli_main([sub, "--help"])
         assert exc.value.code == 0, sub
@@ -194,3 +194,35 @@ def test_cli_incremental_and_semdedup(ray_session, tmp_path):
                      "--threshold", "0.35"]) == 0
     pairs = pq.read_table(outs).to_pandas()
     assert len(pairs) > 0 and (pairs["id_a"] < pairs["id_b"]).all()
+
+
+def test_cli_graph_methods(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # K4 + disjoint edge: 2 components, K4 nodes in 3 triangles each
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = pd.DataFrame(k4 + [(10, 11)], columns=["id_a", "id_b"])
+    src = tmp_path / "edges.parquet"
+    pq.write_table(pa.Table.from_pandas(edges, preserve_index=False), src)
+
+    out = tmp_path / "cc"
+    assert cli_main(["graph", "-i", str(src), "-o", str(out),
+                     "--method", "cc"]) == 0
+    cc = pq.read_table(out).to_pandas()
+    labels = dict(zip(cc["node"], cc["cluster_id"]))
+    assert labels[0] == labels[3] == 0 and labels[10] == labels[11] == 10
+
+    out = tmp_path / "tri"
+    assert cli_main(["graph", "-i", str(src), "-o", str(out),
+                     "--method", "triangles"]) == 0
+    tri = pq.read_table(out).to_pandas()
+    assert dict(zip(tri["node"], tri["n_triangles"])) == {i: 3 for i in range(4)}
+
+    out = tmp_path / "pr"
+    assert cli_main(["graph", "-i", str(src), "-o", str(out),
+                     "--method", "pagerank", "--iters", "2"]) == 0
+    pr = pq.read_table(out).to_pandas()
+    ranks = dict(zip(pr["node"], pr["pagerank_q20"]))
+    assert len(ranks) == 6 and ranks[0] == ranks[1]  # K4 symmetric
