@@ -130,6 +130,10 @@ def run_bench() -> dict:
         timings["conflate_lines_skewed"] = round(_bench_lines_skewed(), 3)
 
     total = sum(timings.values())
+    # host load at measurement time (1/5/15 min averages): r2→r3
+    # per-query deltas were dominated by tenant noise and needed a
+    # manual calm-host rerun to interpret — record the context inline
+    load1, load5, load15 = os.getloadavg()
     result = {
         "metric": "conflation throughput (matched feature-pairs/sec + tiles/sec) over synthetic image+caption tables + operator suite seconds",
         "value": round(total, 3),
@@ -142,6 +146,7 @@ def run_bench() -> dict:
         "flagship_walls_sec": [round(w, 3) for w in walls],
         "flagship_spread_pct": round(
             100.0 * (walls[-1] - walls[0]) / headline, 1),
+        "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
     }
     ray.shutdown()
     return result
@@ -234,6 +239,8 @@ def run_scaling():
         "total_sec_lo": out[lo]["value"],
         "total_sec_hi": out[hi]["value"],
         "repeats": repeats,
+        "loadavg_lo": out[lo].get("loadavg"),
+        "loadavg_hi": out[hi].get("loadavg"),
     }))
 
 

@@ -51,26 +51,47 @@ def add_simhash(t: pa.Table, text_column: str = "text", n_bits: int = 64,
     return t.append_column("simhash", pa.array(fp, pa.int64()))
 
 
-def simhash_pairs(ds, id_column: str = "doc_id", text_column: str = "text",
-                  max_hamming: int = 3, n_bits: int = 64, hasher=hash64_str):
-    """Candidate pairs within ``max_hamming`` via 4-band groupby
-    (band width = n_bits/4; exact for radius <= 3 by pigeonhole),
-    verified with the true hamming distance inside the group stage."""
-    band_bits = n_bits // 4
-    band_mask = np.uint64((1 << band_bits) - 1)
+def band_plan(n_bits: int, num_bands: int) -> list[tuple[int, int]]:
+    """(shift, width) per band: ``num_bands`` contiguous slices covering
+    ``n_bits``, uniform width with the LAST band absorbing the
+    remainder. num_bands = radius + 1 is the pigeonhole guarantee that
+    any pair within the hamming radius shares at least one exact band
+    (Manku et al., WWW 2007)."""
+    w = n_bits // num_bands
+    plan = [(b * w, w) for b in range(num_bands - 1)]
+    plan.append(((num_bands - 1) * w, n_bits - (num_bands - 1) * w))
+    return plan
+
+
+def fingerprint_band_pairs(ds, id_column: str = "doc_id",
+                           fp_column: str = "simhash",
+                           max_hamming: int = 3, n_bits: int = 64,
+                           num_bands: int | None = None):
+    """Banded Hamming near-dup pairs over ANY int64 fingerprint column
+    (simhash text fingerprints, image pHash, audio fingerprints...):
+    explode to (band_id, band_hash, id, fp) light rows, bucket-shuffle
+    by band key, verify true hamming distance inside the group stage,
+    grouped min-dedup. Exact for radius <= num_bands - 1 (pigeonhole);
+    the fingerprint column rides along (8 B) so verification never
+    refetches. Reference analog: the geometry-identical early exit
+    (conflator.py:229-234) generalized to a banded near-match index,
+    the image-modality sibling of dedup/minhash.py's LSH."""
+    if num_bands is None:
+        num_bands = max_hamming + 1
+    plan = band_plan(n_bits, num_bands)
 
     def band_rows(t: pa.Table) -> pa.Table:
-        t = add_simhash(t, text_column, n_bits=n_bits, hasher=hasher)
-        fp = t.column("simhash").to_numpy().view(np.uint64)
+        fp = t.column(fp_column).to_numpy().view(np.uint64)
         ids = t.column(id_column)
         parts = []
-        for band in range(4):
-            bh = ((fp >> np.uint64(band_bits * band)) & band_mask).astype(np.int64)
+        for band, (shift, width) in enumerate(plan):
+            mask = np.uint64((1 << width) - 1)
+            bh = ((fp >> np.uint64(shift)) & mask).astype(np.int64)
             parts.append(pa.table({
                 "band_id": pa.array(np.full(len(bh), band, dtype=np.int32), pa.int32()),
                 "band_hash": pa.array(bh, pa.int64()),
                 id_column: ids,
-                "simhash": t.column("simhash"),
+                "simhash": pa.array(fp.view(np.int64), pa.int64()),
             }))
         return pa.concat_tables(parts)
 
@@ -120,3 +141,21 @@ def simhash_pairs(ds, id_column: str = "doc_id", text_column: str = "text",
             hamming=("hamming", "min")
         ),
     )
+
+
+def simhash_pairs(ds, id_column: str = "doc_id", text_column: str = "text",
+                  max_hamming: int = 3, n_bits: int = 64, hasher=hash64_str):
+    """Candidate pairs within ``max_hamming`` via 4-band groupby
+    (band width = n_bits/4; exact for radius <= 3 by pigeonhole),
+    verified with the true hamming distance inside the group stage.
+    Thin wrapper: simhash column first, then the generic banded
+    machinery (``fingerprint_band_pairs``) it shares with image-pHash
+    near-dup."""
+
+    def with_fp(t: pa.Table) -> pa.Table:
+        return add_simhash(t, text_column, n_bits=n_bits, hasher=hasher)
+
+    return fingerprint_band_pairs(
+        ds.map_batches(with_fp, batch_format="pyarrow"),
+        id_column=id_column, fp_column="simhash",
+        max_hamming=max_hamming, n_bits=n_bits, num_bands=4)

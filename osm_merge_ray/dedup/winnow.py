@@ -52,9 +52,12 @@ def _sel_rows(t: pa.Table, k: int, window: int, id_column: str,
         n_out.extend([len(sel)] * len(sel))
     gh = (np.concatenate(h_parts) if h_parts else np.empty(0, dtype=np.int64))
     bucket = (splitmix64(gh.view(np.uint64)) % np.uint64(_NUM_BUCKETS)).astype(np.int64)
+    # type the id column from the input: a batch where every text
+    # winnows to zero selections would otherwise emit a null-typed id
+    # that fails Arrow schema unification downstream (union/groupby)
     return pa.table({
         "gram_hash": pa.array(gh, pa.int64()),
-        id_column: pa.array(id_out),
+        id_column: pa.array(id_out, type=t.column(id_column).type),
         "n_grams": pa.array(n_out, pa.int64()),
         "bucket": pa.array(bucket, pa.int64()),
     })

@@ -63,9 +63,19 @@ def pagerank_integer(edges_ds, nodes_ds, node_column: str = "doc_id",
     edges_deg = bucketed_hash_join(edges, deg, key="src",
                                    num_buckets=num_buckets).materialize()
 
-    nodes = nodes_ds.map_batches(
-        lambda t: pa.table({"v": t.column(node_column).cast(pa.int64())}),
-        batch_format="pyarrow").materialize()
+    # Enforce the one-row-per-node contract here rather than trusting the
+    # caller: a node appearing in several input blocks (e.g. cmd_graph's
+    # per-batch np.unique over a multi-file edge parquet) would otherwise
+    # get duplicate rank rows, and each iteration's edges-x-ranks join
+    # multiplies inflow by the duplication factor.
+    def _distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["v"])
+
+    nodes = grouped_reduce(
+        nodes_ds.map_batches(
+            lambda t: pa.table({"v": t.column(node_column).cast(pa.int64())}),
+            batch_format="pyarrow"),
+        ["v"], _distinct, num_buckets=num_buckets).materialize()
     ranks = nodes.map_batches(
         lambda t: t.append_column(
             "r", pa.array(np.full(len(t), scale, dtype=np.int64))),

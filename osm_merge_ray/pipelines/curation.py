@@ -99,6 +99,34 @@ def _params_fingerprint(params: dict) -> str:
         json.dumps(params, sort_keys=True).encode()).hexdigest()[:16]
 
 
+def _count_and_signature(ds, id_column: str, text_column: str):
+    """(row_count, order-independent int64 content hash) in one pruned
+    pass. Per row the signature term is siphash(id) XOR siphash(text)
+    (pandas hash_array, fixed key — deterministic across processes);
+    terms combine by wrap-around int64 sum, so the value is independent
+    of block layout but changes when any row's id or text changes —
+    closing the r3 ADVICE gap where a same-row-count content change
+    passed the resume fingerprint guard. One small (n, s) partial per
+    block reaches the driver."""
+    import pandas as pd
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df[id_column].to_numpy(dtype=object))
+        h = h ^ pd.util.hash_array(
+            df[text_column].astype(str).to_numpy(dtype=object))
+        s = h.view(np.int64)
+        with np.errstate(over="ignore"):
+            tot = int(s.sum(dtype=np.int64)) if len(s) else 0
+        return pd.DataFrame({"n": [np.int64(len(df))],
+                             "s": [np.int64(tot)]})
+
+    parts = ds.map_batches(part, batch_format="pandas").take_all()
+    n = int(sum(int(p["n"]) for p in parts))
+    sig = int(np.sum(np.array([p["s"] for p in parts] or [0],
+                              dtype=np.int64), dtype=np.int64))
+    return n, sig
+
+
 def run_curation_checkpointed(train_ds, eval_ds, out_dir: str,
                               resume: bool = True, max_len: int = 2048,
                               jaccard_k: int = 3,
@@ -128,12 +156,20 @@ def run_curation_checkpointed(train_ds, eval_ds, out_dir: str,
     man_path = os.path.join(man_dir, "curation.json")
     os.makedirs(man_dir, exist_ok=True)
 
-    train_rows = train_ds.count()
+    # rows + content signature for BOTH inputs (one pruned pass each):
+    # a changed eval corpus, or changed train content at an unchanged
+    # row count, must refuse to reuse stale survivors
+    train_rows, train_sig = _count_and_signature(
+        train_ds, id_column, text_column)
+    eval_rows, eval_sig = _count_and_signature(
+        eval_ds, id_column, text_column)
     fp = _params_fingerprint({
         "max_len": max_len, "jaccard_k": jaccard_k,
         "jaccard_threshold": jaccard_threshold, "decontam_k": decontam_k,
         "id_column": id_column, "text_column": text_column,
         "num_buckets": num_buckets, "train_rows": train_rows,
+        "train_sig": train_sig, "eval_rows": eval_rows,
+        "eval_sig": eval_sig,
     })
     man = {}
     if os.path.exists(man_path):

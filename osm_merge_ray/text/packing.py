@@ -46,6 +46,24 @@ def pack_sequences(ds, max_len: int = 2048, id_column: str = "doc_id",
     # bucket totals, final scan) — materialize once (~16 B/row) so the
     # text read+tokenize doesn't re-execute per consumer
     counts = ds.map_batches(ntok, batch_format="pyarrow").materialize()
+    if counts.count() == 0:
+        # empty corpus (e.g. every document filtered upstream): return a
+        # valid empty plan instead of crashing on max(id) == None —
+        # curate_corpus and the `pack` CLI reach this path
+        import ray.data as rd
+
+        sch = counts.schema()
+        try:
+            id_type = dict(zip(sch.names, sch.types))[id_column]
+        except (AttributeError, KeyError, TypeError):
+            id_type = pa.int64()  # empty-plan schema may be typeless
+        return rd.from_arrow(pa.table({
+            id_column: pa.array([], id_type),
+            "n_tokens": pa.array([], pa.int64()),
+            "start_tok": pa.array([], pa.int64()),
+            "win_first": pa.array([], pa.int64()),
+            "win_last": pa.array([], pa.int64()),
+        }))
     max_id = int(counts.max(id_column))
 
     def with_bucket(t: pa.Table) -> pa.Table:

@@ -114,3 +114,81 @@ def test_ivf_build_index_refuses_foreign_dir(tmp_path):
     with pytest.raises(ValueError, match="refusing"):
         ivf_build_index(None, str(d))
     assert (d / "precious.txt").exists()
+
+
+# ---- round-3 ADVICE fixes ----
+
+
+def test_pagerank_multiblock_nodes_deduped(ray_session, tmp_path):
+    """r3 ADVICE (high): K4 edges split across two parquet files made
+    cmd_graph's per-batch np.unique emit duplicate node rows, inflating
+    every rank join. pagerank_integer now enforces one-row-per-node."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from osm_merge_ray.cli import main as cli_main
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    d = tmp_path / "edges"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame(k4[:3], columns=["id_a", "id_b"]),
+        preserve_index=False), d / "p0.parquet")
+    pq.write_table(pa.Table.from_pandas(
+        pd.DataFrame(k4[3:], columns=["id_a", "id_b"]),
+        preserve_index=False), d / "p1.parquet")
+
+    out = tmp_path / "pr"
+    assert cli_main(["graph", "-i", str(d), "-o", str(out),
+                     "--method", "pagerank", "--iters", "2"]) == 0
+    pr = pq.read_table(out).to_pandas()
+    assert len(pr) == 4  # one row per node, not 12
+    ranks = set(pr["pagerank_q20"])
+    assert len(ranks) == 1  # K4 symmetric
+    assert ranks.pop() < 2 * (1 << 20)  # sane magnitude, not inflated
+
+
+def test_pack_sequences_empty_input(ray_session):
+    """r3 ADVICE (low): pack_sequences crashed on an empty corpus
+    (int(None) from counts.max). Now returns a valid empty plan."""
+    from osm_merge_ray.text.packing import pack_sequences
+
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+    }))
+    plan = pack_sequences(empty, max_len=16)
+    assert plan.count() == 0
+    sch = plan.schema()
+    assert set(sch.names) == {
+        "doc_id", "n_tokens", "start_tok", "win_first", "win_last"}
+    assert dict(zip(sch.names, sch.types))["doc_id"] == pa.int64()
+
+
+def test_winnow_zero_selection_batch_typed(ray_session):
+    """r3 ADVICE (low): a batch whose texts all winnow to zero
+    selections emitted a null-typed id column that broke Arrow schema
+    unification downstream. The empty path now types from the input."""
+    from osm_merge_ray.dedup.winnow import _sel_rows, winnow_pairs
+
+    empty_texts = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["", "ab"], pa.string()),  # both shorter than k
+    })
+    out = _sel_rows(empty_texts, k=5, window=4,
+                    id_column="doc_id", text_column="text")
+    assert len(out) == 0
+    assert out.schema.field("doc_id").type == pa.int64()
+
+    # end-to-end: a block of no-selection docs unioned with real docs
+    # must survive the downstream groupby
+    docs = rd.from_arrow([
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["", "x"], pa.string())}),
+        pa.table({"doc_id": pa.array([3, 4], pa.int64()),
+                  "text": pa.array(["the quick brown fox jumps over it",
+                                    "the quick brown fox jumps over it"],
+                                   pa.string())}),
+    ])
+    pairs = winnow_pairs(docs, threshold=0.5).to_pandas()
+    assert set(zip(pairs["id_a"], pairs["id_b"])) == {(3, 4)}

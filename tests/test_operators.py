@@ -634,3 +634,51 @@ def test_curation_checkpoint_resume_and_guard(docs_with_dups, tmp_path):
     # changed params on the same dir must refuse (stale survivors)
     with pytest.raises(ValueError, match="different parameters"):
         run_curation_checkpointed(train, evals, out, max_len=512)
+
+    # r3 ADVICE: changed train CONTENT at the same row count, and a
+    # changed eval corpus, must both refuse (content signature in the
+    # fingerprint, not just train row count)
+    tmut = docs_with_dups[docs_with_dups["doc_id"] % 5 != 0].copy()
+    tmut.iloc[0, tmut.columns.get_loc("text")] = "entirely different words"
+    with pytest.raises(ValueError, match="different parameters"):
+        run_curation_checkpointed(rd.from_pandas(tmut), evals, out)
+    emut = docs_with_dups[docs_with_dups["doc_id"] % 5 == 0].copy()
+    emut.iloc[0, emut.columns.get_loc("text")] = "mutated eval document"
+    with pytest.raises(ValueError, match="different parameters"):
+        run_curation_checkpointed(train, rd.from_pandas(emut), out)
+
+
+def test_phash_hamming_neardup_real_images(ray_session):
+    """r4: image near-dup end-to-end over REAL pixels — pHash each image
+    (DCT, image/phash.py), then banded Hamming near-dup via the shared
+    simhash band machinery. Planted pairs: a lossy re-encode of image k
+    must pair with image k (hamming <= 6, cf. test_phash_properties);
+    distinct-seed images must not."""
+    import pandas as pd
+
+    from osm_merge_ray.dedup.simhash import fingerprint_band_pairs
+    from osm_merge_ray.image.codec import decode, encode, synth_pixels
+    from osm_merge_ray.image.phash import phash64
+
+    ids, fps = [], []
+    for seed in range(12):
+        px = synth_pixels(seed, 64, 64)
+        ids.append(seed)
+        fps.append(phash64(px))
+        if seed % 3 == 0:  # planted near-dup: lossy re-encode
+            ids.append(100 + seed)
+            fps.append(phash64(decode(encode(px, "jpeg"))))
+    ds = rd.from_arrow(pa.table({
+        "image_id": pa.array(ids, pa.int64()),
+        "phash": pa.array(np.array(fps, dtype=np.uint64).view(np.int64),
+                          pa.int64()),
+    }))
+    pairs = fingerprint_band_pairs(ds, id_column="image_id",
+                                   fp_column="phash", max_hamming=6,
+                                   n_bits=64).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert {(s, 100 + s) for s in range(0, 12, 3)} <= got
+    assert (pairs["hamming"] <= 6).all()
+    # only planted (original, re-encode) pairs survive: distinct seeds
+    # never sit within radius 6 of each other
+    assert got == {(s, 100 + s) for s in range(0, 12, 3)}
