@@ -278,6 +278,16 @@ def cmd_dedup(args) -> int:
         out = winnow_pairs(ds, threshold=args.threshold,
                            id_column=args.id_column, text_column=args.text_column,
                            max_df=args.max_df or None)
+    elif args.method == "phash":
+        # image near-dup over stored perceptual hashes: the input needs
+        # an int64 fingerprint column (--text-column names it; default
+        # phash per input_hint) — banded Hamming radius --max-hamming
+        from osm_merge_ray.dedup.simhash import fingerprint_band_pairs
+
+        out = fingerprint_band_pairs(ds, id_column=args.id_column,
+                                     fp_column=args.text_column
+                                     if args.text_column != "text" else "phash",
+                                     max_hamming=args.max_hamming)
     elif args.method == "cluster":
         # full keep-one flow: jaccard pairs -> connected components ->
         # highest-token representative per cluster
@@ -500,12 +510,14 @@ def main(argv=None) -> int:
     c.add_argument("--cell-res", type=int, default=12)
     c.set_defaults(fn=cmd_pipeline)
 
-    c = sub.add_parser("dedup", help="exact/minhash/simhash/jaccard/winnow pairs or full cluster keep-one over parquet text")
+    c = sub.add_parser("dedup", help="exact/minhash/simhash/jaccard/winnow/phash pairs or full cluster keep-one over parquet text/fingerprints")
     c.add_argument("-i", "--infile", required=True)
     c.add_argument("-o", "--outdir", required=True)
     c.add_argument("--method", default="exact",
                    choices=["exact", "minhash", "simhash", "jaccard",
-                            "winnow", "cluster", "incremental"])
+                            "winnow", "cluster", "incremental", "phash"])
+    c.add_argument("--max-hamming", type=int, default=6,
+                   help="Hamming radius for --method phash")
     c.add_argument("--corpus", default=None,
                    help="stored-corpus parquet for --method incremental")
     c.add_argument("--id-column", default="doc_id")

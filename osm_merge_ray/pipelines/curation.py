@@ -135,16 +135,30 @@ def run_curation_checkpointed(train_ds, eval_ds, out_dir: str,
                               id_column: str = "doc_id",
                               text_column: str = "text",
                               num_buckets: int = 64) -> dict:
-    """Curation with stage-level checkpointing: the expensive front half
-    (quality -> dedup keep-one -> decontaminate) persists its survivors
-    to ``out_dir/survivors/`` and the packing plan to ``out_dir/plan/``,
-    each atomically (tmp-dir rename, manifest flag written after data —
-    the same write-then-manifest discipline as state/checkpoint.py).
-    A resumed run skips finished stages; a resume under different
-    parameters or a different input refuses (fingerprint guard), since
-    stale survivors would silently produce a wrong plan.
+    """Curation with checkpointing at two granularities (r3 VERDICT #4):
 
-    Returns {"survivors": n, "plan_rows": n, "stages_run": [...]}.
+    * ``surv_ids`` — the SURVIVOR-ID SET (quality -> near-dup cluster
+      -> representative keep -> decontaminate, ids only). Inherently
+      global (connected components spans buckets), so this stage is
+      stage-level atomic (tmp-dir rename) like before — but it now
+      persists only light int64 ids, never document text.
+    * ``survivors`` — survivor DOCUMENTS, written PER ID-HASH BUCKET
+      with the flagship's manifest discipline
+      (state/checkpoint.write_bucket_partition): quality-kept docs are
+      re-derived map-side (fused with the read, no shuffle), bucket-
+      shuffled once together with the id set, and each bucket's join
+      output lands atomically with its own lineage record. A run
+      killed mid-stage resumes by recomputing ONLY the missing buckets
+      — at corpus scale this stage moves the heavy text bytes, so it
+      is where per-bucket resume pays.
+    * ``plan`` — the packing plan (global prefix scan), stage-level.
+
+    A resume under different parameters or different input CONTENT
+    refuses (fingerprint guard incl. content signatures), since stale
+    survivors would silently produce a wrong plan.
+
+    Returns {"survivors": n, "plan_rows": n, "stages_run": [...],
+    "buckets_done_now": n, "buckets_skipped": n}.
     """
     import json
     import os
@@ -212,29 +226,125 @@ def run_curation_checkpointed(train_ds, eval_ds, out_dir: str,
                  if f.endswith(".parquet")]
         return sum(pq.read_metadata(f).num_rows for f in files)
 
+    import time
+
+    from osm_merge_ray.state import checkpoint as CK
+    from osm_merge_ray.text.analysis import quality_score
+    from osm_merge_ray.util import splitmix64
+
     stages_run = []
+    ids_dir = os.path.join(out_dir, "surv_ids")
     surv_dir = os.path.join(out_dir, "survivors")
-    if not (resume and man.get("survivors_done") and os.path.isdir(surv_dir)):
+    if not (resume and man.get("surv_ids_done") and os.path.isdir(ids_dir)):
         clean = _survivors(train_ds, eval_ds, jaccard_k, jaccard_threshold,
                            decontam_k, id_column, text_column, num_buckets)
-        atomic_write(clean, "survivors")
+        ids_only = clean.map_batches(
+            lambda t: pa.table(
+                {id_column: t.column(id_column).cast(pa.int64())}),
+            batch_format="pyarrow")
+        atomic_write(ids_only, "surv_ids")
+        man["surv_ids_done"] = True
+        # a recomputed id set invalidates every survivor bucket and the
+        # plan: skipping either would materialize/pack a STALE set
+        shutil.rmtree(surv_dir, ignore_errors=True)
+        man["survivors_done"] = False
+        man["plan_done"] = False
+        save_manifest()
+        stages_run.append("surv_ids")
+
+    done_b = CK.finished_buckets(surv_dir) if resume else set()
+    buckets_done_now = 0
+    if not (resume and man.get("survivors_done") and os.path.isdir(surv_dir)):
+        nb = np.uint64(num_buckets)
+
+        def kept_rows(t: pa.Table) -> pa.Table:
+            scored = quality_score(t)
+            t2 = scored.filter(scored.column("quality_keep"))
+            ids = t2.column(id_column).to_numpy().astype(np.int64)
+            b = (splitmix64(ids.view(np.uint64)) % nb).astype(np.int64)
+            return pa.table({
+                id_column: pa.array(ids, pa.int64()),
+                text_column: t2.column(text_column),
+                "bucket": pa.array(b, pa.int64()),
+                "side": pa.array(np.zeros(len(ids), dtype=np.int8), pa.int8()),
+            })
+
+        def id_rows(t: pa.Table) -> pa.Table:
+            ids = t.column(id_column).to_numpy().astype(np.int64)
+            b = (splitmix64(ids.view(np.uint64)) % nb).astype(np.int64)
+            # pad to the SAME explicit schema as kept_rows: Ray's
+            # sort-based groupby concatenates blocks without null-fill
+            return pa.table({
+                id_column: pa.array(ids, pa.int64()),
+                text_column: pa.array([""] * len(ids), pa.string()),
+                "bucket": pa.array(b, pa.int64()),
+                "side": pa.array(np.ones(len(ids), dtype=np.int8), pa.int8()),
+            })
+
+        both = train_ds.map_batches(kept_rows, batch_format="pyarrow").union(
+            rd.read_parquet(ids_dir).map_batches(
+                id_rows, batch_format="pyarrow"))
+
+        if done_b:
+            done_arr = np.array(sorted(done_b), dtype=np.int64)
+
+            def drop_done(t: pa.Table) -> pa.Table:
+                keep = ~np.isin(t.column("bucket").to_numpy(), done_arr)
+                return t.filter(pa.array(keep))
+
+            both = both.map_batches(drop_done, batch_format="pyarrow")
+
+        import pandas as pd
+
+        def join_and_write(df: pd.DataFrame) -> pd.DataFrame:
+            t0 = time.time()
+            b = int(df["bucket"].iloc[0])
+            want = df.loc[df["side"] == 1, id_column].to_numpy()
+            docs = df[df["side"] == 0]
+            sel = docs[docs[id_column].isin(want)]
+            table = pa.table({
+                id_column: pa.array(
+                    sel[id_column].to_numpy().astype(np.int64), pa.int64()),
+                text_column: pa.array(sel[text_column].tolist(), pa.string()),
+            })
+            CK.write_bucket_partition(surv_dir, b, table,
+                                      input_rows=len(df),
+                                      wall_s=time.time() - t0, cells=[b])
+            return pd.DataFrame({"bucket": [b], "rows": [table.num_rows]})
+
+        metrics = both.groupby("bucket").map_groups(
+            join_and_write, batch_format="pandas").to_pandas()
+        buckets_done_now = len(metrics)
         man["survivors_done"] = True
-        # recomputed survivors invalidate any previously-finished plan:
-        # skipping it would pack the OLD survivor set
         man["plan_done"] = False
         save_manifest()
         stages_run.append("survivors")
+
+    def surv_files() -> list[str]:
+        if not os.path.isdir(surv_dir):
+            return []
+        return [os.path.join(surv_dir, d, f)
+                for d in sorted(os.listdir(surv_dir))
+                if d.startswith("bucket=") and not d.endswith(".tmp")
+                for f in sorted(os.listdir(os.path.join(surv_dir, d)))
+                if f.endswith(".parquet")]
+
+    def n_surv() -> int:
+        import pyarrow.parquet as pq
+
+        return sum(pq.read_metadata(f).num_rows for f in surv_files())
 
     plan_dir = os.path.join(out_dir, "plan")
     if not (resume and man.get("plan_done") and os.path.isdir(plan_dir)):
         from osm_merge_ray.text.packing import pack_sequences
 
-        if n_rows(surv_dir) == 0:
+        files = surv_files()
+        if not files or n_surv() == 0:
             # everything was filtered: a valid (empty) plan, not a read
             # error — the caller sees survivors == plan_rows == 0
             plan = rd.from_items([]).map_batches(lambda t: t)
         else:
-            plan = pack_sequences(rd.read_parquet(surv_dir), max_len=max_len,
+            plan = pack_sequences(rd.read_parquet(files), max_len=max_len,
                                   id_column=id_column,
                                   text_column=text_column,
                                   num_buckets=num_buckets)
@@ -244,7 +354,9 @@ def run_curation_checkpointed(train_ds, eval_ds, out_dir: str,
         stages_run.append("plan")
 
     return {
-        "survivors": n_rows(surv_dir),
+        "survivors": n_surv(),
         "plan_rows": n_rows(plan_dir),
         "stages_run": stages_run,
+        "buckets_done_now": buckets_done_now,
+        "buckets_skipped": len(done_b),
     }

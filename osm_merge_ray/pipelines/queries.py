@@ -1927,6 +1927,29 @@ FROM documents
 """
 
 
+def text_inverted_index_q(sf_dir: str):
+    """(term, df, postings) inverted index — the classic MapReduce text
+    output as one grouped combine over map-side distinct (term, doc)
+    pairs (text/analysis.inverted_index; max_df stop-list guard for
+    open-vocabulary corpora, unset here for exact parity)."""
+    from osm_merge_ray.text.analysis import inverted_index
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return inverted_index(ds)
+
+
+SQL_INVERTED_INDEX = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), d AS (
+  SELECT DISTINCT w AS term, doc_id FROM tok WHERE w != ''
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM d GROUP BY term
+"""
+
+
 def _pool():
     """Actor-pool autoscale bounds sized from the cluster, not a
     hardcoded cap (VERDICT r2 #10): up to one actor per CPU."""
@@ -1943,7 +1966,11 @@ def text_langid_q(sf_dir: str):
     from osm_merge_ray.text.analysis import LangId
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    out = ds.map_batches(LangId, batch_format="pandas", concurrency=_pool())
+    # plain-function stage (an INSTANCE, not the class): the marker
+    # sets are a few hundred bytes, so per-task closure shipping costs
+    # nothing and the stage fuses with the read — an actor pool here
+    # broke read fusion for no state worth holding (r3 VERDICT #7)
+    out = ds.map_batches(LangId(), batch_format="pandas")
     return out.select_columns(["doc_id", "lang", "lang_pred"])
 
 
@@ -1972,7 +1999,9 @@ def text_fingerprint_q(sf_dir: str):
     from osm_merge_ray.text.analysis import Fingerprint
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    out = ds.map_batches(Fingerprint, batch_format="pandas", concurrency=_pool())
+    # instance = plain-function stage that fuses with the read; the
+    # only "state" is two ints (r3 VERDICT #7)
+    out = ds.map_batches(Fingerprint(), batch_format="pandas")
     return out.select_columns(["doc_id", "fingerprint", "fingerprint_size"])
 
 
@@ -2676,16 +2705,26 @@ def events_cms_q(sf_dir: str, k: int = 20, w: int = 1024):
     (one dense grid each — row-count-independent driver transfer), then
     the top-k users by TRUE count get their CMS estimate side by side
     (est >= true always; the gap is the sketch's collision overcount).
-    At corpus scale the true-count side is the heavy-hitters path; here
-    user cardinality is small so an exact grouped count suffices."""
+    The true-count side is a distributed grouped top-k (r3 VERDICT #6):
+    blocks hold disjoint users after the grouped combine, so each block
+    keeps only its own top-k and the driver sees num_blocks * k light
+    rows, never the full user cardinality."""
     from osm_merge_ray.ops import grouped_reduce
     from osm_merge_ray.sketch import cms_build, cms_estimate
 
     ds = _read(sf_dir, "events", columns=["user_id"])
-    counts = grouped_reduce(
+    counts_ds = grouped_reduce(
         ds, ["user_id"],
         lambda df: df.groupby("user_id", as_index=False)
-        .agg(true_count=("user_id", "size"))).to_pandas()
+        .agg(true_count=("user_id", "size")))
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["true_count", "user_id"],
+                              ascending=[False, True],
+                              kind="stable").head(k)
+
+    counts = counts_ds.map_batches(
+        block_topk, batch_format="pandas").to_pandas()
     counts["true_count"] = counts["true_count"].astype(np.int64)
     top = counts.sort_values(["true_count", "user_id"],
                              ascending=[False, True], kind="stable").head(k)
@@ -3956,6 +3995,7 @@ FROM range(300) t(i) GROUP BY 1
 QUERIES = {
     # --- never driver-verified before r4 (front-loaded) ---
     "dedup_phash_hamming": dedup_phash_hamming_q,
+    "text_inverted_index": text_inverted_index_q,
     "conflate_images": conflate_images_q,
     "conflate_lines": conflate_lines_q,
     "conflate_pois": conflate_pois_q,
@@ -4079,6 +4119,7 @@ ORACLE_SQL = {
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "dedup_simhash": SQL_SIMHASH,
     "dedup_phash_hamming": SQL_PHASH_HAMMING,
+    "text_inverted_index": SQL_INVERTED_INDEX,
     "text_langid": SQL_LANGID,
     "text_normalize": SQL_TEXT_NORMALIZE,
     "text_fingerprint": SQL_FINGERPRINT,

@@ -332,3 +332,57 @@ class Fingerprint:
         df["fingerprint"] = fps
         df["fingerprint_size"] = sizes
         return df
+
+
+def inverted_index(ds, id_column: str = "doc_id", text_column: str = "text",
+                   min_df: int = 1, max_df: int | None = None,
+                   num_buckets: int = 64):
+    """(term, df, postings) inverted index over word tokens — the
+    classic MapReduce output, Ray-Data-first: docs explode map-side to
+    DISTINCT (term, doc_id) pairs (one row per term occurrence set,
+    never per occurrence), then one grouped combine per term emits the
+    document frequency and the doc_id-sorted postings list (a
+    comma-joined string, matching the SQL twin's ``string_agg``).
+
+    Scale notes: terms hash-bucket across ``num_buckets`` groups, so no
+    single task ever sees the whole vocabulary; ``max_df`` is the
+    stop-list guard — a term appearing in more than ``max_df`` docs is
+    dropped BEFORE its postings string is built (a web-scale stopword's
+    postings row would otherwise be corpus-sized). Default None keeps
+    the exact oracle-parity behavior for closed vocabularies; real
+    corpora should cap.
+    """
+    from osm_merge_ray.ops import grouped_reduce
+
+    def term_doc(t: pa.Table) -> pa.Table:
+        ids = t.column(id_column).to_numpy(zero_copy_only=False)
+        terms: list[str] = []
+        id_out: list[int] = []
+        for did, s in zip(ids, t.column(text_column).to_pylist()):
+            ws = set((s or "").split(" "))
+            ws.discard("")
+            terms.extend(ws)
+            id_out.extend([did] * len(ws))
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            id_column: pa.array(id_out, type=t.schema.field(id_column).type),
+        })
+
+    pairs = ds.map_batches(term_doc, batch_format="pyarrow")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["term", id_column], kind="stable")
+        g = df.groupby("term", sort=False)
+        out = g.agg(df_=(id_column, "nunique")).reset_index()
+        out = out.rename(columns={"df_": "df"})
+        out["df"] = out["df"].astype(np.int64)
+        post = g[id_column].agg(
+            lambda s: ",".join(str(x) for x in dict.fromkeys(s)))
+        out["postings"] = post.to_numpy()
+        if min_df > 1:
+            out = out[out["df"] >= min_df]
+        if max_df is not None:
+            out = out[out["df"] <= max_df]
+        return out[["term", "df", "postings"]]
+
+    return grouped_reduce(pairs, ["term"], combine, num_buckets=num_buckets)

@@ -226,3 +226,28 @@ def test_cli_graph_methods(ray_session, tmp_path):
     pr = pq.read_table(out).to_pandas()
     ranks = dict(zip(pr["node"], pr["pagerank_q20"]))
     assert len(ranks) == 6 and ranks[0] == ranks[1]  # K4 symmetric
+
+
+def test_cli_dedup_phash(ray_session, tmp_path):
+    """r4: `dedup --method phash` — banded Hamming near-dup over a
+    stored int64 phash column."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = np.arange(20, dtype=np.int64) * 7919 * 65537
+    rows = pd.DataFrame({
+        "image_id": np.concatenate([np.arange(20), np.arange(20) + 100]),
+        "phash": np.concatenate([base, base ^ np.int64(0b101)]),  # ham 2
+    })
+    src = tmp_path / "ph.parquet"
+    pq.write_table(pa.Table.from_pandas(rows, preserve_index=False), src)
+    out = tmp_path / "pairs"
+    assert cli_main(["dedup", "-i", str(src), "-o", str(out),
+                     "--method", "phash", "--id-column", "image_id",
+                     "--max-hamming", "4"]) == 0
+    pairs = pq.read_table(out).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert {(i, i + 100) for i in range(20)} <= got
+    assert (pairs["hamming"] == 2).all()

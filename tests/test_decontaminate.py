@@ -69,3 +69,41 @@ def test_decontaminate_removes_flagged_only(ray_session):
     # clean rows keep the full original schema/values
     merged = clean.merge(tr, on="doc_id", suffixes=("", "_orig"))
     assert (merged.text == merged.text_orig).all()
+
+
+def test_broadcast_path_equals_join_path(ray_session):
+    """r4: the broadcast fast paths (eval-gram set + flagged-id set via
+    ray.put) must emit exactly the bucketed-join paths' rows."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from osm_merge_ray.text.decontaminate import (contamination_report,
+                                                  decontaminate)
+
+    rng = np.random.default_rng(3)
+    words = [f"t{i}" for i in range(50)]
+    train = pd.DataFrame({
+        "doc_id": np.arange(200, dtype=np.int64),
+        "text": [" ".join(rng.choice(words, 8)) for _ in range(200)],
+    })
+    evals = pd.DataFrame({
+        "doc_id": np.arange(20, dtype=np.int64) + 1000,
+        # half the eval docs copy train texts → real contamination
+        "text": [train["text"][i] if i % 2 == 0
+                 else " ".join(rng.choice(words, 8)) for i in range(20)],
+    })
+    tds, eds = rd.from_pandas(train), rd.from_pandas(evals)
+
+    key = lambda d: d.sort_values("doc_id").reset_index(drop=True)
+    fast = key(contamination_report(tds, eds, k=3).to_pandas())
+    slow = key(contamination_report(tds, eds, k=3,
+                                    broadcast_max_grams=0).to_pandas())
+    pd.testing.assert_frame_equal(fast, slow.astype(fast.dtypes.to_dict()))
+    assert len(fast) >= 10  # the planted copies are flagged
+
+    dfast = key(decontaminate(tds, eds, k=3).to_pandas())
+    dslow = key(decontaminate(tds, eds, k=3,
+                              broadcast_max_flagged=0).to_pandas())
+    pd.testing.assert_frame_equal(dfast, dslow.astype(dfast.dtypes.to_dict()))
+    assert len(dfast) < 200

@@ -605,8 +605,9 @@ def test_curation_checkpoint_resume_and_guard(docs_with_dups, tmp_path):
     out = str(tmp_path / "cur")
 
     m1 = run_curation_checkpointed(train, evals, out)
-    assert m1["stages_run"] == ["survivors", "plan"]
+    assert m1["stages_run"] == ["surv_ids", "survivors", "plan"]
     assert m1["plan_rows"] == m1["survivors"] > 0
+    assert m1["buckets_done_now"] > 1 and m1["buckets_skipped"] == 0
 
     # full resume: nothing recomputes, same answer
     m2 = run_curation_checkpointed(train, evals, out)
@@ -621,15 +622,25 @@ def test_curation_checkpoint_resume_and_guard(docs_with_dups, tmp_path):
     m3 = run_curation_checkpointed(train, evals, out)
     assert m3["stages_run"] == ["plan"] and m3["plan_rows"] == m1["plan_rows"]
 
-    # a lost survivors stage invalidates the plan too: skipping the
-    # pack over recomputed survivors would keep a stale plan
-    shutil.rmtree(f"{out}/survivors")
+    # simulate a kill mid-survivors-stage: drop SOME bucket partitions
+    # and their manifests, clear the stage flag — the resume must
+    # recompute ONLY the missing buckets (r3 VERDICT #4)
+    import os
+    buckets = sorted(d for d in os.listdir(f"{out}/survivors")
+                     if d.startswith("bucket="))
+    killed = buckets[: max(1, len(buckets) // 3)]
+    for d in killed:
+        shutil.rmtree(f"{out}/survivors/{d}")
+        os.remove(f"{out}/survivors/_manifest/{d}.json")
     man = json.load(open(f"{out}/_manifest/curation.json"))
     man["survivors_done"] = False
     json.dump(man, open(f"{out}/_manifest/curation.json", "w"))
     m4 = run_curation_checkpointed(train, evals, out)
     assert m4["stages_run"] == ["survivors", "plan"]
+    assert m4["buckets_skipped"] == len(buckets) - len(killed)
+    assert m4["buckets_done_now"] == len(killed)
     assert m4["plan_rows"] == m1["plan_rows"]
+    assert m4["survivors"] == m1["survivors"]
 
     # changed params on the same dir must refuse (stale survivors)
     with pytest.raises(ValueError, match="different parameters"):
@@ -682,3 +693,36 @@ def test_phash_hamming_neardup_real_images(ray_session):
     # only planted (original, re-encode) pairs survive: distinct seeds
     # never sit within radius 6 of each other
     assert got == {(s, 100 + s) for s in range(0, 12, 3)}
+
+
+def test_fingerprint_band_pairs_equals_bruteforce(ray_session):
+    """Property: banded candidate generation + verify is EXACT for any
+    radius <= num_bands - 1 — every pair of random fingerprints within
+    the radius is emitted with its true hamming distance, none outside."""
+    from osm_merge_ray.dedup.simhash import fingerprint_band_pairs
+    from osm_merge_ray.image.phash import hamming64
+
+    rng = np.random.default_rng(11)
+    n = 300
+    fps = rng.integers(0, 1 << 62, n, dtype=np.int64)
+    # plant pairs at several distances around the radius boundary
+    for j, flip_bits in enumerate([1, 3, 5, 6, 7, 9]):
+        bits = rng.choice(62, size=flip_bits, replace=False)
+        mask = np.bitwise_or.reduce((np.int64(1) << bits).astype(np.int64))
+        fps[n - 1 - j] = fps[j] ^ mask
+    ids = np.arange(n, dtype=np.int64)
+
+    got = fingerprint_band_pairs(
+        rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                "fp": pa.array(fps, pa.int64())})),
+        id_column="doc_id", fp_column="fp", max_hamming=6,
+        n_bits=64).to_pandas()
+    got_pairs = {(a, b): h for a, b, h in
+                 zip(got["id_a"], got["id_b"], got["hamming"])}
+
+    ia, ib = np.triu_indices(n, k=1)
+    ham = hamming64(fps[ia], fps[ib])
+    want = {(int(a), int(b)): int(h)
+            for a, b, h in zip(ia, ib, ham) if h <= 6}
+    assert got_pairs == want
+    assert len(want) >= 4  # the planted <=6-bit flips are in-radius

@@ -44,3 +44,26 @@ def test_repetition_stats_empty_batch():
     t = pa.table({"doc_id": pa.array([], pa.int64()),
                   "text": pa.array([], pa.string())})
     assert repetition_stats(t).num_rows == 0
+
+
+def test_inverted_index_min_max_df(ray_session):
+    """r4: inverted_index postings + df, with min_df/max_df stop-list
+    pruning applied before the postings string is built."""
+    import pandas as pd
+    import ray.data as rd
+
+    from osm_merge_ray.text.analysis import inverted_index
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["common alpha", "common beta alpha", "common gamma"],
+    })
+    full = inverted_index(rd.from_pandas(docs)).to_pandas()
+    idx = dict(zip(full["term"], zip(full["df"], full["postings"])))
+    assert idx["common"] == (3, "1,2,3")
+    assert idx["alpha"] == (2, "1,2")
+    assert idx["beta"] == (1, "2") and idx["gamma"] == (1, "3")
+
+    capped = inverted_index(rd.from_pandas(docs), min_df=2,
+                            max_df=2).to_pandas()
+    assert set(capped["term"]) == {"alpha"}  # common (df 3) and hapaxes cut
