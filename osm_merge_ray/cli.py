@@ -131,16 +131,18 @@ def cmd_conflate_lines(args) -> int:
 
 def cmd_conflate_images(args) -> int:
     from osm_merge_ray.config import ConflationConfig
-    from osm_merge_ray.pipelines.conflation import run_checkpointed
+    from osm_merge_ray.pipelines.conflation import (
+        read_parquet_with_lineage, run_checkpointed)
 
     _ray()
-    import ray.data as rd
 
     cfg = ConflationConfig()
-    m = run_checkpointed(
-        rd.read_parquet(args.primary), rd.read_parquet(args.secondary),
-        args.outdir, cfg, resume=args.resume,
-    )
+    # lineage-tagged reads: every bucket manifest names the input files
+    # (fragments) it consumed, resolvable via _manifest/fragments.json
+    p, pmap = read_parquet_with_lineage(args.primary)
+    s, smap = read_parquet_with_lineage(args.secondary)
+    m = run_checkpointed(p, s, args.outdir, cfg, resume=args.resume,
+                         fragment_map={**pmap, **smap})
     print(json.dumps(m))
     return 0
 

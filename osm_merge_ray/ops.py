@@ -316,3 +316,43 @@ def merge_upsert(base_ds, delta_ds, key_column: str, version_column: str,
         return df.groupby(key_column, sort=False).head(1)
 
     return grouped_reduce(u, [key_column], pick, num_buckets=num_buckets)
+
+
+def presence_join(a_ds, b_ds, key_a: str, key_b: str,
+                  flag_a: str = "in_a", flag_b: str = "in_b",
+                  num_buckets: int = 64):
+    """(id, flag_a, flag_b) for every int64 key in EITHER dataset —
+    the referential-integrity / orphan check between two tables of a
+    multimodal corpus (documents missing embeddings, image rows missing
+    captions, ...). Equivalent to a FULL OUTER JOIN projected to
+    presence flags, but shaped for scale: each side ships only DISTINCT
+    light (id, side) rows into one hash-bucketed exchange, and a
+    per-bucket vectorized OR-reduce emits one row per key.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    def tag(col: str, side: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = np.unique(t.column(col).to_numpy().astype(np.int64))
+            return pa.table({
+                "id": pa.array(ids, pa.int64()),
+                "side": pa.array(np.full(len(ids), side, np.int8), pa.int8()),
+            })
+
+        return f
+
+    u = a_ds.map_batches(tag(key_a, 0), batch_format="pyarrow").union(
+        b_ds.map_batches(tag(key_b, 1), batch_format="pyarrow"))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["id"].to_numpy()
+        side = df["side"].to_numpy()
+        uids, inv = np.unique(ids, return_inverse=True)
+        in_a = np.zeros(len(uids), dtype=bool)
+        in_b = np.zeros(len(uids), dtype=bool)
+        in_a[inv[side == 0]] = True
+        in_b[inv[side == 1]] = True
+        return pd.DataFrame({"id": uids, flag_a: in_a, flag_b: in_b})
+
+    return grouped_reduce(u, ["id"], combine, num_buckets=num_buckets)

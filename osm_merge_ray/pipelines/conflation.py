@@ -112,9 +112,43 @@ def conflate_parquet(primary_path: str, secondary_path: str,
     return out
 
 
+def read_parquet_with_lineage(path: str):
+    """Read a parquet directory with a per-row ``frag`` column — a
+    stable int64 id of the source FILE (splitmix64 of the path's FNV
+    hash) — plus the {frag: path} map. Feed both sides of
+    ``run_checkpointed`` through this and every bucket manifest records
+    which input fragments it consumed (the north-rule's "input fragment
+    ids" lineage): when one input file is replaced, exactly the buckets
+    naming its frag id need invalidation, not the whole run."""
+    import pyarrow.compute as pc2
+    import ray.data as rd
+
+    from osm_merge_ray.util import hash64_str, splitmix64
+
+    ds = rd.read_parquet(path, include_paths=True)
+
+    def frag_map_of(paths: list[str]) -> dict[int, str]:
+        ids = splitmix64(hash64_str(paths)).view(np.int64)
+        return {int(i): p for i, p in zip(ids, paths)}
+
+    import pyarrow.dataset as pads
+
+    fmap = frag_map_of(sorted(pads.dataset(path).files))
+
+    def add_frag(t: pa.Table) -> pa.Table:
+        paths = t.column("path").to_pylist()
+        ids = splitmix64(hash64_str(paths)).view(np.int64)
+        t = t.drop_columns(["path"])
+        return t.append_column("frag", pa.array(ids, pa.int64()))
+
+    _ = pc2  # imported for parity with sibling readers
+    return ds.map_batches(add_frag, batch_format="pyarrow"), fmap
+
+
 def run_checkpointed(primary_ds, secondary_ds, out_dir: str,
                      cfg: ConflationConfig | None = None,
-                     resume: bool = True, skew_salting: bool = True) -> dict:
+                     resume: bool = True, skew_salting: bool = True,
+                     fragment_map: dict[int, str] | None = None) -> dict:
     """Conflate with per-bucket checkpointing: each shuffle bucket's
     decision rows are written atomically with a manifest record
     (state/checkpoint.py); on resume, finished buckets are filtered out
@@ -127,6 +161,18 @@ def run_checkpointed(primary_ds, secondary_ds, out_dir: str,
     cfg = cfg or ConflationConfig()
     grid = default_grid(cfg)
     done = CK.finished_buckets(out_dir) if resume else set()
+    if fragment_map is not None:
+        # run-level frag-id → input-file map (resolves the per-bucket
+        # input_fragments lineage recorded below)
+        import json as _json
+        import os as _os
+
+        _os.makedirs(CK.manifest_dir(out_dir), exist_ok=True)
+        fp = _os.path.join(CK.manifest_dir(out_dir), "fragments.json")
+        tmp = fp + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({str(k): v for k, v in fragment_map.items()}, fh)
+        _os.replace(tmp, fp)
 
     prep = lambda t: CF.prepare(t, cfg)  # noqa: E731
     union = CF.tag_side(primary_ds, 0).union(CF.tag_side(secondary_ds, 1))
@@ -160,11 +206,13 @@ def run_checkpointed(primary_ds, secondary_ds, out_dir: str,
     def match_and_write(df: pd.DataFrame) -> pd.DataFrame:
         t0 = time.time()
         bucket = int(df["bucket"].iloc[0])
+        frags = (np.unique(df["frag"].to_numpy()).tolist()
+                 if "frag" in df.columns else None)
         out = CF.match_bucket(df, cfg)
         table = assign(pa.Table.from_pandas(out, preserve_index=False))
         CK.write_bucket_partition(
             out_dir, bucket, table, input_rows=len(df), wall_s=time.time() - t0,
-            cells=df["cell"].unique().tolist(),
+            cells=df["cell"].unique().tolist(), frags=frags,
         )
         return pd.DataFrame({"bucket": [bucket], "rows": [table.num_rows]})
 

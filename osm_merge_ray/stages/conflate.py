@@ -101,6 +101,11 @@ def prepare(batch: pa.Table, cfg: ConflationConfig) -> pa.Table:
     }
     if "side" in names:
         cols["side"] = batch.column("side").cast(pa.int8())
+    if "frag" in names:
+        # input-fragment lineage id (conflation.read_parquet_with_lineage)
+        # rides the light rows so bucket manifests can record which
+        # input files fed each bucket (north-rule lineage)
+        cols["frag"] = batch.column("frag").cast(pa.int64())
     return pa.table(cols)
 
 

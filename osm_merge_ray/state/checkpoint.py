@@ -98,8 +98,13 @@ def finished_buckets(out_dir: str) -> set[int]:
 
 
 def write_bucket_partition(out_dir: str, bucket: int, table: pa.Table,
-                           input_rows: int, wall_s: float, cells: list[int]) -> None:
-    """Atomic partition write + manifest record (idempotent per bucket)."""
+                           input_rows: int, wall_s: float, cells: list[int],
+                           frags: list[int] | None = None) -> None:
+    """Atomic partition write + manifest record (idempotent per bucket).
+    ``frags`` (optional): distinct input-fragment lineage ids that fed
+    this bucket — resolvable to file paths via the run-level
+    ``fragments.json`` map, so a selective re-ingest can invalidate
+    exactly the buckets a changed input file touched."""
     part_dir = os.path.join(out_dir, f"bucket={bucket}")
     tmp_dir = part_dir + ".tmp"
     os.makedirs(tmp_dir, exist_ok=True)
@@ -120,6 +125,8 @@ def write_bucket_partition(out_dir: str, bucket: int, table: pa.Table,
         "wall_s": round(wall_s, 4),
         "ts": time.time(),
     }
+    if frags is not None:
+        rec["input_fragments"] = sorted(int(f) for f in frags)
     tmp = os.path.join(manifest_dir(out_dir), f".bucket={bucket}.json.tmp")
     dst = os.path.join(manifest_dir(out_dir), f"bucket={bucket}.json")
     with open(tmp, "w") as fh:

@@ -213,3 +213,41 @@ def _norm_ids(df):
     for c in ("image_id", "matched_id", "decision"):
         out[c] = out[c].astype(object).where(pd.notna(out[c]), None)
     return out.reset_index(drop=True)
+
+
+def test_checkpoint_records_fragment_lineage(ray_session, tmp_path):
+    """r4: feeding run_checkpointed through read_parquet_with_lineage
+    records per-bucket input_fragments in the manifests plus a
+    run-level frag->path map — the north-rule's per-partition lineage
+    (cell range, input fragment ids, rows, metrics)."""
+    import json
+    import os
+
+    from osm_merge_ray.pipelines.conflation import (
+        read_parquet_with_lineage, run_checkpointed)
+    from osm_merge_ray.synth import synth_dataset
+
+    dirs = {}
+    for side in ("primary", "secondary"):
+        d = tmp_path / side
+        synth_dataset(400, side, with_bytes=False,
+                      parallelism=4).write_parquet(str(d))
+        dirs[side] = str(d)
+
+    p, pmap = read_parquet_with_lineage(dirs["primary"])
+    s, smap = read_parquet_with_lineage(dirs["secondary"])
+    fmap = {**pmap, **smap}
+    out = str(tmp_path / "ck")
+    m = run_checkpointed(p, s, out, ConflationConfig(num_buckets=16),
+                         fragment_map=fmap)
+    assert m["rows_emitted"] > 0
+
+    man_dir = f"{out}/_manifest"
+    stored = json.load(open(f"{man_dir}/fragments.json"))
+    assert set(stored) == {str(k) for k in fmap}
+    recs = [json.load(open(f"{man_dir}/{f}"))
+            for f in os.listdir(man_dir) if f.startswith("bucket=")]
+    assert recs and all("input_fragments" in r for r in recs)
+    seen = {f for r in recs for f in r["input_fragments"]}
+    assert seen <= set(fmap)      # every recorded frag resolves to a path
+    assert len(seen) == len(fmap)  # all 8 input files fed some bucket

@@ -726,3 +726,16 @@ def test_fingerprint_band_pairs_equals_bruteforce(ray_session):
             for a, b, h in zip(ia, ib, ham) if h <= 6}
     assert got_pairs == want
     assert len(want) >= 4  # the planted <=6-bit flips are in-radius
+
+
+def test_presence_join_orphans(ray_session):
+    """r4: presence_join = FULL OUTER JOIN as presence flags — exact
+    orphan detection on both sides, duplicates collapsed."""
+    from osm_merge_ray.ops import presence_join
+
+    a = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2, 3, 3], pa.int64())}))
+    b = rd.from_arrow(pa.table({"vec_id": pa.array([2, 3, 9], pa.int64())}))
+    out = presence_join(a, b, key_a="doc_id", key_b="vec_id").to_pandas()
+    got = {r.id: (bool(r.in_a), bool(r.in_b)) for r in out.itertuples()}
+    assert got == {1: (True, False), 2: (True, True),
+                   3: (True, True), 9: (False, True)}
