@@ -48,6 +48,10 @@ def _bench_queries():
         # representatives, sequence-packing prefix scan
         "dedup_winnow", "dedup_semantic", "dedup_representatives",
         "text_pack_sequences",
+        # r4 additions: banded image-phash near-dup, inverted index,
+        # multimodal orphan check
+        "dedup_phash_hamming", "text_inverted_index",
+        "multimodal_integrity",
     ]
     return [(n, lambda n=n: consume(Q.QUERIES[n](SF_DIR))) for n in names]
 

@@ -136,16 +136,23 @@ def plan_salts(light_ds, cfg: ConflationConfig) -> dict[int, int]:
         u, c = np.unique(cell, return_counts=True)
         return pa.table({"cell": pa.array(u, pa.int64()), "n": pa.array(c, pa.int64())})
 
-    from ray.data.aggregate import Sum
+    # hash-bucketed combine, NOT the native sort-based groupby: at the
+    # default res-15 grid the union has ~10^5+ distinct cells and Ray's
+    # sort aggregate pays its per-distinct-group cliff (measured 3.0 s
+    # of a 10.7 s flagship run at 100k/side; grouped_reduce: ~0.5 s).
+    # Only cells already over the threshold ever reach the driver.
+    import pandas as pd
 
-    totals = (
-        light_ds.map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("cell")
-        .aggregate(Sum("n", alias_name="total"))
-    )
-    hot = totals.filter(
-        lambda row: row["total"] > cfg.hot_cell_rows
-    ).take_all()
+    def hot_only(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cell", as_index=False)["n"].sum()
+        g = g[g["n"] > cfg.hot_cell_rows]
+        return g.rename(columns={"n": "total"})
+
+    from osm_merge_ray.ops import grouped_reduce
+
+    hot = grouped_reduce(
+        light_ds.map_batches(partial_counts, batch_format="pyarrow"),
+        ["cell"], hot_only, num_buckets=cfg.num_buckets).take_all()
     # n_salts sized for the expected occupancy of one FINE cell: the
     # refinement spreads the count over ~4^(fine-base) children, so a
     # small salt count suffices as the co-location backstop
