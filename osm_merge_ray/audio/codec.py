@@ -80,3 +80,31 @@ def band_energies(pcm: np.ndarray, sample_rate: int, n_bands: int = 16,
         hi = min(max(int(edges[b + 1]), lo + 1), nb)
         e[b] = (mags[:, lo:hi] ** 2).mean() if hi > lo else 0.0
     return np.log1p(e).astype(np.float32)
+
+
+def audio_fingerprint(pcm: np.ndarray, sample_rate: int,
+                      n_bands: int = 16, n_chunks: int = 4) -> int:
+    """60-bit audio fingerprint in the Haitsma-Kalker (2002) family:
+    split the signal into ``n_chunks`` temporal chunks, compute log
+    band energies per chunk, and emit one bit per adjacent-band energy
+    difference (E[b] > E[b-1]) — n_chunks * (n_bands - 1) = 60 bits.
+
+    Properties that make it a dedup key: invariant to global gain (a
+    monotone transform preserves adjacent-band ordering), and mild
+    additive noise flips only the bits whose band pair was nearly
+    tied. Near-duplicate audio = small Hamming distance; pair
+    generation reuses the banded machinery
+    (``dedup.simhash.fingerprint_band_pairs``) exactly like image
+    pHash. Engine-only (content-dependent DSP, pytest-pinned — same
+    convention as the other multimodal content floats)."""
+    n = len(pcm)
+    fp = 0
+    bit = 0
+    for q in range(n_chunks):
+        seg = pcm[q * n // n_chunks: (q + 1) * n // n_chunks]
+        e = band_energies(seg, sample_rate, n_bands)
+        for b in range(1, n_bands):
+            if e[b] > e[b - 1]:
+                fp |= 1 << bit
+            bit += 1
+    return fp

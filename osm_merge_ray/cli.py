@@ -281,14 +281,13 @@ def cmd_dedup(args) -> int:
                            id_column=args.id_column, text_column=args.text_column,
                            max_df=args.max_df or None)
     elif args.method == "phash":
-        # image near-dup over stored perceptual hashes: the input needs
-        # an int64 fingerprint column (--text-column names it; default
-        # phash per input_hint) — banded Hamming radius --max-hamming
+        # fingerprint near-dup over a stored int64 hash column
+        # (--fp-column: image phash per input_hint, audio_fp from
+        # AudioDecode, any banded fingerprint) within --max-hamming
         from osm_merge_ray.dedup.simhash import fingerprint_band_pairs
 
         out = fingerprint_band_pairs(ds, id_column=args.id_column,
-                                     fp_column=args.text_column
-                                     if args.text_column != "text" else "phash",
+                                     fp_column=args.fp_column,
                                      max_hamming=args.max_hamming)
     elif args.method == "cluster":
         # full keep-one flow: jaccard pairs -> connected components ->
@@ -520,6 +519,8 @@ def main(argv=None) -> int:
                             "winnow", "cluster", "incremental", "phash"])
     c.add_argument("--max-hamming", type=int, default=6,
                    help="Hamming radius for --method phash")
+    c.add_argument("--fp-column", default="phash",
+                   help="int64 fingerprint column for --method phash")
     c.add_argument("--corpus", default=None,
                    help="stored-corpus parquet for --method incremental")
     c.add_argument("--id-column", default="doc_id")

@@ -194,11 +194,13 @@ class AudioDecode:
     drops the bytes before anything reaches a shuffle."""
 
     def __init__(self, n_bands: int = 16):
-        from osm_merge_ray.audio.codec import band_energies, decode
+        from osm_merge_ray.audio.codec import (audio_fingerprint,
+                                               band_energies, decode)
 
         self.n_bands = n_bands
         self._decode = decode
         self._bands = band_energies
+        self._fp = audio_fingerprint
 
     def __call__(self, t: pa.Table) -> pa.Table:
         blobs = t.column("bytes").to_pylist()
@@ -207,6 +209,7 @@ class AudioDecode:
         n_samples = np.zeros(n, dtype=np.int64)
         sr = np.zeros(n, dtype=np.int64)
         rms = np.zeros(n, dtype=np.int64)
+        afp = np.zeros(n, dtype=np.int64)
         feats: list = [None] * n
         for i, buf in enumerate(blobs):
             if buf is None:
@@ -221,11 +224,13 @@ class AudioDecode:
             x = pcm.astype(np.float64) / 32768.0
             rms[i] = int(round(float(np.sqrt((x * x).mean())) * 1e6)) if len(x) else 0
             feats[i] = self._bands(pcm, rate, self.n_bands).tolist()
+            afp[i] = self._fp(pcm, rate, self.n_bands)
         out = t.drop_columns(["bytes"])
         out = out.append_column("decode_ok", pa.array(ok))
         out = out.append_column("n_samples", pa.array(n_samples, pa.int64()))
         out = out.append_column("sample_rate", pa.array(sr, pa.int64()))
         out = out.append_column("rms_e6", pa.array(rms, pa.int64()))
+        out = out.append_column("audio_fp", pa.array(afp, pa.int64()))
         out = out.append_column("audio_embedding",
                                 pa.array(feats, pa.list_(pa.float32())))
         return out

@@ -739,3 +739,48 @@ def test_presence_join_orphans(ray_session):
     got = {r.id: (bool(r.in_a), bool(r.in_b)) for r in out.itertuples()}
     assert got == {1: (True, False), 2: (True, True),
                    3: (True, True), 9: (False, True)}
+
+
+def test_audio_fingerprint_neardup(ray_session):
+    """r4: audio near-dup end-to-end — 60-bit adjacent-band fingerprint
+    (audio/codec.audio_fingerprint) + the shared banded Hamming
+    machinery. Gain-scaled copies fingerprint identically (monotone
+    invariance); mildly noisy copies sit within a small radius;
+    distinct signals stay far."""
+    from osm_merge_ray.audio.codec import audio_fingerprint, synth_pcm
+    from osm_merge_ray.dedup.simhash import fingerprint_band_pairs
+    from osm_merge_ray.image.phash import hamming64
+
+    rng = np.random.default_rng(4)
+    ids, fps = [], []
+    for seed in range(10):
+        pcm = synth_pcm(seed, 16_000)
+        ids.append(seed)
+        fps.append(audio_fingerprint(pcm, 16_000))
+        if seed % 2 == 0:  # planted: 0.7x gain -> identical fingerprint
+            gain = (pcm.astype(np.float64) * 0.7).astype(pcm.dtype)
+            ids.append(100 + seed)
+            fps.append(audio_fingerprint(gain, 16_000))
+        if seed % 5 == 0:  # planted: mild noise -> near fingerprint
+            noisy = (pcm.astype(np.float64)
+                     + rng.normal(0, 60, len(pcm))).astype(pcm.dtype)
+            ids.append(200 + seed)
+            fps.append(audio_fingerprint(noisy, 16_000))
+
+    arr = np.array(fps, dtype=np.int64)
+    assert all(arr[ids.index(100 + s)] == arr[ids.index(s)]
+               for s in range(0, 10, 2))  # gain invariance, hamming 0
+    for s in (0, 5):
+        assert int(hamming64(arr[ids.index(200 + s)],
+                             arr[ids.index(s)])) <= 8
+
+    pairs = fingerprint_band_pairs(
+        rd.from_arrow(pa.table({"audio_id": pa.array(ids, pa.int64()),
+                                "fp": pa.array(arr, pa.int64())})),
+        id_column="audio_id", fp_column="fp",
+        max_hamming=8, n_bits=60).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert {(s, 100 + s) for s in range(0, 10, 2)} <= got
+    assert {(s, 200 + s) for s in (0, 5)} <= got
+    # distinct-seed signals never pair
+    assert not any(a < 100 and b < 100 for a, b in got)
