@@ -450,6 +450,21 @@ def cmd_pack(args) -> int:
     return 0
 
 
+def cmd_redact(args) -> int:
+    """PII redaction over a parquet corpus: rewrite the text column in
+    place (emails/SSNs/cards/IPs/phones -> category tokens) and add
+    per-category count columns (text/redact.py)."""
+    _ray()
+    import ray.data as rd
+
+    from osm_merge_ray.text.redact import redact_pii
+
+    ds = rd.read_parquet(args.infile)
+    redact_pii(ds, text_column=args.text_column).write_parquet(args.outdir)
+    print(f"wrote redacted corpus to {args.outdir}")
+    return 0
+
+
 def cmd_poly(args) -> int:
     from osm_merge_ray.sources.poly import write_poly
 
@@ -578,6 +593,12 @@ def main(argv=None) -> int:
     c.add_argument("--text-column", default="text")
     c.add_argument("--max-len", type=int, default=2048)
     c.set_defaults(fn=cmd_pack)
+
+    c = sub.add_parser("redact", help="PII redaction (email/ssn/card/ip/phone -> tokens + counts)")
+    c.add_argument("-i", "--infile", required=True)
+    c.add_argument("-o", "--outdir", required=True)
+    c.add_argument("--text-column", default="text")
+    c.set_defaults(fn=cmd_redact)
 
     c = sub.add_parser("poly", help="GeoJSON boundary -> osmosis .poly (S9)")
     c.add_argument("-i", "--infile", required=True)

@@ -4015,6 +4015,90 @@ FROM range(300) t(i) GROUP BY 1
 """
 
 
+def text_pii_redact_q(sf_dir: str):
+    """PII redaction report: plant deterministic PII (email / phone /
+    IP / card / SSN snippets keyed on doc_id residues — replayed
+    literally by the SQL twin) into the documents text, run the
+    redaction stage, and report per-category counts + redacted length
+    for every document that contained any. Parity is real RE2-vs-RE2:
+    pyarrow and DuckDB bind the same regex engine, so the identical
+    pattern strings produce identical rewrites."""
+    import pyarrow.compute as pc
+
+    from osm_merge_ray.text.redact import redact_pii
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        aug = []
+        for i, txt in zip(ids.tolist(), texts):
+            s = txt
+            if i % 7 == 0:
+                s += f" contact u{i}@example.com"
+            if i % 11 == 0:
+                s += f" call 303-555-{i % 10000:04d}"
+            if i % 13 == 0:
+                s += f" host 10.0.{i % 256}.{i % 254 + 1}"
+            if i % 17 == 0:
+                s += " card 4111 1111 1111 1111"
+            if i % 19 == 0:
+                s += " ssn 123-45-6789"
+            aug.append(s)
+        return t.set_column(t.column_names.index("text"), "text",
+                            pa.array(aug, pa.string()))
+
+    out = redact_pii(ds.map_batches(plant, batch_format="pyarrow"))
+
+    def project(t: pa.Table) -> pa.Table:
+        keep = ["doc_id", "n_email", "n_ssn", "n_card", "n_ip",
+                "n_phone", "n_pii"]
+        t2 = t.select(keep + ["text"])
+        t2 = t2.append_column("red_len",
+                              pc.cast(pc.utf8_length(t2.column("text")),
+                                      pa.int64()))
+        t2 = t2.drop_columns(["text"])
+        t2 = t2.filter(pc.greater(t2.column("n_pii"), 0))
+        return t2.replace_schema_metadata(None)
+
+    return out.map_batches(project, batch_format="pyarrow").sort("doc_id")
+
+
+def _pii_sql() -> str:
+    from osm_merge_ray.text.redact import PII_PATTERNS
+
+    aug = ("text"
+           " || CASE WHEN doc_id % 7 = 0 THEN ' contact u' || doc_id"
+           " || '@example.com' ELSE '' END"
+           " || CASE WHEN doc_id % 11 = 0 THEN ' call 303-555-'"
+           " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+           " || CASE WHEN doc_id % 13 = 0 THEN ' host 10.0.'"
+           " || (doc_id % 256) || '.' || (doc_id % 254 + 1) ELSE '' END"
+           " || CASE WHEN doc_id % 17 = 0 THEN ' card 4111 1111 1111 1111'"
+           " ELSE '' END"
+           " || CASE WHEN doc_id % 19 = 0 THEN ' ssn 123-45-6789'"
+           " ELSE '' END")
+    ctes = [f"aug AS (SELECT doc_id, {aug} AS t FROM documents)"]
+    prev = "aug"
+    for idx, (name, pat, tok) in enumerate(PII_PATTERNS):
+        p = pat.replace("'", "''")
+        ctes.append(
+            f"r{idx} AS (SELECT * EXCLUDE (t),"
+            f" CAST(len(regexp_extract_all(t, '{p}')) AS BIGINT)"
+            f" AS n_{name}, regexp_replace(t, '{p}', '{tok}', 'g') AS t"
+            f" FROM {prev})"
+        )
+        prev = f"r{idx}"
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT doc_id, n_email, n_ssn, n_card, n_ip, n_phone,\n"
+        f"       {total} AS n_pii, CAST(length(t) AS BIGINT) AS red_len\n"
+        f"FROM {prev} WHERE {total} > 0 ORDER BY doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4102,6 +4186,7 @@ QUERIES = {
     "events_late_data": events_late_data_q,
     "events_distinct_sketch": events_distinct_sketch_q,
     "events_retention": events_retention_q,
+    "text_pii_redact": text_pii_redact_q,
 }
 
 ORACLE_SQL = {
@@ -4186,3 +4271,4 @@ def _bpe_sql() -> str:
 
 
 ORACLE_SQL["text_token_count_bpe"] = _bpe_sql()
+ORACLE_SQL["text_pii_redact"] = _pii_sql()

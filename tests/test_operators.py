@@ -784,3 +784,33 @@ def test_audio_fingerprint_neardup(ray_session):
     assert {(s, 200 + s) for s in (0, 5)} <= got
     # distinct-seed signals never pair
     assert not any(a < 100 and b < 100 for a, b in got)
+
+
+def test_pii_redact(ray_session):
+    """r4: PII redaction — every category redacts to its token with an
+    accurate count, the known near-miss edges stay untouched, pattern
+    ORDER prevents double-reporting (card is not two phones), and null
+    text is tolerated."""
+    from osm_merge_ray.text.redact import redact_pii
+
+    texts = [
+        "mail john.doe+spam@example.co.uk, card 4111 1111 1111 1111, "
+        "ssn 123-45-6789",
+        "call +1 (303) 555-0188 or 303.555.0199 or 3035550199 now",
+        "server at 192.168.1.254 and 10.0.0.7; fake 999.999.1.1",
+        "order 12345550199 should NOT redact; 555-0199 too short",
+        None,
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                                 "text": pa.array(texts, pa.string())}))
+    out = redact_pii(ds).sort("doc_id").to_pandas()
+    assert out["text"][0] == "mail <EMAIL>, card <CARD>, ssn <SSN>"
+    assert out["text"][1] == "call <PHONE> or <PHONE> or <PHONE> now"
+    assert out["text"][2] == "server at <IP> and <IP>; fake 999.999.1.1"
+    assert out["text"][3] == texts[3]  # near-misses untouched
+    assert out["text"][4] == ""
+    assert out["n_pii"].tolist() == [3, 3, 2, 0, 0]
+    # order semantics: the card was consumed by <CARD>, not two phones
+    assert out["n_card"][0] == 1 and out["n_phone"][0] == 0
+    assert out[["n_email", "n_ssn", "n_ip"]].to_numpy().sum(axis=0).tolist() \
+        == [1, 1, 2]
