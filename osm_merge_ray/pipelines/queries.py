@@ -1645,6 +1645,69 @@ WHERE bit_count(xor(a.h, b.h)) <= {_PHD_RADIUS}
 SQL_PHASH_HAMMING = _sql_phash_hamming()
 
 
+def image_dedup_clusters_q(sf_dir: str):
+    """End-to-end IMAGE dedup: banded pHash Hamming pairs → connected
+    components → keep the highest-resolution member per cluster — the
+    image-modality mirror of dedup_representatives (text jaccard).
+    Quality is a parametric megapixel proxy derived from the image id
+    by exact integer arithmetic so the SQL twin replays it literally."""
+    import ray.data as rd
+
+    from osm_merge_ray.dedup.cluster import (cluster_representatives,
+                                             connected_components)
+    from osm_merge_ray.dedup.simhash import fingerprint_band_pairs
+
+    fix = _phash_fixture()
+    pairs = fingerprint_band_pairs(rd.from_arrow(fix), id_column="image_id",
+                                   fp_column="phash",
+                                   max_hamming=_PHD_RADIUS, n_bits=_PHD_BITS)
+    clusters = connected_components(pairs, rd.from_arrow(fix.select(["image_id"])),
+                                    node_column="image_id")
+    ids = fix.column("image_id").to_numpy()
+    quality = rd.from_arrow(pa.table({
+        "image_id": fix.column("image_id"),
+        "n_pixels": pa.array(64 + (ids * 40503) % 4096, pa.int64()),
+    }))
+    return cluster_representatives(clusters, quality, node_column="image_id",
+                                   quality_column="n_pixels")
+
+
+def _sql_image_clusters() -> str:
+    partners = " ".join(
+        f"UNION ALL SELECT 10000 + i FROM range({_PHD_N}) t(i) WHERE i % 4 = {c}"
+        for c in _PHD_MASKS)
+    return f"""
+WITH RECURSIVE imgs AS (
+  SELECT i AS image_id FROM range({_PHD_N}) t(i)
+  {partners}
+), prs AS (
+  SELECT id_a, id_b FROM ({SQL_PHASH_HAMMING})
+), und AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM prs
+), reach(v, l) AS (
+  SELECT image_id, image_id FROM imgs
+  UNION
+  SELECT u.dst, reach.l FROM reach JOIN und u ON u.src = reach.v
+), clusters AS (
+  SELECT v AS image_id, CAST(min(l) AS BIGINT) AS cluster_id
+  FROM reach GROUP BY v
+), q AS (
+  SELECT image_id, CAST(64 + (image_id * 40503) % 4096 AS BIGINT) AS n_pixels
+  FROM imgs
+), j AS (
+  SELECT c.cluster_id, c.image_id, q.n_pixels,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.n_pixels DESC, c.image_id) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+  FROM clusters c JOIN q ON q.image_id = c.image_id
+)
+SELECT cluster_id, image_id AS rep_id, n_pixels AS rep_n_pixels,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM j WHERE rn = 1
+"""
+
+
 EMBED_EXACT_MAX_ROWS = 200_000
 
 
@@ -4187,6 +4250,7 @@ QUERIES = {
     "events_distinct_sketch": events_distinct_sketch_q,
     "events_retention": events_retention_q,
     "text_pii_redact": text_pii_redact_q,
+    "image_dedup_clusters": image_dedup_clusters_q,
 }
 
 ORACLE_SQL = {
@@ -4272,3 +4336,4 @@ def _bpe_sql() -> str:
 
 ORACLE_SQL["text_token_count_bpe"] = _bpe_sql()
 ORACLE_SQL["text_pii_redact"] = _pii_sql()
+ORACLE_SQL["image_dedup_clusters"] = _sql_image_clusters()
