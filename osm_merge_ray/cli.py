@@ -465,6 +465,24 @@ def cmd_redact(args) -> int:
     return 0
 
 
+def cmd_lm_score(args) -> int:
+    """Corpus-trained bigram LM quality scores (text/lm_score.py):
+    per-doc Q20 conditional-frequency score — a perplexity-style
+    curation signal in exact integer arithmetic."""
+    _ray()
+    import ray.data as rd
+
+    from osm_merge_ray.text.lm_score import bigram_lm_scores
+
+    ds = rd.read_parquet(args.infile,
+                         columns=[args.id_column, args.text_column])
+    out = bigram_lm_scores(ds, text_column=args.text_column,
+                           id_column=args.id_column)
+    out.write_parquet(args.outdir)
+    print(f"wrote bigram LM scores to {args.outdir}")
+    return 0
+
+
 def cmd_poly(args) -> int:
     from osm_merge_ray.sources.poly import write_poly
 
@@ -593,6 +611,13 @@ def main(argv=None) -> int:
     c.add_argument("--text-column", default="text")
     c.add_argument("--max-len", type=int, default=2048)
     c.set_defaults(fn=cmd_pack)
+
+    c = sub.add_parser("lm-score", help="bigram LM quality scores (Q20 integer perplexity signal)")
+    c.add_argument("-i", "--infile", required=True)
+    c.add_argument("-o", "--outdir", required=True)
+    c.add_argument("--id-column", default="doc_id")
+    c.add_argument("--text-column", default="text")
+    c.set_defaults(fn=cmd_lm_score)
 
     c = sub.add_parser("redact", help="PII redaction (email/ssn/card/ip/phone -> tokens + counts)")
     c.add_argument("-i", "--infile", required=True)

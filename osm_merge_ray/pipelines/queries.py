@@ -4078,6 +4078,43 @@ FROM range(300) t(i) GROUP BY 1
 """
 
 
+def text_lm_score_q(sf_dir: str):
+    """Count-based bigram LM quality score (CCNet/KenLM-style signal
+    in exact integer arithmetic — text/lm_score.py): corpus-trained
+    conditional bigram frequencies, Q20-quantized, summed per doc.
+    Low avg_q20 = atypical/gibberish text, no float log anywhere."""
+    from osm_merge_ray.text.lm_score import bigram_lm_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bigram_lm_scores(ds).sort("doc_id")
+
+
+SQL_LM_SCORE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i + 1] AS b
+  FROM tok, unnest(generate_series(1, len(ws) - 1)) t(i)
+), db AS (
+  SELECT doc_id, w1, b, CAST(count(*) AS BIGINT) AS k
+  FROM bg GROUP BY 1, 2, 3
+), c2 AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS n2 FROM bg GROUP BY b
+), c1 AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS n1 FROM bg GROUP BY w1
+), s AS (
+  SELECT db.doc_id,
+         CAST(sum(db.k * ((1048576 * c2.n2) // c1.n1)) AS BIGINT) AS lm_score,
+         CAST(sum(db.k) AS BIGINT) AS n_bigrams
+  FROM db JOIN c2 ON db.b = c2.b JOIN c1 ON db.w1 = c1.w1
+  GROUP BY db.doc_id
+)
+SELECT doc_id, n_bigrams, lm_score,
+       CAST(lm_score // n_bigrams AS BIGINT) AS avg_q20
+FROM s ORDER BY doc_id
+"""
+
+
 def text_pii_redact_q(sf_dir: str):
     """PII redaction report: plant deterministic PII (email / phone /
     IP / card / SSN snippets keyed on doc_id residues — replayed
@@ -4251,6 +4288,7 @@ QUERIES = {
     "events_retention": events_retention_q,
     "text_pii_redact": text_pii_redact_q,
     "image_dedup_clusters": image_dedup_clusters_q,
+    "text_lm_score": text_lm_score_q,
 }
 
 ORACLE_SQL = {
@@ -4337,3 +4375,4 @@ def _bpe_sql() -> str:
 ORACLE_SQL["text_token_count_bpe"] = _bpe_sql()
 ORACLE_SQL["text_pii_redact"] = _pii_sql()
 ORACLE_SQL["image_dedup_clusters"] = _sql_image_clusters()
+ORACLE_SQL["text_lm_score"] = SQL_LM_SCORE

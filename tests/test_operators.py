@@ -814,3 +814,24 @@ def test_pii_redact(ray_session):
     assert out["n_card"][0] == 1 and out["n_phone"][0] == 0
     assert out[["n_email", "n_ssn", "n_ip"]].to_numpy().sum(axis=0).tolist() \
         == [1, 1, 2]
+
+
+def test_bigram_lm_score(ray_session):
+    """r4: bigram LM quality score — hand-computed MLE conditionals.
+    Corpus: 'a b a b' + 'a b c' -> c(a b)=3, c(b a)=1, c(b c)=1,
+    prefix counts c(a .)=3, c(b .)=2. Q = 2^20."""
+    from osm_merge_ray.text.lm_score import Q_SCALE, bigram_lm_scores
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["a b a b", "a b c", "solo"],
+    }))
+    out = bigram_lm_scores(ds).sort("doc_id").to_pandas()
+    # doc 3 has no bigram -> absent (perplexity undefined)
+    assert out["doc_id"].tolist() == [1, 2]
+    # doc1: 2*floor(Q*3/3) + 1*floor(Q*1/2); doc2: floor(Q*3/3)+floor(Q*1/2)
+    assert out["lm_score"].tolist() == [2 * Q_SCALE + Q_SCALE // 2,
+                                        Q_SCALE + Q_SCALE // 2]
+    assert out["n_bigrams"].tolist() == [3, 2]
+    assert out["avg_q20"].tolist() == [(2 * Q_SCALE + Q_SCALE // 2) // 3,
+                                       (Q_SCALE + Q_SCALE // 2) // 2]
