@@ -49,9 +49,11 @@ def _bench_queries():
         "dedup_winnow", "dedup_semantic", "dedup_representatives",
         "text_pack_sequences",
         # r4 additions: banded image-phash near-dup, inverted index,
-        # multimodal orphan check
+        # multimodal orphan check, RE2 PII redaction, bigram LM score,
+        # image pairs→CC→keep-one composition
         "dedup_phash_hamming", "text_inverted_index",
-        "multimodal_integrity",
+        "multimodal_integrity", "text_pii_redact", "text_lm_score",
+        "image_dedup_clusters",
     ]
     return [(n, lambda n=n: consume(Q.QUERIES[n](SF_DIR))) for n in names]
 

@@ -76,18 +76,30 @@ def bigram_lm_scores(ds, text_column: str = "text",
         lambda t: _doc_bigrams(t, text_column, id_column),
         batch_format="pyarrow")
 
-    def count_as(col: str, out: str):
-        def red(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby(col, sort=False)["k"].sum().rename(out)
-            return g.reset_index()
-        return red
+    def bigram_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("b", sort=False)
+             .agg(w1=("w1", "first"), n2=("k", "sum")).reset_index())
+        g["n2"] = g["n2"].astype(np.int64)
+        return g
 
-    c2 = grouped_reduce(src.select_columns(["b", "k"]), ["b"],
-                        count_as("b", "n2"), num_buckets=num_buckets)
-    c1 = grouped_reduce(src.select_columns(["w1", "k"]), ["w1"],
-                        count_as("w1", "n1"), num_buckets=num_buckets)
+    def prefix_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("w1", sort=False)["n2"].sum().rename("n1")
+        return g.reset_index()
 
-    j = bucketed_hash_join(src, c2, key="b", num_buckets=num_buckets)
+    # ONE count table from the exploded rows; the prefix table is its
+    # per-first-word rollup (c(w1 ·) = Σ_b c2(b)), so the corpus is
+    # exploded for the join and the counts — twice, not three times.
+    # The count table (distinct bigrams, k collapsed) is the light
+    # projection worth materializing: both derived consumers (c1, the
+    # join) would otherwise replay the full explode chain under
+    # lineage.
+    c2 = grouped_reduce(src.select_columns(["w1", "b", "k"]), ["b"],
+                        bigram_counts, num_buckets=num_buckets).materialize()
+    c1 = grouped_reduce(c2.select_columns(["w1", "n2"]), ["w1"],
+                        prefix_counts, num_buckets=num_buckets)
+
+    j = bucketed_hash_join(src, c2.select_columns(["b", "n2"]), key="b",
+                           num_buckets=num_buckets)
     j = bucketed_hash_join(j.select_columns([id_column, "w1", "k", "n2"]),
                            c1, key="w1", num_buckets=num_buckets)
 
