@@ -4115,6 +4115,35 @@ FROM s ORDER BY doc_id
 """
 
 
+def source_mixture_plan_q(sf_dir: str, budget: int = 1_000_000):
+    """Mixture planning (text/mixture.py): per-source token budgets +
+    Q20 epoch factors under parametric weights (1 + suffix % 4, so the
+    SQL twin derives the same weight from the source name)."""
+    from osm_merge_ray.text.mixture import mixture_plan
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    srcs = [f"src{i}" for i in range(10_000)]
+    weights = {s: 1 + int(s[3:]) % 4 for s in srcs}
+    return mixture_plan(ds, token_budget=budget, weights=weights)
+
+
+SQL_MIXTURE_PLAN = """
+WITH r AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(1 + CAST(substr(source, 4) AS BIGINT) % 4 AS BIGINT) AS weight
+  FROM documents GROUP BY source
+), t AS (
+  SELECT *, CAST((1000000 * weight)
+                 // (sum(weight) OVER ()) AS BIGINT) AS target_tokens
+  FROM r
+)
+SELECT source, n_docs, n_tokens, weight, target_tokens,
+       CAST((1048576 * target_tokens) // n_tokens AS BIGINT) AS epochs_q20
+FROM t ORDER BY source
+"""
+
+
 def text_pii_redact_q(sf_dir: str):
     """PII redaction report: plant deterministic PII (email / phone /
     IP / card / SSN snippets keyed on doc_id residues — replayed
@@ -4289,6 +4318,7 @@ QUERIES = {
     "text_pii_redact": text_pii_redact_q,
     "image_dedup_clusters": image_dedup_clusters_q,
     "text_lm_score": text_lm_score_q,
+    "source_mixture_plan": source_mixture_plan_q,
 }
 
 ORACLE_SQL = {
@@ -4376,3 +4406,4 @@ ORACLE_SQL["text_token_count_bpe"] = _bpe_sql()
 ORACLE_SQL["text_pii_redact"] = _pii_sql()
 ORACLE_SQL["image_dedup_clusters"] = _sql_image_clusters()
 ORACLE_SQL["text_lm_score"] = SQL_LM_SCORE
+ORACLE_SQL["source_mixture_plan"] = SQL_MIXTURE_PLAN

@@ -835,3 +835,24 @@ def test_bigram_lm_score(ray_session):
     assert out["n_bigrams"].tolist() == [3, 2]
     assert out["avg_q20"].tolist() == [(2 * Q_SCALE + Q_SCALE // 2) // 3,
                                        (Q_SCALE + Q_SCALE // 2) // 2]
+
+
+def test_mixture_plan(ray_session):
+    """r4: mixture planner — hand-computed budgets. web: 10 tokens
+    weight 1, wiki: 4 tokens weight 3 => W=4, budget 100:
+    web target 25 (epochs 2.5 Q20), wiki target 75 (epochs 18.75)."""
+    from osm_merge_ray.text.mixture import Q20, mixture_plan
+
+    ds = rd.from_arrow(pa.table({
+        "source": ["web", "web", "wiki"],
+        "text": ["a b c d e", "f g h i j", "x y z w"],
+    }))
+    out = mixture_plan(ds, token_budget=100, weights={"wiki": 3})
+    assert out["source"].tolist() == ["web", "wiki"]
+    assert out["n_docs"].tolist() == [2, 1]
+    assert out["n_tokens"].tolist() == [10, 4]
+    assert out["weight"].tolist() == [1, 3]
+    assert out["target_tokens"].tolist() == [25, 75]
+    # upsampling: wiki must repeat 18.75x; web subsamples at 2.5x
+    assert out["epochs_q20"].tolist() == [(Q20 * 25) // 10, (Q20 * 75) // 4]
+    assert out["epochs_q20"][1] > Q20 > 0
