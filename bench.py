@@ -86,9 +86,16 @@ def run_bench() -> dict:
         d = f"{data_dir}/{side}"
         if not os.path.isdir(d) or not os.listdir(d):
             os.makedirs(d, exist_ok=True)
-            # 64 files → 64 fused read+decode tasks in the timed run
+            # 128 files → 128 fused read+decode tasks in the timed run.
+            # The explicit repartition matters: Ray bundles small
+            # generator blocks into fewer write tasks (64 requested
+            # blocks previously landed as 33 files), and 33 coarse
+            # decode tasks over 32 CPUs leave a full-task straggler
+            # tail (~1.1 s of the old 7.2 s wall). 128 is fixed so the
+            # physical layout stays independent of CPU count (the
+            # --scaling invariant).
             synth_dataset(n_side, side, with_bytes=True,
-                          parallelism=64).write_parquet(d)
+                          parallelism=128).repartition(128).write_parquet(d)
     # warm the page cache + prestart workers so the timed run measures
     # compute+shuffle, not first-touch disk reads or process spawning
     import ray.data as _rd
