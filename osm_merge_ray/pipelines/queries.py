@@ -4236,10 +4236,12 @@ def _pii_sql() -> str:
 # hashes only the FIRST 50 entries per round, so the 19 queries that
 # had never received a green driver row by r3 (the conflate trio, the
 # four multimodal parametric twins, text_token_count_bpe, and the r3
-# additions) are registered first; the remainder — all driver-verified
-# green in CORRECTNESS_r03.json — follow in their original order, and
-# the 19 that age past the cap stay covered by the dtype-strict local
-# replica (tools/check_oracle.py) and pytest.
+# additions) are registered first, then the four NEW r4 operators
+# (PII redact, image dedup clusters, bigram LM score, mixture plan);
+# the remainder — all driver-verified green in CORRECTNESS_r03.json —
+# follow in their original order, and the ones that age past the cap
+# stay covered by the dtype-strict local replica
+# (tools/check_oracle.py) and pytest.
 QUERIES = {
     # --- never driver-verified before r4 (front-loaded) ---
     "dedup_phash_hamming": dedup_phash_hamming_q,
@@ -4264,6 +4266,11 @@ QUERIES = {
     "text_top_ngrams": text_top_ngrams_q,
     "events_running_index": events_running_index,
     "events_sessionize": events_sessionize,
+    # --- r4 additions (new this round, never driver-hashed) ---
+    "text_pii_redact": text_pii_redact_q,
+    "image_dedup_clusters": image_dedup_clusters_q,
+    "text_lm_score": text_lm_score_q,
+    "source_mixture_plan": source_mixture_plan_q,
     # --- driver-green in CORRECTNESS_r03.json ---
     "spatial_cell_index": spatial_cell_index,
     "spatial_distance_join": spatial_distance_join,
@@ -4315,10 +4322,6 @@ QUERIES = {
     "events_late_data": events_late_data_q,
     "events_distinct_sketch": events_distinct_sketch_q,
     "events_retention": events_retention_q,
-    "text_pii_redact": text_pii_redact_q,
-    "image_dedup_clusters": image_dedup_clusters_q,
-    "text_lm_score": text_lm_score_q,
-    "source_mixture_plan": source_mixture_plan_q,
 }
 
 ORACLE_SQL = {
