@@ -465,6 +465,19 @@ def cmd_redact(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Per-column table profile (profile.py): counts, null counts,
+    type-aware exact min/max from per-batch partials."""
+    _ray()
+    import ray.data as rd
+
+    from osm_merge_ray.profile import profile_table
+
+    df = profile_table(rd.read_parquet(args.infile)).to_pandas()
+    print(df.to_string(index=False))
+    return 0
+
+
 def cmd_lm_score(args) -> int:
     """Corpus-trained bigram LM quality scores (text/lm_score.py):
     per-doc Q20 conditional-frequency score — a perplexity-style
@@ -611,6 +624,10 @@ def main(argv=None) -> int:
     c.add_argument("--text-column", default="text")
     c.add_argument("--max-len", type=int, default=2048)
     c.set_defaults(fn=cmd_pack)
+
+    c = sub.add_parser("profile", help="per-column table profile (describe)")
+    c.add_argument("-i", "--infile", required=True)
+    c.set_defaults(fn=cmd_profile)
 
     c = sub.add_parser("lm-score", help="bigram LM quality scores (Q20 integer perplexity signal)")
     c.add_argument("-i", "--infile", required=True)

@@ -4115,6 +4115,47 @@ FROM s ORDER BY doc_id
 """
 
 
+def table_profile_q(sf_dir: str):
+    """Distributed per-column profiling (profile.py) over orders —
+    the engine's "describe": counts + type-aware exact min/max from
+    fixed-size per-batch partials."""
+    from osm_merge_ray.profile import profile_table
+
+    return profile_table(_read(sf_dir, "orders"))
+
+
+def _profile_sql() -> str:
+    cols = [("o_custkey", "int64"), ("o_orderdate", "timestamp"),
+            ("o_orderkey", "int64"), ("o_orderpriority", "string"),
+            ("o_orderstatus", "string"), ("o_totalprice", "double")]
+    parts = []
+    # -1 sentinel for not-applicable measures (see profile.py: nullable
+    # ints do not survive a dtype-strict hash)
+    for c, kind in cols:
+        mi = ma = "CAST(-1 AS BIGINT)"
+        mf = xf = "CAST(-1.0 AS DOUBLE)"
+        ml = xl = "CAST(-1 AS BIGINT)"
+        if kind == "int64":
+            mi = f"CAST(coalesce(min({c}), -1) AS BIGINT)"
+            ma = f"CAST(coalesce(max({c}), -1) AS BIGINT)"
+        elif kind == "timestamp":
+            mi = f"CAST(coalesce(epoch_us(min({c})), -1) AS BIGINT)"
+            ma = f"CAST(coalesce(epoch_us(max({c})), -1) AS BIGINT)"
+        elif kind == "double":
+            mf = f"coalesce(min({c}), -1.0)"
+            xf = f"coalesce(max({c}), -1.0)"
+        elif kind == "string":
+            ml = f"CAST(coalesce(min(length({c})), -1) AS BIGINT)"
+            xl = f"CAST(coalesce(max(length({c})), -1) AS BIGINT)"
+        parts.append(
+            f"SELECT '{c}' AS \"column\", '{kind}' AS dtype,"
+            f" CAST(count(*) AS BIGINT) AS n,"
+            f" CAST(count(*) - count({c}) AS BIGINT) AS n_null,"
+            f" {mi} AS min_i, {ma} AS max_i, {mf} AS min_f, {xf} AS max_f,"
+            f" {ml} AS min_len, {xl} AS max_len FROM orders")
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
 def source_mixture_plan_q(sf_dir: str, budget: int = 1_000_000):
     """Mixture planning (text/mixture.py): per-source token budgets +
     Q20 epoch factors under parametric weights (1 + suffix % 4, so the
@@ -4271,6 +4312,7 @@ QUERIES = {
     "image_dedup_clusters": image_dedup_clusters_q,
     "text_lm_score": text_lm_score_q,
     "source_mixture_plan": source_mixture_plan_q,
+    "table_profile": table_profile_q,
     # --- driver-green in CORRECTNESS_r03.json ---
     "spatial_cell_index": spatial_cell_index,
     "spatial_distance_join": spatial_distance_join,
@@ -4410,3 +4452,4 @@ ORACLE_SQL["text_pii_redact"] = _pii_sql()
 ORACLE_SQL["image_dedup_clusters"] = _sql_image_clusters()
 ORACLE_SQL["text_lm_score"] = SQL_LM_SCORE
 ORACLE_SQL["source_mixture_plan"] = SQL_MIXTURE_PLAN
+ORACLE_SQL["table_profile"] = _profile_sql()

@@ -1,0 +1,105 @@
+"""Distributed table profiling: one stats row per column.
+
+The data-engine "describe" surface: row/null counts plus type-aware
+min/max for every column, computed as fixed-size per-batch partials
+(one row per column per batch — transfer independent of row count)
+merged by a small grouped reduction. Numeric/timestamp min-max are
+comparison-based, so the values are exact and dtype-strict against the
+SQL twin; timestamps are reported as epoch microseconds (int64) to
+keep the compared projection integer.
+
+Output schema (a measure that does not apply to the column's type is
+the sentinel -1 / -1.0 rather than NULL — nullable-int columns do not
+survive a dtype-strict hash compare, and the dtype column makes the
+sentinel unambiguous):
+    column:str, dtype:str, n:int64, n_null:int64,
+    min_i:int64, max_i:int64,          -- int64 + timestamp columns
+    min_f:double, max_f:double,        -- float columns
+    min_len:int64, max_len:int64       -- string columns (codepoints)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MEASURES = ["n", "n_null", "min_i", "max_i", "min_f", "max_f",
+             "min_len", "max_len"]
+
+
+def _dtype_name(t: pa.DataType) -> str:
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_floating(t):
+        return "double"
+    if pa.types.is_integer(t):
+        return "int64"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    return str(t)
+
+
+def _partial(t: pa.Table) -> pa.Table:
+    rows = []
+    for name in t.column_names:
+        col = t.column(name)
+        kind = _dtype_name(col.type)
+        r = {"column": name, "dtype": kind,
+             "n": len(col), "n_null": col.null_count,
+             "min_i": None, "max_i": None, "min_f": None, "max_f": None,
+             "min_len": None, "max_len": None}
+        valid = len(col) - col.null_count
+        if valid:
+            if kind == "int64":
+                mm = pc.min_max(col)
+                r["min_i"], r["max_i"] = mm["min"].as_py(), mm["max"].as_py()
+            elif kind == "timestamp":
+                mm = pc.min_max(col.cast(pa.int64()))
+                r["min_i"], r["max_i"] = mm["min"].as_py(), mm["max"].as_py()
+            elif kind == "double":
+                mm = pc.min_max(col)
+                r["min_f"], r["max_f"] = mm["min"].as_py(), mm["max"].as_py()
+            elif kind == "string":
+                ln = pc.utf8_length(col)
+                mm = pc.min_max(ln)
+                r["min_len"], r["max_len"] = (mm["min"].as_py(),
+                                              mm["max"].as_py())
+        rows.append(r)
+    return pa.Table.from_pylist(rows, schema=_partial_schema())
+
+
+def _partial_schema() -> pa.Schema:
+    return pa.schema([("column", pa.string()), ("dtype", pa.string()),
+                      ("n", pa.int64()), ("n_null", pa.int64()),
+                      ("min_i", pa.int64()), ("max_i", pa.int64()),
+                      ("min_f", pa.float64()), ("max_f", pa.float64()),
+                      ("min_len", pa.int64()), ("max_len", pa.int64())])
+
+
+def profile_table(ds, num_buckets: int = 8):
+    """Dataset -> Dataset of one profile row per column, sorted by
+    column name downstream of a tiny grouped combine."""
+    from osm_merge_ray.ops import grouped_reduce
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("column", sort=False)
+        out = g.agg(dtype=("dtype", "first"),
+                    n=("n", "sum"), n_null=("n_null", "sum"),
+                    min_i=("min_i", "min"), max_i=("max_i", "max"),
+                    min_f=("min_f", "min"), max_f=("max_f", "max"),
+                    min_len=("min_len", "min"),
+                    max_len=("max_len", "max")).reset_index()
+        for c in ("n", "n_null"):
+            out[c] = out[c].astype(np.int64)
+        for c in ("min_i", "max_i", "min_len", "max_len"):
+            out[c] = out[c].fillna(-1).astype(np.int64)
+        for c in ("min_f", "max_f"):
+            out[c] = out[c].fillna(-1.0).astype(np.float64)
+        return out
+
+    return grouped_reduce(partials, ["column"], combine,
+                          num_buckets=num_buckets).sort("column")

@@ -856,3 +856,27 @@ def test_mixture_plan(ray_session):
     # upsampling: wiki must repeat 18.75x; web subsamples at 2.5x
     assert out["epochs_q20"].tolist() == [(Q20 * 25) // 10, (Q20 * 75) // 4]
     assert out["epochs_q20"][1] > Q20 > 0
+
+
+def test_table_profile(ray_session):
+    """r4: distributed per-column profiling — counts, null counts,
+    type-aware min/max, -1 sentinels for non-applicable measures and
+    for an ALL-null column."""
+    from osm_merge_ray.profile import profile_table
+
+    t = pa.table({
+        "i": pa.array([5, None, 2, 9], pa.int64()),
+        "s": pa.array(["ab", "", None, "wxyz"], pa.string()),
+        "f": pa.array([1.5, -2.0, None, 0.0], pa.float64()),
+        "dead": pa.array([None] * 4, pa.int64()),
+    })
+    out = profile_table(rd.from_arrow(t)).to_pandas().set_index("column")
+    assert out.loc["i", ["n", "n_null", "min_i", "max_i"]].tolist() == \
+        [4, 1, 2, 9]
+    assert out.loc["s", ["n_null", "min_len", "max_len"]].tolist() == \
+        [1, 0, 4]
+    assert out.loc["f", ["min_f", "max_f"]].tolist() == [-2.0, 1.5]
+    assert out.loc["f", "min_i"] == -1  # sentinel: not applicable
+    assert out.loc["dead", ["n", "n_null", "min_i", "max_i"]].tolist() == \
+        [4, 4, -1, -1]  # sentinel: all-null
+    assert out.loc["i", ["min_f", "min_len"]].tolist() == [-1.0, -1]
