@@ -86,16 +86,18 @@ def run_bench() -> dict:
         d = f"{data_dir}/{side}"
         if not os.path.isdir(d) or not os.listdir(d):
             os.makedirs(d, exist_ok=True)
-            # 128 files → 128 fused read+decode tasks in the timed run.
-            # The explicit repartition matters: Ray bundles small
-            # generator blocks into fewer write tasks (64 requested
-            # blocks previously landed as 33 files), and 33 coarse
-            # decode tasks over 32 CPUs leave a full-task straggler
-            # tail (~1.1 s of the old 7.2 s wall). 128 is fixed so the
-            # physical layout stays independent of CPU count (the
-            # --scaling invariant).
+            # 64 requested blocks land as ~33 written files (Ray
+            # bundles small generator blocks into write tasks) → 33
+            # coarse fused read+decode tasks. Measured A/B against an
+            # explicit 128-file repartition: the finer layout wins the
+            # decode stage in isolation (no straggler tail) but LOSES
+            # the full flagship by ~1-2 s — every downstream exchange
+            # (light-projection materialize, salt-plan scan, sort) pays
+            # a fixed per-block cost on 2x the blocks. Keep the coarse
+            # layout; it is also CPU-count-independent (--scaling
+            # invariant).
             synth_dataset(n_side, side, with_bytes=True,
-                          parallelism=128).repartition(128).write_parquet(d)
+                          parallelism=64).write_parquet(d)
     # warm the page cache + prestart workers so the timed run measures
     # compute+shuffle, not first-touch disk reads or process spawning
     import ray.data as _rd
