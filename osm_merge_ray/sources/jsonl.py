@@ -1,0 +1,70 @@
+"""JSON-Lines corpus source/sink — the interchange format training
+corpora actually arrive in (one JSON object per line: Common-Crawl
+derivatives, HF dataset exports, eval sets).
+
+Reader shape: Ray's native ``read_json`` handles the line-delimited
+layout with one task per file and pushes column pruning into the Arrow
+JSON parser; this wrapper only normalizes the result to the engine's
+documents contract (``doc_id:int64, text:string`` + passthrough
+columns). Rows without a usable id get a deterministic one derived
+from the text content (splitmix64 of the poly41 fold — stable across
+re-reads and re-partitioning, no RNG state), so downstream dedup /
+join stages always have an int64 key.
+
+Writer: ``ds.write_json`` — one shard per block, resumable layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _derive_ids(texts: list[str]) -> np.ndarray:
+    from osm_merge_ray.util import hash64_str, splitmix64
+
+    return splitmix64(hash64_str(texts)).astype(np.int64) >> np.int64(1)
+
+
+def read_jsonl(paths, text_column: str = "text",
+               id_column: str = "doc_id"):
+    """Read a JSONL corpus into the documents contract.
+
+    ``text_column`` names the field holding the document body (renamed
+    to ``text``); ``id_column`` the int64 id field (renamed to
+    ``doc_id``; derived from content when absent). All other fields
+    pass through unchanged."""
+    import ray.data as rd
+
+    ds = rd.read_json(paths)
+
+    def norm(t: pa.Table) -> pa.Table:
+        names = list(t.column_names)
+        if text_column not in names:
+            raise ValueError(
+                f"JSONL rows lack the text field {text_column!r}; "
+                f"got fields {names}")
+        if text_column != "text":
+            t = t.rename_columns(
+                ["text" if n == text_column else n for n in names])
+        names = list(t.column_names)
+        txt = pc.fill_null(t.column("text"), "").cast(pa.string())
+        t = t.set_column(names.index("text"), "text", txt)
+        if id_column in names and id_column != "doc_id":
+            t = t.rename_columns(
+                ["doc_id" if n == id_column else n for n in t.column_names])
+        if "doc_id" in t.column_names:
+            t = t.set_column(t.column_names.index("doc_id"), "doc_id",
+                             t.column("doc_id").cast(pa.int64()))
+        else:
+            ids = _derive_ids(txt.to_pylist())
+            t = t.append_column("doc_id", pa.array(ids, pa.int64()))
+        return t
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def write_jsonl(ds, path: str) -> None:
+    """Partitioned JSONL out: one ``.json`` shard per block."""
+    ds.write_json(path)

@@ -37,3 +37,44 @@ def test_geojson_to_poly():
     assert lines[0] == "aoi" and lines[1] == "1"
     assert lines[-1] == "END" and lines[-2] == "END"
     assert "-1.060000E+02" in lines[2]
+
+
+def test_jsonl_roundtrip(ray_session, tmp_path):
+    """r4: JSONL corpus source — field renames, content-derived ids for
+    id-less rows, passthrough columns, write/read roundtrip."""
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from osm_merge_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    p = tmp_path / "corpus.jsonl"
+    rows = [{"content": "alpha beta", "src": "web"},
+            {"content": "gamma", "src": "wiki"},
+            {"content": "alpha beta", "src": "web2"}]
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    ds = read_jsonl(str(p), text_column="content")
+    df = ds.to_pandas()
+    assert set(df.columns) >= {"doc_id", "text", "src"}
+    assert df["text"].tolist() == ["alpha beta", "gamma", "alpha beta"]
+    assert df["doc_id"].dtype == "int64" and (df["doc_id"] >= 0).all()
+    # content-derived ids: equal text -> equal id, stable across reads
+    assert df["doc_id"][0] == df["doc_id"][2] != df["doc_id"][1]
+    assert read_jsonl(str(p), text_column="content").to_pandas()[
+        "doc_id"].tolist() == df["doc_id"].tolist()
+
+    # explicit id field is respected and renamed
+    p2 = tmp_path / "with_ids.jsonl"
+    p2.write_text("\n".join(json.dumps({"id": i, "text": t})
+                            for i, t in enumerate(["x", "y"])) + "\n")
+    df2 = read_jsonl(str(p2), id_column="id").to_pandas()
+    assert df2["doc_id"].tolist() == [0, 1]
+
+    out = tmp_path / "out"
+    write_jsonl(rd.from_arrow(pa.table({"doc_id": pa.array([7], pa.int64()),
+                                        "text": ["roundtrip"]})), str(out))
+    back = read_jsonl(f"{out}/").to_pandas()
+    assert back["text"].tolist() == ["roundtrip"]
+    assert back["doc_id"].tolist() == [7]
