@@ -427,7 +427,8 @@ def cmd_curate(args) -> int:
         rd.read_parquet(args.infile, columns=cols),
         rd.read_parquet(args.eval, columns=cols),
         args.outdir, resume=args.resume, max_len=args.max_len,
-        id_column=args.id_column, text_column=args.text_column)
+        id_column=args.id_column, text_column=args.text_column,
+        redact=args.redact)
     print(json.dumps(m))
     return 0
 
@@ -615,6 +616,9 @@ def main(argv=None) -> int:
     c.add_argument("--max-len", type=int, default=2048)
     c.add_argument("--resume", action="store_true",
                    help="skip stages already checkpointed in outdir")
+    c.add_argument("--redact", action="store_true",
+                   help="PII-redact before curating (survivors + plan "
+                        "see redacted text)")
     c.set_defaults(fn=cmd_curate)
 
     c = sub.add_parser("pack", help="sequence-packing plan (token offsets + windows)")

@@ -29,9 +29,12 @@ import pyarrow as pa
 
 def _survivors(train_ds, eval_ds, jaccard_k: int, jaccard_threshold: float,
                decontam_k: int, id_column: str, text_column: str,
-               num_buckets: int):
+               num_buckets: int, redact: bool = False):
     """Stages 1-4 (quality -> near-dup cluster -> representative keep ->
-    decontaminate): the curated (id, text) document set."""
+    decontaminate): the curated (id, text) document set. ``redact``
+    prepends PII redaction (text/redact.py) so every downstream stage —
+    including the packed output — sees tokenized PII, the real-world
+    ordering (redact before the corpus is deduped or published)."""
     import pyarrow.compute as pc
 
     from osm_merge_ray.dedup.cluster import (cluster_representatives,
@@ -40,6 +43,14 @@ def _survivors(train_ds, eval_ds, jaccard_k: int, jaccard_threshold: float,
     from osm_merge_ray.ops import bucketed_hash_join
     from osm_merge_ray.text.analysis import quality_score
     from osm_merge_ray.text.decontaminate import decontaminate
+
+    if redact:
+        from osm_merge_ray.text.redact import redact_pii
+
+        # plain-function stage: fuses with the read; counts dropped,
+        # only the rewritten text flows on
+        train_ds = redact_pii(train_ds, text_column=text_column) \
+            .select_columns([id_column, text_column])
 
     def keep_quality(t: pa.Table) -> pa.Table:
         scored = quality_score(t)
@@ -79,14 +90,17 @@ def _survivors(train_ds, eval_ds, jaccard_k: int, jaccard_threshold: float,
 def curate_corpus(train_ds, eval_ds, max_len: int = 2048,
                   jaccard_k: int = 3, jaccard_threshold: float = 0.2,
                   decontam_k: int = 3, id_column: str = "doc_id",
-                  text_column: str = "text", num_buckets: int = 64):
+                  text_column: str = "text", num_buckets: int = 64,
+                  redact: bool = False):
     """(id, n_tokens, start_tok, win_first, win_last) for every
     document that survives curation; offsets are over the id-ordered
-    concatenation of the survivors only."""
+    concatenation of the survivors only. ``redact=True`` prepends PII
+    redaction, so offsets count the REDACTED token stream."""
     from osm_merge_ray.text.packing import pack_sequences
 
     clean = _survivors(train_ds, eval_ds, jaccard_k, jaccard_threshold,
-                       decontam_k, id_column, text_column, num_buckets)
+                       decontam_k, id_column, text_column, num_buckets,
+                       redact=redact)
     return pack_sequences(clean, max_len=max_len, id_column=id_column,
                           text_column=text_column, num_buckets=num_buckets)
 
@@ -134,7 +148,8 @@ def run_curation_checkpointed(train_ds, eval_ds, out_dir: str,
                               decontam_k: int = 3,
                               id_column: str = "doc_id",
                               text_column: str = "text",
-                              num_buckets: int = 64) -> dict:
+                              num_buckets: int = 64,
+                              redact: bool = False) -> dict:
     """Curation with checkpointing at two granularities (r3 VERDICT #4):
 
     * ``surv_ids`` — the SURVIVOR-ID SET (quality -> near-dup cluster
@@ -183,8 +198,17 @@ def run_curation_checkpointed(train_ds, eval_ds, out_dir: str,
         "id_column": id_column, "text_column": text_column,
         "num_buckets": num_buckets, "train_rows": train_rows,
         "train_sig": train_sig, "eval_rows": eval_rows,
-        "eval_sig": eval_sig,
+        "eval_sig": eval_sig, "redact": redact,
     })
+    if redact:
+        # wrap ONCE, after the content signature (which fingerprints
+        # the RAW input): both the survivor-id derivation and the
+        # per-bucket text re-derivation below must see redacted text,
+        # or the persisted survivors would leak the unredacted PII
+        from osm_merge_ray.text.redact import redact_pii
+
+        train_ds = redact_pii(train_ds, text_column=text_column) \
+            .select_columns([id_column, text_column])
     man = {}
     if os.path.exists(man_path):
         try:

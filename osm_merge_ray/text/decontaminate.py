@@ -130,6 +130,11 @@ def decontaminate(train_ds, eval_ds, k: int = 5, id_column: str = "doc_id",
     # light (id, n_grams, n_shared) rows only — safe to pin once so the
     # count gate and the collect don't re-execute the report
     bad = bad.materialize()
+    if bad.count() == 0:
+        # nothing flagged: a clean corpus passes through untouched
+        # (an empty materialized dataset can drop its column metadata,
+        # so neither removal path below may touch it)
+        return train_ds
     id_kind = None
     try:
         sch = bad.schema()

@@ -880,3 +880,36 @@ def test_table_profile(ray_session):
     assert out.loc["dead", ["n", "n_null", "min_i", "max_i"]].tolist() == \
         [4, 4, -1, -1]  # sentinel: all-null
     assert out.loc["i", ["min_f", "min_len"]].tolist() == [-1.0, -1]
+
+
+def test_curation_redact_stage(ray_session, tmp_path):
+    """r4: redact=True in curation — persisted survivors carry the
+    REDACTED text (both the id stage and the per-bucket text
+    re-derivation see the rewrite), the packing plan counts redacted
+    tokens, and a redact-flag flip on the same outdir refuses."""
+    import pyarrow.parquet as pq
+
+    from osm_merge_ray.pipelines.curation import run_curation_checkpointed
+    from osm_merge_ray.state.checkpoint import read_output
+
+    train = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["good clean words here mail me a@b.co today",
+                 "other normal document words without any pii at all"],
+    }))
+    evals = rd.from_arrow(pa.table({
+        "doc_id": pa.array([900], pa.int64()),
+        "text": ["completely unrelated evaluation content"]}))
+    out = str(tmp_path / "cur")
+    m = run_curation_checkpointed(train, evals, out, num_buckets=4,
+                                  redact=True)
+    assert m["survivors"] == 2
+    surv = read_output(f"{out}/survivors").to_pandas().set_index("doc_id")
+    assert "<EMAIL>" in surv.loc[1, "text"] and "a@b.co" not in surv.loc[1, "text"]
+    # plan counts the REDACTED stream: '<EMAIL>' is one token like the
+    # original address, so doc 1 keeps its 8 tokens
+    plan = pq.read_table(f"{out}/plan").to_pandas().set_index("doc_id")
+    assert plan.loc[1, "n_tokens"] == 8
+    with pytest.raises(ValueError, match="fingerprint"):
+        run_curation_checkpointed(train, evals, out, num_buckets=4,
+                                  redact=False)
