@@ -97,6 +97,11 @@ def audio_fingerprint(pcm: np.ndarray, sample_rate: int,
     (``dedup.simhash.fingerprint_band_pairs``) exactly like image
     pHash. Engine-only (content-dependent DSP, pytest-pinned — same
     convention as the other multimodal content floats)."""
+    if n_chunks * (n_bands - 1) > 63:
+        raise ValueError(
+            f"audio_fingerprint emits n_chunks*(n_bands-1) = "
+            f"{n_chunks * (n_bands - 1)} bits, which does not fit the "
+            f"int64 fingerprint column; keep it <= 63")
     n = len(pcm)
     fp = 0
     bit = 0

@@ -4277,8 +4277,9 @@ def _pii_sql() -> str:
 # hashes only the FIRST 50 entries per round, so the 19 queries that
 # had never received a green driver row by r3 (the conflate trio, the
 # four multimodal parametric twins, text_token_count_bpe, and the r3
-# additions) are registered first, then the four NEW r4 operators
-# (PII redact, image dedup clusters, bigram LM score, mixture plan);
+# additions) are registered first, then the five NEW r4 operators
+# (PII redact, image dedup clusters, bigram LM score, mixture plan,
+# table profile);
 # the remainder — all driver-verified green in CORRECTNESS_r03.json —
 # follow in their original order, and the ones that age past the cap
 # stay covered by the dtype-strict local replica

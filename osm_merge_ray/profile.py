@@ -41,6 +41,14 @@ def _dtype_name(t: pa.DataType) -> str:
     return str(t)
 
 
+# min/max identities: partials carry these instead of NULLs so the
+# combine's Arrow->pandas hop never sees a nullable int64 column —
+# pandas would upcast it to float64 and silently corrupt values beyond
+# 2^53 (phash / audio_fp / content-derived ids live up there)
+_I64_MAX = (1 << 63) - 1
+_I64_MIN = -(1 << 63)
+
+
 def _partial(t: pa.Table) -> pa.Table:
     rows = []
     for name in t.column_names:
@@ -48,8 +56,9 @@ def _partial(t: pa.Table) -> pa.Table:
         kind = _dtype_name(col.type)
         r = {"column": name, "dtype": kind,
              "n": len(col), "n_null": col.null_count,
-             "min_i": None, "max_i": None, "min_f": None, "max_f": None,
-             "min_len": None, "max_len": None}
+             "min_i": _I64_MAX, "max_i": _I64_MIN,
+             "min_f": np.inf, "max_f": -np.inf,
+             "min_len": _I64_MAX, "max_len": _I64_MIN}
         valid = len(col) - col.null_count
         if valid:
             if kind == "int64":
@@ -95,10 +104,22 @@ def profile_table(ds, num_buckets: int = 8):
                     max_len=("max_len", "max")).reset_index()
         for c in ("n", "n_null"):
             out[c] = out[c].astype(np.int64)
-        for c in ("min_i", "max_i", "min_len", "max_len"):
-            out[c] = out[c].fillna(-1).astype(np.int64)
+        # replace the identities with the -1 sentinel wherever the
+        # measure does not apply (wrong dtype, or zero valid rows) —
+        # decided by dtype+count, never by value comparison, so a real
+        # column whose min/max equals an identity still reports exactly
+        valid = (out["n"] - out["n_null"]).to_numpy() > 0
+        int_ok = out["dtype"].isin(["int64", "timestamp"]).to_numpy() & valid
+        flt_ok = (out["dtype"] == "double").to_numpy() & valid
+        str_ok = (out["dtype"] == "string").to_numpy() & valid
+        for c in ("min_i", "max_i"):
+            out[c] = np.where(int_ok, out[c].to_numpy(np.int64),
+                              np.int64(-1))
+        for c in ("min_len", "max_len"):
+            out[c] = np.where(str_ok, out[c].to_numpy(np.int64),
+                              np.int64(-1))
         for c in ("min_f", "max_f"):
-            out[c] = out[c].fillna(-1.0).astype(np.float64)
+            out[c] = np.where(flt_ok, out[c].to_numpy(np.float64), -1.0)
         return out
 
     return grouped_reduce(partials, ["column"], combine,

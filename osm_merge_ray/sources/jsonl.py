@@ -7,9 +7,10 @@ layout with one task per file and pushes column pruning into the Arrow
 JSON parser; this wrapper only normalizes the result to the engine's
 documents contract (``doc_id:int64, text:string`` + passthrough
 columns). Rows without a usable id get a deterministic one derived
-from the text content (splitmix64 of the poly41 fold — stable across
-re-reads and re-partitioning, no RNG state), so downstream dedup /
-join stages always have an int64 key.
+from the text content (splitmix64 of the FNV-1a fold, top bit cleared
+so ids are always NON-NEGATIVE per the repo's integer-parity
+invariant — stable across re-reads and re-partitioning, no RNG
+state), so downstream dedup / join stages always have an int64 key.
 
 Writer: ``ds.write_json`` — one shard per block, resumable layout.
 """
@@ -24,7 +25,9 @@ import pyarrow.compute as pc
 def _derive_ids(texts: list[str]) -> np.ndarray:
     from osm_merge_ray.util import hash64_str, splitmix64
 
-    return splitmix64(hash64_str(texts)).astype(np.int64) >> np.int64(1)
+    # shift BEFORE the signed cast: an arithmetic shift after the cast
+    # would preserve the sign bit and make ~half of all ids negative
+    return (splitmix64(hash64_str(texts)) >> np.uint64(1)).astype(np.int64)
 
 
 def read_jsonl(paths, text_column: str = "text",
@@ -46,12 +49,21 @@ def read_jsonl(paths, text_column: str = "text",
                 f"JSONL rows lack the text field {text_column!r}; "
                 f"got fields {names}")
         if text_column != "text":
+            # a pre-existing stray "text" field (common in CC/HF
+            # exports carrying raw + cleaned bodies) would collide with
+            # the rename and poison the schema — drop it: the caller
+            # explicitly named text_column as the body
+            if "text" in names:
+                t = t.drop_columns(["text"])
+                names = list(t.column_names)
             t = t.rename_columns(
                 ["text" if n == text_column else n for n in names])
         names = list(t.column_names)
         txt = pc.fill_null(t.column("text"), "").cast(pa.string())
         t = t.set_column(names.index("text"), "text", txt)
         if id_column in names and id_column != "doc_id":
+            if "doc_id" in names:
+                t = t.drop_columns(["doc_id"])
             t = t.rename_columns(
                 ["doc_id" if n == id_column else n for n in t.column_names])
         if "doc_id" in t.column_names:

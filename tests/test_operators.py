@@ -913,3 +913,27 @@ def test_curation_redact_stage(ray_session, tmp_path):
     with pytest.raises(ValueError, match="fingerprint"):
         run_curation_checkpointed(train, evals, out, num_buckets=4,
                                   redact=False)
+
+
+def test_table_profile_huge_int64(ray_session):
+    """r4 review: int64 min/max beyond 2^53 must survive the combine
+    exactly — the nullable-partial pandas round-trip used to corrupt
+    them through float64 (phash / audio_fp / derived ids live there)."""
+    from osm_merge_ray.profile import profile_table
+
+    lo, hi = (1 << 62) + 12345, (1 << 62) + 99999
+    ds = rd.from_arrow(pa.table({"h": pa.array([hi, lo], pa.int64())}))
+    out = profile_table(ds).to_pandas().set_index("column")
+    assert int(out.loc["h", "min_i"]) == lo
+    assert int(out.loc["h", "max_i"]) == hi
+
+
+def test_audio_fingerprint_bit_budget():
+    """r4 review: a band count whose sign bits exceed 63 must raise
+    up front instead of OverflowError-ing mid-decode."""
+    from osm_merge_ray.audio.codec import audio_fingerprint
+
+    pcm = np.sin(np.linspace(0, 100, 8000)).astype(np.float32)
+    with pytest.raises(ValueError, match="<= 63"):
+        audio_fingerprint(pcm, 8000, n_bands=24)
+    assert audio_fingerprint(pcm, 8000, n_bands=16) >= 0

@@ -56,21 +56,23 @@ def test_jsonl_roundtrip(ray_session, tmp_path):
     p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
 
     ds = read_jsonl(str(p), text_column="content")
-    df = ds.to_pandas()
+    # datasets are unordered collections (block completion order is
+    # nondeterministic) — compare sorted
+    df = ds.to_pandas().sort_values("src").reset_index(drop=True)
     assert set(df.columns) >= {"doc_id", "text", "src"}
-    assert df["text"].tolist() == ["alpha beta", "gamma", "alpha beta"]
+    assert df["text"].tolist() == ["alpha beta", "alpha beta", "gamma"]
     assert df["doc_id"].dtype == "int64" and (df["doc_id"] >= 0).all()
     # content-derived ids: equal text -> equal id, stable across reads
-    assert df["doc_id"][0] == df["doc_id"][2] != df["doc_id"][1]
-    assert read_jsonl(str(p), text_column="content").to_pandas()[
-        "doc_id"].tolist() == df["doc_id"].tolist()
+    assert df["doc_id"][0] == df["doc_id"][1] != df["doc_id"][2]
+    assert sorted(read_jsonl(str(p), text_column="content").to_pandas()[
+        "doc_id"].tolist()) == sorted(df["doc_id"].tolist())
 
     # explicit id field is respected and renamed
     p2 = tmp_path / "with_ids.jsonl"
     p2.write_text("\n".join(json.dumps({"id": i, "text": t})
                             for i, t in enumerate(["x", "y"])) + "\n")
     df2 = read_jsonl(str(p2), id_column="id").to_pandas()
-    assert df2["doc_id"].tolist() == [0, 1]
+    assert sorted(df2["doc_id"].tolist()) == [0, 1]
 
     out = tmp_path / "out"
     write_jsonl(rd.from_arrow(pa.table({"doc_id": pa.array([7], pa.int64()),
@@ -78,3 +80,29 @@ def test_jsonl_roundtrip(ray_session, tmp_path):
     back = read_jsonl(f"{out}/").to_pandas()
     assert back["text"].tolist() == ["roundtrip"]
     assert back["doc_id"].tolist() == [7]
+
+
+def test_jsonl_review_fixes(ray_session, tmp_path):
+    """r4 review: content-derived ids must be NON-NEGATIVE for every
+    text (unsigned shift before the signed cast), and a stray
+    pre-existing 'text'/'doc_id' field must not collide with the
+    rename (CC/HF exports carry raw + cleaned bodies side by side)."""
+    import json
+
+    from osm_merge_ray.sources.jsonl import _derive_ids, read_jsonl
+
+    # 200 texts: with a sign-preserving shift ~half would be negative
+    ids = _derive_ids([f"doc number {i}" for i in range(200)])
+    assert (ids >= 0).all() and ids.dtype == "int64"
+    assert len(set(ids.tolist())) == 200
+
+    p = tmp_path / "collide.jsonl"
+    rows = [{"content": "clean body one", "text": "<html>raw</html>",
+             "id": 11, "doc_id": 99},
+            {"content": "clean body two", "text": "<b>raw2</b>",
+             "id": 12, "doc_id": 98}]
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    df = (read_jsonl(str(p), text_column="content", id_column="id")
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert df["text"].tolist() == ["clean body one", "clean body two"]
+    assert df["doc_id"].tolist() == [11, 12]  # named id wins, stray dropped
