@@ -466,6 +466,23 @@ def cmd_redact(args) -> int:
     return 0
 
 
+def cmd_sample(args) -> int:
+    """Exact-k-per-group quota sample (sampling.py): deterministic
+    hash-rank selection, min(k, group size) rows per group."""
+    _ray()
+    import ray.data as rd
+
+    from osm_merge_ray.sampling import quota_sample
+
+    ds = rd.read_parquet(args.infile,
+                         columns=[args.id_column, args.group_column])
+    out = quota_sample(ds, args.group_column, k=args.k,
+                       id_column=args.id_column)
+    out.write_parquet(args.outdir)
+    print(f"wrote <= {args.k} rows per {args.group_column!r} to {args.outdir}")
+    return 0
+
+
 def cmd_profile(args) -> int:
     """Per-column table profile (profile.py): counts, null counts,
     type-aware exact min/max from per-batch partials."""
@@ -628,6 +645,14 @@ def main(argv=None) -> int:
     c.add_argument("--text-column", default="text")
     c.add_argument("--max-len", type=int, default=2048)
     c.set_defaults(fn=cmd_pack)
+
+    c = sub.add_parser("sample", help="exact-k-per-group hash-rank quota sample")
+    c.add_argument("-i", "--infile", required=True)
+    c.add_argument("-o", "--outdir", required=True)
+    c.add_argument("-k", type=int, default=1000)
+    c.add_argument("--group-column", default="source")
+    c.add_argument("--id-column", default="doc_id")
+    c.set_defaults(fn=cmd_sample)
 
     c = sub.add_parser("profile", help="per-column table profile (describe)")
     c.add_argument("-i", "--infile", required=True)

@@ -2893,6 +2893,30 @@ WHERE ({_KMV_MIX.format(x='doc_id')}) % 1048576
 """
 
 
+def source_quota_sample_q(sf_dir: str, k: int = 10):
+    """Exact-k-per-group quota sample (sampling.py): at most k docs
+    per source, chosen by kmv_mix hash rank with id tie-break — the
+    balancing step of an eval-slice / mixture build, where Bernoulli
+    sampling (source_weighted_sample) can't guarantee counts. Two-level
+    top-k: per-block partials then grouped final, so the shuffle is
+    blocks x sources x k light rows. Twin: ROW_NUMBER() window."""
+    from osm_merge_ray.sampling import quota_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return quota_sample(ds, "source", k=k, id_column="doc_id")
+
+
+SQL_SOURCE_HASH_QUOTA = f"""
+SELECT source, doc_id, h_mix, r FROM (
+  SELECT source, doc_id, {_KMV_MIX.format(x='doc_id')} AS h_mix,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY {_KMV_MIX.format(x='doc_id')}, doc_id) AS BIGINT) AS r
+  FROM documents)
+WHERE r <= 10
+"""
+
+
 def q1_pricing_summary(sf_dir: str):
     """TPC-H-Q1-shaped aggregate with exact integer partial aggregation
     inside map_batches before the (tiny) groupby — the canonical
@@ -4277,9 +4301,9 @@ def _pii_sql() -> str:
 # hashes only the FIRST 50 entries per round, so the 19 queries that
 # had never received a green driver row by r3 (the conflate trio, the
 # four multimodal parametric twins, text_token_count_bpe, and the r3
-# additions) are registered first, then the five NEW r4 operators
+# additions) are registered first, then the six NEW r4 operators
 # (PII redact, image dedup clusters, bigram LM score, mixture plan,
-# table profile);
+# table profile, hash-quota sample);
 # the remainder — all driver-verified green in CORRECTNESS_r03.json —
 # follow in their original order, and the ones that age past the cap
 # stay covered by the dtype-strict local replica
@@ -4314,6 +4338,7 @@ QUERIES = {
     "text_lm_score": text_lm_score_q,
     "source_mixture_plan": source_mixture_plan_q,
     "table_profile": table_profile_q,
+    "source_hash_quota_sample": source_quota_sample_q,
     # --- driver-green in CORRECTNESS_r03.json ---
     "spatial_cell_index": spatial_cell_index,
     "spatial_distance_join": spatial_distance_join,
@@ -4409,6 +4434,7 @@ ORACLE_SQL = {
     "events_funnel": SQL_EVENTS_FUNNEL,
     "orders_upsert": SQL_ORDERS_UPSERT,
     "source_weighted_sample": SQL_SOURCE_WEIGHTED,
+    "source_hash_quota_sample": SQL_SOURCE_HASH_QUOTA,
     "events_ewma": SQL_EVENTS_EWMA,
     "events_cooccurrence": SQL_EVENTS_COOCCURRENCE,
     "text_length_deciles": SQL_LENGTH_DECILES,

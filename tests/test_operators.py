@@ -937,3 +937,38 @@ def test_audio_fingerprint_bit_budget():
     with pytest.raises(ValueError, match="<= 63"):
         audio_fingerprint(pcm, 8000, n_bands=24)
     assert audio_fingerprint(pcm, 8000, n_bands=16) >= 0
+
+
+def test_quota_sample(ray_session):
+    """r4: exact-k-per-group hash-rank sample — exact counts (min(k,n)
+    per group), brute-force agreement, and block-layout invariance
+    (the per-block top-k partial must not change the global answer)."""
+    from osm_merge_ray.sampling import quota_sample
+    from osm_merge_ray.sketch import kmv_mix
+
+    ids = np.arange(1, 301, dtype=np.int64)
+    grp = np.where(ids <= 4, "tiny", np.where(ids % 2 == 0, "even", "odd"))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "source": pa.array(grp.tolist())})
+
+    def run(nblocks):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        df = quota_sample(ds, "source", k=7).to_pandas()
+        return df.sort_values(["source", "r"]).reset_index(drop=True)
+
+    out = run(1)
+    assert out.groupby("source")["doc_id"].count().to_dict() == \
+        {"tiny": 4, "even": 7, "odd": 7}  # min(k, group size)
+    # brute force: k smallest (mix, id) per group, rank 1..k
+    import pandas as pd
+    ref = pd.DataFrame({"source": grp, "doc_id": ids,
+                        "h_mix": kmv_mix(ids)})
+    ref = ref.sort_values(["source", "h_mix", "doc_id"])
+    ref["r"] = ref.groupby("source").cumcount() + 1
+    ref = ref[ref["r"] <= 7].reset_index(drop=True)
+    assert out[["source", "doc_id", "h_mix"]].values.tolist() == \
+        ref[["source", "doc_id", "h_mix"]].values.tolist()
+    assert out["r"].tolist() == ref["r"].tolist()
+    # layout invariance: 1, 5, 37 blocks give identical samples
+    for nb in (5, 37):
+        assert run(nb).equals(out)
