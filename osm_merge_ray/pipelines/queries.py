@@ -2797,6 +2797,42 @@ FROM se
 """
 
 
+def events_group_distinct_q(sf_dir: str, k: int = 64):
+    """Per-group KMV distinct sketch (sketch.grouped_distinct_sketch):
+    approx distinct users per event_type at bounded transfer — the
+    grouped counterpart of events_distinct_sketch; exact per-group
+    distinct counts ride along so the error is visible. The twin
+    replicates the bottom-k via ROW_NUMBER over the distinct mixed
+    hashes per group."""
+    from osm_merge_ray.sketch import grouped_distinct_sketch
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return grouped_distinct_sketch(ds, "event_type", "user_id", k=k)
+
+
+SQL_GROUP_DISTINCT = f"""
+WITH d AS (
+  SELECT DISTINCT event_type, {_KMV_MIX.format(x='user_id')} AS h FROM events
+), r AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM d
+), b AS (
+  SELECT event_type, max(h) AS kth, count(*) AS n
+  FROM r WHERE rn <= 64 GROUP BY event_type
+), x AS (
+  SELECT event_type, count(DISTINCT user_id) AS nd
+  FROM events GROUP BY event_type
+)
+SELECT b.event_type, CAST(kth AS BIGINT) AS kth_min,
+       CAST(n AS BIGINT) AS n_sketch,
+       CAST(CASE WHEN n < 64 THEN n
+            ELSE 63 * 2199023255551 // kth END AS BIGINT) AS est_distinct,
+       CAST(nd AS BIGINT) AS n_distinct
+FROM b JOIN x ON b.event_type = x.event_type
+"""
+
+
 def events_cms_q(sf_dir: str, k: int = 20, w: int = 1024):
     """Count-Min Sketch point queries (sketch.py cms_build/estimate):
     the 4x1024 counter grid is built from fixed-size per-block partials
@@ -4301,9 +4337,9 @@ def _pii_sql() -> str:
 # hashes only the FIRST 50 entries per round, so the 19 queries that
 # had never received a green driver row by r3 (the conflate trio, the
 # four multimodal parametric twins, text_token_count_bpe, and the r3
-# additions) are registered first, then the six NEW r4 operators
+# additions) are registered first, then the seven NEW r4 operators
 # (PII redact, image dedup clusters, bigram LM score, mixture plan,
-# table profile, hash-quota sample);
+# table profile, hash-quota sample, grouped distinct sketch);
 # the remainder — all driver-verified green in CORRECTNESS_r03.json —
 # follow in their original order, and the ones that age past the cap
 # stay covered by the dtype-strict local replica
@@ -4339,6 +4375,7 @@ QUERIES = {
     "source_mixture_plan": source_mixture_plan_q,
     "table_profile": table_profile_q,
     "source_hash_quota_sample": source_quota_sample_q,
+    "events_group_distinct": events_group_distinct_q,
     # --- driver-green in CORRECTNESS_r03.json ---
     "spatial_cell_index": spatial_cell_index,
     "spatial_distance_join": spatial_distance_join,
@@ -4435,6 +4472,7 @@ ORACLE_SQL = {
     "orders_upsert": SQL_ORDERS_UPSERT,
     "source_weighted_sample": SQL_SOURCE_WEIGHTED,
     "source_hash_quota_sample": SQL_SOURCE_HASH_QUOTA,
+    "events_group_distinct": SQL_GROUP_DISTINCT,
     "events_ewma": SQL_EVENTS_EWMA,
     "events_cooccurrence": SQL_EVENTS_COOCCURRENCE,
     "text_length_deciles": SQL_LENGTH_DECILES,

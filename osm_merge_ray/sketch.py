@@ -148,3 +148,80 @@ def cms_estimate(grid: np.ndarray, keys: np.ndarray, w: int = 1024,
         cells = (kmv_mix(keys ^ np.int64(s)) % np.int64(w)).astype(np.int64)
         est = np.minimum(est, grid[j][cells])
     return est
+
+
+def grouped_distinct_sketch(ds, group_col: str, key_col: str, k: int = 64,
+                            mod: int = POLY41_MOD,
+                            num_buckets: int = 64) -> pd.DataFrame:
+    """Per-GROUP KMV distinct sketch: one row per group value with
+    (kth_min, n_sketch, est_distinct, n_distinct) — "approx distinct
+    users per key" at bounded transfer, the grouped counterpart of
+    ``distinct_sketch``. Per-block partials keep only the k smallest
+    distinct mixed hashes per group present in the block (the global
+    bottom-k per group is a subset of the union of per-block
+    bottom-ks), so the shuffle carries blocks x groups x k light rows,
+    never the raw keys; exact counts ride along from a separate
+    raw-key pass (same no-hash-assumptions discipline as
+    ``exact_distinct``) so the estimator's error stays visible.
+    Output is one row per group — the result itself is
+    group-cardinality, so the driver-side frame is no larger than any
+    consumer of it."""
+    from osm_merge_ray.ops import grouped_reduce
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_pandas()
+        x = t.column(key_col).to_numpy().astype(np.int64)
+        h = kmv_mix(x, mod)
+        codes, uniq = pd.factorize(g, sort=False)
+        order = np.lexsort((h, codes))
+        sc, sh = codes[order], h[order]
+        first = np.r_[True, (sc[1:] != sc[:-1]) | (sh[1:] != sh[:-1])]
+        sc, sh = sc[first], sh[first]  # distinct (group, h), sorted
+        starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+        run_len = np.diff(np.r_[starts, len(sc)])
+        pos = np.arange(len(sc)) - np.repeat(starts, run_len)
+        sel = pos < k
+        return pa.table({
+            group_col: pa.array(np.asarray(uniq)[sc[sel]]),
+            "h": pa.array(sh[sel], pa.int64()),
+        })
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df.drop_duplicates([group_col, "h"])
+               .sort_values([group_col, "h"]))
+        d = d[d.groupby(group_col).cumcount() < k]
+        agg = d.groupby(group_col, sort=False)["h"] \
+               .agg(kth_min="max", n_sketch="size").reset_index()
+        n = agg["n_sketch"].to_numpy(np.int64)
+        kth = agg["kth_min"].to_numpy(np.int64)
+        agg["kth_min"] = kth
+        agg["n_sketch"] = n
+        agg["est_distinct"] = np.where(
+            n < k, n, np.int64(k - 1) * np.int64(mod) // np.maximum(kth, 1))
+        return agg
+
+    sketch = grouped_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [group_col], combine, num_buckets=num_buckets).to_pandas()
+
+    def kpairs(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_pandas()
+        x = t.column(key_col).to_numpy().astype(np.int64)
+        codes, uniq = pd.factorize(g, sort=False)
+        order = np.lexsort((x, codes))
+        sc, sx = codes[order], x[order]
+        first = np.r_[True, (sc[1:] != sc[:-1]) | (sx[1:] != sx[:-1])]
+        return pa.table({
+            group_col: pa.array(np.asarray(uniq)[sc[first]]),
+            "u": pa.array(sx[first], pa.int64()),
+        })
+
+    exact = grouped_reduce(
+        ds.map_batches(kpairs, batch_format="pyarrow"),
+        [group_col],
+        lambda df: df.groupby(group_col, sort=False)["u"].nunique()
+                     .astype(np.int64).rename("n_distinct").reset_index(),
+        num_buckets=num_buckets).to_pandas()
+
+    out = sketch.merge(exact, on=group_col).sort_values(group_col)
+    return out.reset_index(drop=True)

@@ -972,3 +972,39 @@ def test_quota_sample(ray_session):
     # layout invariance: 1, 5, 37 blocks give identical samples
     for nb in (5, 37):
         assert run(nb).equals(out)
+
+
+def test_grouped_distinct_sketch(ray_session):
+    """r4: per-group KMV — exact path (n < k) on a small group,
+    estimator path on a big one, brute-force agreement, layout
+    invariance."""
+    from osm_merge_ray.sketch import grouped_distinct_sketch, kmv_mix
+    from osm_merge_ray.util import POLY41_MOD
+
+    k = 16
+    # group "big": 500 users (estimator), "small": 7 users (exact);
+    # duplicates planted so distinctness matters
+    users = np.r_[np.arange(500), np.arange(500), np.arange(1000, 1007)]
+    grp = ["big"] * 1000 + ["small"] * 7
+    t = pa.table({"event_type": pa.array(grp),
+                  "user_id": pa.array(users, pa.int64())})
+
+    def run(nblocks):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        return grouped_distinct_sketch(ds, "event_type", "user_id", k=k)
+
+    out = run(1).set_index("event_type")
+    assert out.loc["small", "n_sketch"] == 7
+    assert out.loc["small", "est_distinct"] == 7  # exact when not full
+    assert out.loc["small", "n_distinct"] == 7
+    assert out.loc["big", "n_sketch"] == k
+    assert out.loc["big", "n_distinct"] == 500
+    # brute force: k-th smallest distinct mixed hash of the big group
+    hs = np.unique(kmv_mix(np.arange(500, dtype=np.int64)))
+    kth = int(hs[k - 1])
+    assert out.loc["big", "kth_min"] == kth
+    assert out.loc["big", "est_distinct"] == (k - 1) * POLY41_MOD // kth
+    # estimator lands in a sane band around 500
+    assert 250 <= out.loc["big", "est_distinct"] <= 1000
+    for nb in (5, 23):
+        assert run(nb).equals(run(1))
