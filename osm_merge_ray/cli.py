@@ -466,6 +466,29 @@ def cmd_redact(args) -> int:
     return 0
 
 
+def cmd_distinct(args) -> int:
+    """KMV distinct-count sketch (sketch.py): global per-column, or
+    per-group when --group-column is given — bounded-transfer
+    cardinality with the exact count beside it."""
+    _ray()
+    import ray.data as rd
+
+    if args.group_column:
+        from osm_merge_ray.sketch import grouped_distinct_sketch
+
+        ds = rd.read_parquet(args.infile,
+                             columns=[args.group_column, args.column])
+        df = grouped_distinct_sketch(ds, args.group_column, args.column,
+                                     k=args.k)
+    else:
+        from osm_merge_ray.sketch import distinct_sketch
+
+        ds = rd.read_parquet(args.infile, columns=[args.column])
+        df = distinct_sketch(ds, [args.column], k=args.k)
+    print(df.to_string(index=False))
+    return 0
+
+
 def cmd_sample(args) -> int:
     """Exact-k-per-group quota sample (sampling.py): deterministic
     hash-rank selection, min(k, group size) rows per group."""
@@ -645,6 +668,13 @@ def main(argv=None) -> int:
     c.add_argument("--text-column", default="text")
     c.add_argument("--max-len", type=int, default=2048)
     c.set_defaults(fn=cmd_pack)
+
+    c = sub.add_parser("distinct", help="KMV distinct sketch (global or per-group) + exact count")
+    c.add_argument("-i", "--infile", required=True)
+    c.add_argument("--column", required=True)
+    c.add_argument("--group-column", default=None)
+    c.add_argument("-k", type=int, default=256)
+    c.set_defaults(fn=cmd_distinct)
 
     c = sub.add_parser("sample", help="exact-k-per-group hash-rank quota sample")
     c.add_argument("-i", "--infile", required=True)
