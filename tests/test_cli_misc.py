@@ -251,3 +251,34 @@ def test_cli_dedup_phash(ray_session, tmp_path):
     got = set(zip(pairs["id_a"], pairs["id_b"]))
     assert {(i, i + 100) for i in range(20)} <= got
     assert (pairs["hamming"] == 2).all()
+
+
+def test_cli_sample_and_distinct(ray_session, tmp_path):
+    """r4: sample / distinct subcommands over a TWO-FILE input (the
+    pagerank lesson: single-block fixtures mask cross-block bugs)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    ids = np.arange(200, dtype=np.int64)
+    grp = ["g%d" % (i % 3) for i in ids]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "source": pa.array(grp),
+                  "user_id": pa.array(ids % 11, pa.int64())})
+    pq.write_table(t.slice(0, 97), str(indir / "a.parquet"))
+    pq.write_table(t.slice(97), str(indir / "b.parquet"))
+
+    out = tmp_path / "sampled"
+    assert cli_main(["sample", "-i", str(indir), "-o", str(out),
+                     "-k", "9", "--group-column", "source"]) == 0
+    df = pq.read_table(str(out)).to_pandas()
+    assert df.groupby("source")["doc_id"].count().to_dict() == \
+        {"g0": 9, "g1": 9, "g2": 9}
+    assert df["r"].max() == 9
+
+    # per-group distinct: 11 distinct users overall, fewer per group
+    assert cli_main(["distinct", "-i", str(indir), "--column", "user_id",
+                     "--group-column", "source", "-k", "8"]) == 0
+    assert cli_main(["distinct", "-i", str(indir),
+                     "--column", "user_id"]) == 0
