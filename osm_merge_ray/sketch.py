@@ -173,6 +173,10 @@ def grouped_distinct_sketch(ds, group_col: str, key_col: str, k: int = 64,
         x = t.column(key_col).to_numpy().astype(np.int64)
         h = kmv_mix(x, mod)
         codes, uniq = pd.factorize(g, sort=False)
+        if (codes < 0).any():  # factorize's NaN sentinel would alias
+            raise ValueError(   # the LAST group via uniq[-1] — refuse
+                f"grouped_distinct_sketch: null values in group column "
+                f"{group_col!r}; filter or fill them upstream")
         order = np.lexsort((h, codes))
         sc, sh = codes[order], h[order]
         first = np.r_[True, (sc[1:] != sc[:-1]) | (sh[1:] != sh[:-1])]
@@ -208,6 +212,10 @@ def grouped_distinct_sketch(ds, group_col: str, key_col: str, k: int = 64,
         g = t.column(group_col).to_pandas()
         x = t.column(key_col).to_numpy().astype(np.int64)
         codes, uniq = pd.factorize(g, sort=False)
+        if (codes < 0).any():
+            raise ValueError(
+                f"grouped_distinct_sketch: null values in group column "
+                f"{group_col!r}; filter or fill them upstream")
         order = np.lexsort((x, codes))
         sc, sx = codes[order], x[order]
         first = np.r_[True, (sc[1:] != sc[:-1]) | (sx[1:] != sx[:-1])]

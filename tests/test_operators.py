@@ -1008,3 +1008,14 @@ def test_grouped_distinct_sketch(ray_session):
     assert 250 <= out.loc["big", "est_distinct"] <= 1000
     for nb in (5, 23):
         assert run(nb).equals(run(1))
+
+
+def test_grouped_distinct_sketch_null_group(ray_session):
+    """Null group values must raise loudly — factorize's -1 sentinel
+    would silently alias them onto the last real group."""
+    from osm_merge_ray.sketch import grouped_distinct_sketch
+
+    t = pa.table({"event_type": pa.array(["a", None, "b"]),
+                  "user_id": pa.array([1, 2, 3], pa.int64())})
+    with pytest.raises(Exception, match="null values in group column"):
+        grouped_distinct_sketch(rd.from_arrow(t), "event_type", "user_id")
