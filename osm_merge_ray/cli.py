@@ -479,12 +479,13 @@ def cmd_distinct(args) -> int:
         ds = rd.read_parquet(args.infile,
                              columns=[args.group_column, args.column])
         df = grouped_distinct_sketch(ds, args.group_column, args.column,
-                                     k=args.k)
+                                     k=args.k, include_exact=args.exact)
     else:
         from osm_merge_ray.sketch import distinct_sketch
 
         ds = rd.read_parquet(args.infile, columns=[args.column])
-        df = distinct_sketch(ds, [args.column], k=args.k)
+        df = distinct_sketch(ds, [args.column], k=args.k,
+                             include_exact=args.exact)
     print(df.to_string(index=False))
     return 0
 
@@ -669,11 +670,14 @@ def main(argv=None) -> int:
     c.add_argument("--max-len", type=int, default=2048)
     c.set_defaults(fn=cmd_pack)
 
-    c = sub.add_parser("distinct", help="KMV distinct sketch (global or per-group) + exact count")
+    c = sub.add_parser("distinct", help="KMV distinct sketch (global or per-group); --exact adds the exact count")
     c.add_argument("-i", "--infile", required=True)
     c.add_argument("--column", required=True)
     c.add_argument("--group-column", default=None)
     c.add_argument("-k", type=int, default=256)
+    c.add_argument("--exact", action="store_true",
+                   help="add an exact n_distinct pass (corpus-cardinality "
+                        "shuffle — audit tool, not the scale path)")
     c.set_defaults(fn=cmd_distinct)
 
     c = sub.add_parser("sample", help="exact-k-per-group hash-rank quota sample")

@@ -120,28 +120,48 @@ def read_parquet_with_lineage(path: str):
     which input fragments it consumed (the north-rule's "input fragment
     ids" lineage): when one input file is replaced, exactly the buckets
     naming its frag id need invalidation, not the whole run."""
-    import pyarrow.compute as pc2
+    import os
+
+    import pyarrow.dataset as pads
     import ray.data as rd
 
     from osm_merge_ray.util import hash64_str, splitmix64
 
     ds = rd.read_parquet(path, include_paths=True)
 
+    def _norm(p: str) -> str:
+        # one canonical spelling on BOTH sides (r4 advice: Ray's
+        # include_paths strings and pyarrow.dataset().files can differ
+        # in scheme prefix / normalization / symlink resolution, and a
+        # mismatch silently records frag ids that resolve to nothing):
+        # realpath local paths, strip a file:// scheme, leave remote
+        # URIs (s3:// etc.) untouched
+        if p.startswith("file://"):
+            p = p[len("file://"):]
+        return os.path.realpath(p) if "://" not in p else p
+
     def frag_map_of(paths: list[str]) -> dict[int, str]:
         ids = splitmix64(hash64_str(paths)).view(np.int64)
         return {int(i): p for i, p in zip(ids, paths)}
 
-    import pyarrow.dataset as pads
-
-    fmap = frag_map_of(sorted(pads.dataset(path).files))
+    fmap = frag_map_of(sorted({_norm(f) for f in pads.dataset(path).files}))
+    known = frozenset(fmap)  # file-count sized, cheap closure broadcast
 
     def add_frag(t: pa.Table) -> pa.Table:
-        paths = t.column("path").to_pylist()
+        paths = [_norm(p) for p in t.column("path").to_pylist()]
         ids = splitmix64(hash64_str(paths)).view(np.int64)
+        missing = {int(i) for i in ids} - known
+        if missing:  # fail LOUDLY instead of writing dangling lineage
+            bad = sorted({p for p, i in zip(paths, ids)
+                          if int(i) in missing})[:3]
+            raise ValueError(
+                "read_parquet_with_lineage: per-row fragment path(s) "
+                f"{bad} not present in the run-level fragment map — "
+                "path normalization mismatch between Ray include_paths "
+                "and pyarrow.dataset files")
         t = t.drop_columns(["path"])
         return t.append_column("frag", pa.array(ids, pa.int64()))
 
-    _ = pc2  # imported for parity with sibling readers
     return ds.map_batches(add_frag, batch_format="pyarrow"), fmap
 
 

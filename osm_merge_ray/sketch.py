@@ -93,18 +93,27 @@ def exact_distinct(ds, column: str, num_buckets: int = 64) -> int:
     return int(parts.sum("n") or 0)
 
 
-def distinct_sketch(ds, columns: list[str], k: int = 256) -> pd.DataFrame:
-    """One row per column: (key, kth_min, n_sketch, est_distinct,
-    n_distinct) — the bounded-transfer sketch estimate side by side
-    with the exact distributed distinct count, so consumers can see
-    the estimator's error at a glance."""
+def distinct_sketch(ds, columns: list[str], k: int = 256,
+                    include_exact: bool = False) -> pd.DataFrame:
+    """One row per column: (key, kth_min, n_sketch, est_distinct[,
+    n_distinct]) — the bounded-transfer sketch estimate, optionally
+    side by side with the exact distributed distinct count.
+
+    ``include_exact=False`` (the default, and the scale path) does ONE
+    pass per column with blocks x k transfer. ``include_exact=True``
+    adds a second, corpus-cardinality pass (every distinct key crosses
+    the shuffle) — useful to audit the estimator's error at small
+    scale, self-defeating at 100 TB; the oracle-parity query opts in
+    explicitly because its compared projection pins ``n_distinct``."""
     rows = []
     for c in columns:
         bottom = kmv_bottom_k(ds, c, k=k)
         kth, n_sk, est = kmv_estimate(bottom, k=k)
-        rows.append({"key": c, "kth_min": kth, "n_sketch": n_sk,
-                     "est_distinct": est,
-                     "n_distinct": exact_distinct(ds, c)})
+        row = {"key": c, "kth_min": kth, "n_sketch": n_sk,
+               "est_distinct": est}
+        if include_exact:
+            row["n_distinct"] = exact_distinct(ds, c)
+        rows.append(row)
     return pd.DataFrame(rows)
 
 
@@ -152,23 +161,36 @@ def cms_estimate(grid: np.ndarray, keys: np.ndarray, w: int = 1024,
 
 def grouped_distinct_sketch(ds, group_col: str, key_col: str, k: int = 64,
                             mod: int = POLY41_MOD,
-                            num_buckets: int = 64) -> pd.DataFrame:
+                            num_buckets: int = 64,
+                            include_exact: bool = False) -> pd.DataFrame:
     """Per-GROUP KMV distinct sketch: one row per group value with
-    (kth_min, n_sketch, est_distinct, n_distinct) — "approx distinct
+    (kth_min, n_sketch, est_distinct[, n_distinct]) — "approx distinct
     users per key" at bounded transfer, the grouped counterpart of
     ``distinct_sketch``. Per-block partials keep only the k smallest
     distinct mixed hashes per group present in the block (the global
     bottom-k per group is a subset of the union of per-block
     bottom-ks), so the shuffle carries blocks x groups x k light rows,
-    never the raw keys; exact counts ride along from a separate
-    raw-key pass (same no-hash-assumptions discipline as
-    ``exact_distinct``) so the estimator's error stays visible.
-    Output is one row per group — the result itself is
-    group-cardinality, so the driver-side frame is no larger than any
-    consumer of it."""
+    never the raw keys. Output is one row per group — the result
+    itself is group-cardinality, so the driver-side frame is no larger
+    than any consumer of it.
+
+    ``include_exact=True`` adds a second raw-key pass (same
+    no-hash-assumptions discipline as ``exact_distinct``) whose
+    shuffle carries every distinct (group, key) pair — corpus
+    cardinality, which defeats the sketch's transfer bound at scale.
+    Default False: the sketch-only run is exactly one corpus scan.
+    The oracle-parity query (events_group_distinct) opts in because
+    its compared projection pins ``n_distinct``."""
     from osm_merge_ray.ops import grouped_reduce
 
+    def _empty(t: pa.Table, value_col: str) -> pa.Table:
+        # zero-row block: keep the group column's own Arrow type
+        return pa.table({group_col: t.column(group_col),
+                         value_col: pa.array([], pa.int64())})
+
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # zero-row parquet files / filtered blocks
+            return _empty(t, "h")
         g = t.column(group_col).to_pandas()
         x = t.column(key_col).to_numpy().astype(np.int64)
         h = kmv_mix(x, mod)
@@ -208,7 +230,12 @@ def grouped_distinct_sketch(ds, group_col: str, key_col: str, k: int = 64,
         ds.map_batches(partial, batch_format="pyarrow"),
         [group_col], combine, num_buckets=num_buckets).to_pandas()
 
+    if not include_exact:
+        return sketch.sort_values(group_col).reset_index(drop=True)
+
     def kpairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty(t, "u")
         g = t.column(group_col).to_pandas()
         x = t.column(key_col).to_numpy().astype(np.int64)
         codes, uniq = pd.factorize(g, sort=False)

@@ -11,6 +11,15 @@ from the text content (splitmix64 of the FNV-1a fold, top bit cleared
 so ids are always NON-NEGATIVE per the repo's integer-parity
 invariant — stable across re-reads and re-partitioning, no RNG
 state), so downstream dedup / join stages always have an int64 key.
+This covers BOTH the column-absent case and per-row nulls in a ragged
+corpus (some lines missing the id field: read_json unifies the schema
+with nulls) — the emitted doc_id column is never nullable.
+
+Derived ids are CONTENT-ADDRESSED: byte-identical texts deliberately
+share an id (they are exact duplicates — downstream exact-dedup
+collapses them anyway), so doc_id is unique per distinct text, not per
+row. Callers needing strictly row-unique keys must supply a real
+``id_column``.
 
 Writer: ``ds.write_json`` — one shard per block, resumable layout.
 """
@@ -67,8 +76,18 @@ def read_jsonl(paths, text_column: str = "text",
             t = t.rename_columns(
                 ["doc_id" if n == id_column else n for n in t.column_names])
         if "doc_id" in t.column_names:
-            t = t.set_column(t.column_names.index("doc_id"), "doc_id",
-                             t.column("doc_id").cast(pa.int64()))
+            ids = t.column("doc_id").cast(pa.int64()).combine_chunks()
+            if ids.null_count:  # ragged corpus: some lines lacked the
+                # id field — fill each null row from ITS OWN text, the
+                # same derivation the column-absent path uses
+                null_mask = pc.is_null(ids).to_numpy(zero_copy_only=False)
+                vals = ids.fill_null(0).to_numpy(zero_copy_only=False) \
+                          .astype(np.int64, copy=True)
+                null_texts = pc.filter(
+                    txt, pa.array(null_mask)).to_pylist()
+                vals[null_mask] = _derive_ids(null_texts)
+                ids = pa.array(vals, pa.int64())
+            t = t.set_column(t.column_names.index("doc_id"), "doc_id", ids)
         else:
             ids = _derive_ids(txt.to_pylist())
             t = t.append_column("doc_id", pa.array(ids, pa.int64()))

@@ -142,19 +142,33 @@ class LangId:
 
     def __init__(self):
         self.langs = sorted(LANG_MARKERS)
-        self.sets = {k: frozenset(v) for k, v in LANG_MARKERS.items()}
+        # prebuilt Arrow value sets: one is_in kernel per language
+        self.marker_arr = {k: pa.array(sorted(set(v)), pa.string())
+                           for k, v in LANG_MARKERS.items()}
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        toks = df["text"].str.split(" ")
-        scores = {
-            lang: toks.map(lambda ws, s=self.sets[lang]: sum(w in s for w in ws))
-            for lang in self.langs
-        }
-        sc = pd.DataFrame(scores)
-        best = sc.idxmax(axis=1)
-        nohit = sc.max(axis=1) == 0
+        # fully vectorized (r4 VERDICT nit #2): split once, flatten,
+        # per-language is_in over the flat token array, segment-sum
+        # back to rows with bincount — no per-row Python loop
+        lists = pc.split_pattern(
+            pa.array(df["text"], pa.string()), " ")
+        flat = pc.list_flatten(lists)
+        offs = np.asarray(pc.list_value_length(lists)).astype(np.int64)
+        idx = np.repeat(np.arange(len(offs)), offs)
+        n = len(df)
+        score = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for j, lang in enumerate(self.langs):
+            hit = np.asarray(
+                pc.is_in(flat, value_set=self.marker_arr[lang])
+                .cast(pa.int8())).astype(np.int64)
+            score[:, j] = np.bincount(idx, weights=hit,
+                                      minlength=n).astype(np.int64)
+        # argmax takes the FIRST max — langs are sorted, so ties break
+        # alphabetically exactly as the old idxmax did
+        pred = np.asarray(self.langs, dtype=object)[score.argmax(axis=1)]
+        pred[score.max(axis=1) == 0] = "und"
         df = df.copy()
-        df["lang_pred"] = best.mask(nohit, "und").to_numpy()
+        df["lang_pred"] = pred
         return df
 
 

@@ -251,3 +251,27 @@ def test_checkpoint_records_fragment_lineage(ray_session, tmp_path):
     seen = {f for r in recs for f in r["input_fragments"]}
     assert seen <= set(fmap)      # every recorded frag resolves to a path
     assert len(seen) == len(fmap)  # all 8 input files fed some bucket
+
+
+def test_lineage_path_normalization_symlink(ray_session, tmp_path):
+    """r5 (advice): frag ids from Ray's include_paths strings and the
+    run-level map from pyarrow.dataset files must agree even when the
+    input is addressed through a symlink — both sides normalize with
+    realpath, and add_frag RAISES on any id missing from the map
+    instead of writing dangling lineage."""
+    import os
+
+    from osm_merge_ray.pipelines.conflation import read_parquet_with_lineage
+    from osm_merge_ray.synth import synth_dataset
+
+    real = tmp_path / "real_input"
+    synth_dataset(100, "primary", with_bytes=False,
+                  parallelism=3).write_parquet(str(real))
+    link = tmp_path / "linked_input"
+    os.symlink(str(real), str(link))
+
+    ds, fmap = read_parquet_with_lineage(str(link))
+    # the map stores canonical (realpath) spellings
+    assert all(p.startswith(str(real)) for p in fmap.values())
+    frags = set(ds.to_pandas()["frag"])
+    assert frags and frags <= set(fmap)  # every row id resolves

@@ -190,7 +190,8 @@ def test_kmv_sketch_exact_below_k_and_accurate_above(ray_session):
         "small": np.arange(n) % 100,          # 100 distinct < k
         "big": (np.arange(n) * 7) % 20_011,   # 20,011 distinct >> k
     })
-    out = distinct_sketch(rd.from_pandas(df), ["small", "big"], k=256)
+    out = distinct_sketch(rd.from_pandas(df), ["small", "big"], k=256,
+                          include_exact=True)
     out = out.set_index("key")
     assert out.loc["small", "est_distinct"] == 100   # exact mode
     assert out.loc["small", "n_distinct"] == 100
@@ -991,7 +992,8 @@ def test_grouped_distinct_sketch(ray_session):
 
     def run(nblocks):
         ds = rd.from_arrow(t).repartition(nblocks)
-        return grouped_distinct_sketch(ds, "event_type", "user_id", k=k)
+        return grouped_distinct_sketch(ds, "event_type", "user_id", k=k,
+                                       include_exact=True)
 
     out = run(1).set_index("event_type")
     assert out.loc["small", "n_sketch"] == 7
@@ -1008,6 +1010,68 @@ def test_grouped_distinct_sketch(ray_session):
     assert 250 <= out.loc["big", "est_distinct"] <= 1000
     for nb in (5, 23):
         assert run(nb).equals(run(1))
+
+
+def test_distinct_sketch_default_is_sketch_only_one_scan(ray_session):
+    """r5 (verdict finding): the exact companion pass is OPT-IN — the
+    default run scans the corpus exactly once per column and emits no
+    n_distinct column (the exact pass ships every distinct key through
+    the shuffle: corpus cardinality, defeating the sketch's bound)."""
+    from osm_merge_ray.sketch import distinct_sketch, grouped_distinct_sketch
+
+    class CountingDs:
+        """Forwarding proxy: counts corpus scans kicked off directly
+        on the input dataset (each map_batches call == one scan)."""
+        def __init__(self, ds):
+            self._ds = ds
+            self.scans = 0
+
+        def map_batches(self, *a, **kw):
+            self.scans += 1
+            return self._ds.map_batches(*a, **kw)
+
+        def __getattr__(self, name):
+            return getattr(self._ds, name)
+
+    df = pd.DataFrame({"k": np.arange(5000, dtype=np.int64) % 700,
+                       "g": ["a", "b"] * 2500})
+
+    cds = CountingDs(rd.from_pandas(df))
+    out = distinct_sketch(cds, ["k"], k=64)
+    assert cds.scans == 1
+    assert "n_distinct" not in out.columns
+    assert out.loc[0, "n_sketch"] == 64       # sketch side intact
+
+    cds = CountingDs(rd.from_pandas(df))
+    gout = grouped_distinct_sketch(cds, "g", "k", k=16)
+    assert cds.scans == 1
+    assert "n_distinct" not in gout.columns
+    assert set(gout["g"]) == {"a", "b"}
+    # opting in adds exactly one more pass and the exact column
+    cds = CountingDs(rd.from_pandas(df))
+    gex = grouped_distinct_sketch(cds, "g", "k", k=16, include_exact=True)
+    assert cds.scans == 2
+    assert gex.set_index("g")["n_distinct"].to_dict() == {"a": 350, "b": 350}
+    # sketch side identical with and without the exact pass
+    assert gex[gout.columns].equals(gout)
+
+
+def test_grouped_distinct_sketch_empty_block(ray_session):
+    """r5 (advice): zero-row blocks (empty parquet files, upstream
+    filters) must not crash the per-block partial."""
+    from osm_merge_ray.sketch import grouped_distinct_sketch
+
+    t = pa.table({"event_type": pa.array(["a"] * 40 + ["b"] * 20),
+                  "user_id": pa.array(np.arange(60) % 9, pa.int64())})
+    empty = t.slice(0, 0)
+    ds = rd.from_arrow(t).union(rd.from_arrow(empty))
+    out = grouped_distinct_sketch(ds, "event_type", "user_id", k=16,
+                                  include_exact=True)
+    assert out.set_index("event_type")["n_distinct"].to_dict() == \
+        {"a": 9, "b": 9}
+    ref = grouped_distinct_sketch(rd.from_arrow(t), "event_type",
+                                  "user_id", k=16, include_exact=True)
+    assert out.equals(ref)
 
 
 def test_grouped_distinct_sketch_null_group(ray_session):

@@ -106,3 +106,36 @@ def test_jsonl_review_fixes(ray_session, tmp_path):
           .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert df["text"].tolist() == ["clean body one", "clean body two"]
     assert df["doc_id"].tolist() == [11, 12]  # named id wins, stray dropped
+
+
+def test_jsonl_ragged_ids_filled_per_row(ray_session, tmp_path):
+    """r5 (advice): a RAGGED corpus (some lines missing the id field)
+    must not emit nullable doc_ids — read_json unifies the schema with
+    nulls, and a nullable int64 key violates the repo's non-null int64
+    invariant (float64 upcast in pandas combines corrupts > 2^53).
+    Null rows get the same content-derived id the column-absent path
+    uses; present ids are untouched."""
+    import json
+
+    from osm_merge_ray.sources.jsonl import _derive_ids, read_jsonl
+
+    p = tmp_path / "ragged.jsonl"
+    rows = [{"doc_id": 5, "text": "has an id"},
+            {"text": "missing id one"},
+            {"doc_id": 6, "text": "another with id"},
+            {"text": "missing id two"},
+            {"text": "missing id one"}]  # equal text -> equal derived id
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    df = read_jsonl(str(p)).to_pandas().sort_values(
+        ["text"]).reset_index(drop=True)
+    assert df["doc_id"].dtype == "int64"      # NOT nullable Int64
+    assert df["doc_id"].notna().all()
+    by_text = df.set_index("text")["doc_id"]
+    assert by_text["has an id"] == 5
+    assert by_text["another with id"] == 6
+    want = _derive_ids(["missing id one", "missing id two"])
+    got_one = df[df["text"] == "missing id one"]["doc_id"]
+    assert (got_one == want[0]).all()          # per-row fill, both rows
+    assert by_text["missing id two"] == want[1]
+    assert (df["doc_id"] >= 0).all()
