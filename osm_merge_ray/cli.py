@@ -433,6 +433,61 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_bpe_train(args) -> int:
+    """Distributed BPE merge-training over a parquet corpus: learn the
+    top-k merge table (text/bpe.py train_bpe_distributed) and write it
+    as parquet (r, a, b, pair_count) or print it."""
+    _ray()
+    import ray.data as rd
+
+    from osm_merge_ray.text.bpe import train_bpe_distributed
+
+    ds = rd.read_parquet(args.infile, columns=[args.text_column])
+    df = train_bpe_distributed(ds, text_column=args.text_column,
+                               n_merges=args.merges,
+                               num_buckets=args.buckets,
+                               min_count=args.min_count)
+    if args.outfile:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       args.outfile)
+        print(f"wrote {len(df)} merges to {args.outfile}")
+    else:
+        print(df.to_string(index=False))
+    return 0
+
+
+def cmd_decontaminate(args) -> int:
+    """Contamination report of a train corpus vs an eval corpus:
+    word-k-gram containment (default) or exact-substring char-L-gram
+    probe (text/decontaminate.py) — the substring method catches
+    verbatim leaks with broken word boundaries."""
+    _ray()
+    import ray.data as rd
+
+    cols = [args.id_column, args.text_column]
+    tr = rd.read_parquet(args.infile, columns=cols)
+    ev = rd.read_parquet(args.eval, columns=cols)
+    if args.method == "substring":
+        from osm_merge_ray.text.decontaminate import (
+            substring_contamination_report)
+
+        out = substring_contamination_report(
+            tr, ev, min_len=args.min_len, id_column=args.id_column,
+            text_column=args.text_column, min_hits=args.min_hits)
+    else:
+        from osm_merge_ray.text.decontaminate import contamination_report
+
+        out = contamination_report(
+            tr, ev, k=args.k, id_column=args.id_column,
+            text_column=args.text_column, min_hits=args.min_hits)
+    out.write_parquet(args.outdir)
+    print(f"wrote {args.method} contamination report to {args.outdir}")
+    return 0
+
+
 def cmd_pack(args) -> int:
     """Sequence-packing plan over a parquet corpus: per doc, its token
     offset in the id-ordered concatenated stream and the max_len
@@ -661,6 +716,35 @@ def main(argv=None) -> int:
                    help="PII-redact before curating (survivors + plan "
                         "see redacted text)")
     c.set_defaults(fn=cmd_curate)
+
+    c = sub.add_parser("bpe-train",
+                       help="distributed BPE merge-training (learned "
+                            "merge table as parquet)")
+    c.add_argument("-i", "--infile", required=True)
+    c.add_argument("-o", "--outfile", default=None)
+    c.add_argument("--text-column", default="text")
+    c.add_argument("--merges", type=int, default=50)
+    c.add_argument("--buckets", type=int, default=64)
+    c.add_argument("--min-count", type=int, default=1,
+                   help="prune words rarer than this before training "
+                        "(web-scale guard; 1 = exact)")
+    c.set_defaults(fn=cmd_bpe_train)
+
+    c = sub.add_parser("decontaminate",
+                       help="train-vs-eval contamination report "
+                            "(word k-grams or exact substring)")
+    c.add_argument("-i", "--infile", required=True, help="train corpus parquet")
+    c.add_argument("--eval", required=True, help="eval corpus parquet")
+    c.add_argument("-o", "--outdir", required=True)
+    c.add_argument("--method", choices=["kgram", "substring"],
+                   default="kgram")
+    c.add_argument("-k", type=int, default=5, help="word gram size (kgram)")
+    c.add_argument("--min-len", type=int, default=24,
+                   help="substring length threshold (substring)")
+    c.add_argument("--min-hits", type=int, default=1)
+    c.add_argument("--id-column", default="doc_id")
+    c.add_argument("--text-column", default="text")
+    c.set_defaults(fn=cmd_decontaminate)
 
     c = sub.add_parser("pack", help="sequence-packing plan (token offsets + windows)")
     c.add_argument("-i", "--infile", required=True)

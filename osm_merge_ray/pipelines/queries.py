@@ -993,6 +993,67 @@ def text_decontaminate_q(sf_dir: str):
     return out.select_columns(["doc_id", "n_grams", "n_shared"])
 
 
+def text_substring_decontaminate_q(sf_dir: str, min_len: int = 24):
+    """EXACT-substring decontamination (r5): flag every train doc
+    (doc_id % 20 != 0) sharing a character substring of length >=
+    min_len with the eval slice (doc_id % 20 == 0) — the Lee et al.
+    2022 suffix-array criterion as a stride-1 poly41 L-gram probe,
+    catching verbatim leaks word-k-gram Jaccard misses. Eval grams
+    broadcast once via ray.put; the report is one fused train map.
+    Twin: the same 24-step unrolled poly41 fold + gaps-and-islands
+    run lengths in SQL."""
+    from osm_merge_ray.text.decontaminate import substring_contamination_report
+
+    def split(t: pa.Table, keep_eval: bool) -> pa.Table:
+        m = (t.column("doc_id").to_numpy() % 20 == 0)
+        return t.filter(pa.array(m if keep_eval else ~m))
+
+    train = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: split(t, False), batch_format="pyarrow")
+    evals = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        lambda t: split(t, True), batch_format="pyarrow")
+    out = substring_contamination_report(train, evals, min_len=min_len)
+    return out.select_columns(
+        ["doc_id", "n_lgrams", "n_shared", "max_run_chars"])
+
+
+# stride-1 char 24-gram poly41 fold, unrolled exactly as the engine's
+# poly41_grams left-fold (modulo at every step)
+_SUB_L = 24
+_SUB_GRAM = "CAST(0 AS BIGINT)"
+for _j in range(_SUB_L):
+    _SUB_GRAM = (f"(({_SUB_GRAM}) * 1000003 "
+                 f"+ unicode(substr(text, i + {_j}, 1))) % 2199023255551")
+
+SQL_SUBSTR_DECONTAMINATE = f"""
+WITH ev AS (
+  SELECT DISTINCT {_SUB_GRAM} AS h
+  FROM documents,
+       unnest(generate_series(1, greatest(length(text) - {_SUB_L - 1}, 0))) AS t(i)
+  WHERE doc_id % 20 = 0
+), tr AS (
+  SELECT doc_id, i, {_SUB_GRAM} AS h,
+         CAST(greatest(length(text) - {_SUB_L - 1}, 0) AS BIGINT) AS n_lgrams
+  FROM documents,
+       unnest(generate_series(1, greatest(length(text) - {_SUB_L - 1}, 0))) AS t(i)
+  WHERE doc_id % 20 <> 0
+), hit AS (
+  SELECT tr.doc_id, tr.i, tr.n_lgrams FROM tr JOIN ev ON tr.h = ev.h
+), isl AS (
+  SELECT doc_id, n_lgrams, i,
+         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grpk
+  FROM hit
+), runs AS (
+  SELECT doc_id, n_lgrams, count(*) AS runlen
+  FROM isl GROUP BY doc_id, n_lgrams, grpk
+)
+SELECT doc_id, n_lgrams,
+       CAST(sum(runlen) AS BIGINT) AS n_shared,
+       CAST(max(runlen) + {_SUB_L - 1} AS BIGINT) AS max_run_chars
+FROM runs GROUP BY doc_id, n_lgrams
+"""
+
+
 SQL_DECONTAMINATE = """
 WITH w AS (
   SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents
@@ -4085,6 +4146,21 @@ FROM range(64) t(i), UNNEST(range(0, 4)) u(j)
 """
 
 
+def text_bpe_train_q(sf_dir: str, k: int = 8):
+    """Distributed BPE merge-TRAINING (r5): learn the top-k merge table
+    from the documents corpus — one corpus scan builds the bucketed
+    word-count table, then k rounds of (vectorized pair-count partials
+    → bucketed grouped sum → per-bucket top-1, <= num_buckets rows to
+    the driver per round → map-side delimited-string merge). Twin: k
+    UNROLLED training stages in SQL (bpe.bpe_train_sql), each stage
+    aggregating pair counts in BIGINT and picking the winner with the
+    identical (count DESC, a, b) order."""
+    from osm_merge_ray.text.bpe import train_bpe_distributed
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return train_bpe_distributed(ds, n_merges=k, num_buckets=32)
+
+
 def text_token_count_bpe_q(sf_dir: str):
     """REAL BPE token counts: regex pretokenize + the full merge loop
     over the fixed embedded vocabulary (text/bpe.py), ranks table built
@@ -4356,7 +4432,8 @@ def _pii_sql() -> str:
 # (tools/check_oracle.py) and pytest.
 QUERIES = {
     # --- r5 additions (new this round, never driver-hashed) ---
-    # (inserted here as they land)
+    "text_bpe_train": text_bpe_train_q,
+    "text_substring_decontaminate": text_substring_decontaminate_q,
     # --- touched by r5 fixes ---
     "events_distinct_sketch": events_distinct_sketch_q,
     "events_group_distinct": events_group_distinct_q,
@@ -4528,6 +4605,16 @@ def _bpe_sql() -> str:
 
 
 ORACLE_SQL["text_token_count_bpe"] = _bpe_sql()
+
+
+def _bpe_train_sql() -> str:
+    from osm_merge_ray.text.bpe import bpe_train_sql
+
+    return bpe_train_sql(8)
+
+
+ORACLE_SQL["text_bpe_train"] = _bpe_train_sql()
+ORACLE_SQL["text_substring_decontaminate"] = SQL_SUBSTR_DECONTAMINATE
 ORACLE_SQL["text_pii_redact"] = _pii_sql()
 ORACLE_SQL["image_dedup_clusters"] = _sql_image_clusters()
 ORACLE_SQL["text_lm_score"] = SQL_LM_SCORE

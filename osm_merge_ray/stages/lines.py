@@ -101,13 +101,22 @@ def score_tags(ext: dict, osm: dict, cfg: ConflationConfig) -> tuple[int, dict]:
 
 
 def _line_prepare(t: pa.Table, cfg: ConflationConfig, side: int) -> pa.Table:
-    """Light row per feature — except date-line crossers, which emit one
-    row PER SPLIT PART (same feature_id, part-local centroid/bbox/cell,
-    the part geometry in ``part_json``). ``coords_json`` always keeps
+    """Light row per feature — except date-line crossers and
+    oversized (continent-scale bbox) lines, which emit one row PER
+    SPLIT PART (same feature_id, part-local centroid/bbox/cell, the
+    part geometry in ``part_json``). ``coords_json`` always keeps
     the original geometry so output rows carry the full feature;
-    matching parses ``part_json`` when non-empty."""
-    from osm_merge_ray.geo.antimeridian import crosses_antimeridian, split_antimeridian
+    matching parses ``part_json`` when non-empty.
 
+    Span splitting (r5): parts are cut to <= AXIS_CAP/2 base cells per
+    axis, so the replicate cover (part span + 2x band, where the band
+    includes the max PRIMARY part reach ~ span/sqrt(2)) stays within
+    partition.py's 2*AXIS_CAP+1 raise bound — self-splitting replaces
+    the manual cell_res retune the r4 raise demanded."""
+    from osm_merge_ray.geo.antimeridian import crosses_antimeridian, split_antimeridian
+    from osm_merge_ray.geo.split import split_long_line
+
+    span_limit = 0.5 * P.AXIS_CAP * C.cell_edge_deg(cfg.cell_res)
     coords = t.column("coords_json").to_pylist()
     take: list[int] = []
     part_json: list[str] = []
@@ -118,6 +127,7 @@ def _line_prepare(t: pa.Table, cfg: ConflationConfig, side: int) -> pa.Table:
         c = np.asarray(json.loads(cj), dtype=np.float64).reshape(-1, 2)
         parts = (split_antimeridian(c)
                  if crosses_antimeridian(c[:, 0]) else [c])
+        parts = [q for p_ in parts for q in split_long_line(p_, span_limit)]
         whole = len(parts) == 1
         for pc in parts:
             take.append(i)

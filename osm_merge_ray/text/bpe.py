@@ -74,14 +74,16 @@ def merge_all(syms: list[str], a: str, b: str) -> list[str]:
     return out
 
 
-def train_bpe(corpus: str, n_merges: int) -> list[tuple[str, str]]:
-    """Classic BPE training (Sennrich 2016): count adjacent symbol
-    pairs over the pretokenized word multiset, greedily merge the most
-    frequent pair; ties break to the lexicographically smallest pair so
-    training is fully deterministic."""
-    words = Counter(pretokenize(corpus))
+def train_bpe_counts(words: Counter,
+                     n_merges: int) -> list[tuple[str, str, int]]:
+    """Classic BPE training (Sennrich 2016) over a word-count multiset:
+    count adjacent symbol pairs, greedily merge the most frequent pair;
+    ties break to the lexicographically smallest (a, b) so training is
+    fully deterministic. Returns (a, b, pair_count) per merge. This is
+    the single-process reference the distributed trainer
+    (``train_bpe_distributed``) must match exactly."""
     vocab = {w: list(w) for w in words}
-    merges: list[tuple[str, str]] = []
+    merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         pairs: Counter = Counter()
         for w, cnt in words.items():
@@ -92,10 +94,16 @@ def train_bpe(corpus: str, n_merges: int) -> list[tuple[str, str]]:
             break
         top = max(pairs.values())
         best = min(p for p, c in pairs.items() if c == top)
-        merges.append(best)
+        merges.append((best[0], best[1], top))
         for w in vocab:
             vocab[w] = merge_all(vocab[w], *best)
     return merges
+
+
+def train_bpe(corpus: str, n_merges: int) -> list[tuple[str, str]]:
+    """BPE training over one corpus string (the embedded-vocab path)."""
+    return [(a, b) for a, b, _ in
+            train_bpe_counts(Counter(pretokenize(corpus)), n_merges)]
 
 
 @functools.lru_cache(maxsize=1)
@@ -192,3 +200,204 @@ WITH RECURSIVE mg(a, b, r) AS (
 SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_bpe_tokens
 FROM {n_docs_table} d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# distributed merge-training (r4 VERDICT task #3)
+# ---------------------------------------------------------------------------
+
+_SEP = "\x1f"
+
+
+def _delimit(w: str) -> str:
+    return "".join(_SEP + c + _SEP for c in w)
+
+
+def bpe_word_states(ds, text_column: str = "text", num_buckets: int = 64,
+                    min_count: int = 1):
+    """Distributed word-count table (w, cnt, state) — the object BPE
+    training actually iterates on. ONE corpus scan: per-block pretoken
+    counts (vocabulary-sized partials, never per-occurrence rows) into
+    a bucketed grouped sum; ``state`` is the separator-delimited symbol
+    string (``\\x1f c \\x1f`` per char) the merge loop rewrites.
+
+    ``min_count`` prunes rare words BEFORE training (the standard
+    web-scale guard: hapax pretokens are typos/ids that can never win a
+    merge but dominate the vocabulary) — pruning changes pair counts,
+    so the oracle-parity query keeps the exact default of 1."""
+    from osm_merge_ray.ops import grouped_reduce
+
+    def wc_partial(t: pa.Table) -> pa.Table:
+        agg: dict[str, int] = {}
+        for s in t.column(text_column).to_pylist():
+            for w in pretokenize(s):
+                agg[w] = agg.get(w, 0) + 1
+        return pa.table({"w": pa.array(list(agg), pa.string()),
+                         "cnt": pa.array(list(agg.values()), pa.int64())})
+
+    wt = grouped_reduce(
+        ds.map_batches(wc_partial, batch_format="pyarrow"), ["w"],
+        lambda d: d.groupby("w", as_index=False)["cnt"].sum(),
+        num_buckets=num_buckets)
+
+    lim = int(min_count)
+
+    def add_state(t: pa.Table) -> pa.Table:
+        if lim > 1:
+            t = t.filter(pa.compute.greater_equal(t.column("cnt"), lim))
+        states = [_delimit(w) for w in t.column("w").to_pylist()]
+        return t.append_column("state", pa.array(states, pa.string()))
+
+    return wt.map_batches(add_state, batch_format="pyarrow")
+
+
+def _pair_partial(t: pa.Table) -> pa.Table:
+    """Per-block adjacent-pair counts over the word-state table:
+    trim/split the delimited states (Arrow kernels), zip adjacent
+    symbols within each word, weight by word count — vectorized, one
+    output row per distinct pair per block."""
+    import pyarrow.compute as pc
+
+    empty = pa.table({"a": pa.array([], pa.string()),
+                      "b": pa.array([], pa.string()),
+                      "c": pa.array([], pa.int64())})
+    if t.num_rows == 0:
+        return empty
+    cnt = t.column("cnt").to_numpy().astype(np.int64)
+    lists = pc.split_pattern(
+        pc.utf8_trim(t.column("state"), _SEP), _SEP + _SEP)
+    flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+    offs = np.asarray(pc.list_value_length(lists)).astype(np.int64)
+    if len(flat) < 2:
+        return empty
+    idx = np.repeat(np.arange(len(offs)), offs)
+    same = idx[:-1] == idx[1:]
+    if not same.any():
+        return empty
+    df = pd.DataFrame({
+        "a": flat[:-1][same], "b": flat[1:][same],
+        "c": cnt[idx[:-1][same]],
+    }).groupby(["a", "b"], as_index=False)["c"].sum()
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _pair_top1(df: pd.DataFrame) -> pd.DataFrame:
+    """Bucket combiner: sum partials per pair, keep the bucket's single
+    best (count desc, then (a, b) asc — the deterministic BPE
+    tie-break). Pairs are disjoint across buckets, so the global best
+    is among the <= num_buckets survivors the driver sees."""
+    s = df.groupby(["a", "b"], as_index=False)["c"].sum()
+    s["c"] = s["c"].astype(np.int64)
+    return s.sort_values(["c", "a", "b"], ascending=[False, True, True],
+                         kind="mergesort").head(1)
+
+
+def train_bpe_distributed(ds, text_column: str = "text", n_merges: int = 8,
+                          num_buckets: int = 32,
+                          min_count: int = 1) -> pd.DataFrame:
+    """Distributed BPE merge-training: learn the top-``n_merges`` merge
+    table from a corpus Dataset, bit-identical to the single-process
+    ``train_bpe_counts`` over the same word multiset.
+
+    Shape (designed for 100 TB): the corpus is scanned ONCE to build
+    the bucketed word-count table (vocabulary-sized, light rows — this
+    is what the merge loop iterates on, never the corpus). Each of the
+    k rounds is then (a) a vectorized pair-count partial per word-table
+    block, (b) a bucketed grouped sum whose combiner emits ONE row per
+    bucket (the driver sees <= num_buckets candidate pairs per round —
+    a fixed-size reduction, not a vocabulary collect), (c) a map-side
+    delimited-string replace applying the winning merge (identical
+    non-overlapping occurrences as ``merge_all``; see module
+    docstring). The word table is materialized per round so round k
+    doesn't replay rounds 1..k-1 — it is a light projection
+    (vocabulary-sized), the documented safe case for materialize().
+
+    Returns one row per learned merge: (r, a, b, pair_count).
+    """
+    import pyarrow.compute as pc
+
+    wt = bpe_word_states(ds, text_column=text_column,
+                         num_buckets=num_buckets,
+                         min_count=min_count).materialize()
+    from osm_merge_ray.ops import grouped_reduce
+
+    rows = []
+    for r in range(int(n_merges)):
+        parts = grouped_reduce(
+            wt.map_batches(_pair_partial, batch_format="pyarrow"),
+            ["a", "b"], _pair_top1, num_buckets=num_buckets).to_pandas()
+        if parts.empty:
+            break
+        best = parts.sort_values(["c", "a", "b"],
+                                 ascending=[False, True, True],
+                                 kind="mergesort").iloc[0]
+        a, b = str(best["a"]), str(best["b"])
+        rows.append({"r": r, "a": a, "b": b,
+                     "pair_count": np.int64(best["c"])})
+        pat = _SEP + a + _SEP + _SEP + b + _SEP
+        rep = _SEP + a + b + _SEP
+
+        def apply_merge(t: pa.Table, pat=pat, rep=rep) -> pa.Table:
+            st = pc.replace_substring(t.column("state"), pattern=pat,
+                                      replacement=rep)
+            return t.set_column(t.column_names.index("state"), "state", st)
+
+        wt = wt.map_batches(apply_merge,
+                            batch_format="pyarrow").materialize()
+    out = pd.DataFrame(rows, columns=["r", "a", "b", "pair_count"])
+    return out.astype({"r": np.int64, "pair_count": np.int64})
+
+
+def bpe_train_sql(n_merges: int, table: str = "documents") -> str:
+    """DuckDB twin of ``train_bpe_distributed``: k UNROLLED training
+    stages (the graph_pagerank unrolled-iteration pattern — a recursive
+    CTE cannot aggregate over its own recursive table). Stage i splits
+    the delimited states of stage i-1 (trim + split on the doubled
+    separator, exactly the engine's Arrow kernels), zips adjacent
+    symbols with parallel unnest over the two list slices, sums pair
+    counts in BIGINT, picks the winner with the identical (c DESC, a,
+    b) order, and rewrites states with the same string replace. The
+    state/winner CTEs are AS MATERIALIZED — without the hint DuckDB
+    inlines the chain and re-evaluates it exponentially in k
+    (measured: k=4 1.3 s, k=6 did not finish; materialized, linear)."""
+    s2 = "chr(31) || chr(31)"
+    parts = [f"""
+WITH w AS (
+  SELECT unnest(regexp_extract_all(text, {_sq(BPE_PRETOKEN_PAT)})) AS w
+  FROM {table}
+), wc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY w
+), st0 AS MATERIALIZED (
+  SELECT cnt, array_to_string(
+           list_transform(string_split(w, ''), c -> chr(31) || c || chr(31)),
+           '') AS state
+  FROM wc
+)"""]
+    for i in range(1, int(n_merges) + 1):
+        p = i - 1
+        parts.append(f""", tk{i} AS (
+  SELECT cnt, string_split(trim(state, chr(31)), {s2}) AS toks FROM st{p}
+), pr{i} AS (
+  SELECT unnest(toks[1:len(toks)-1]) AS a, unnest(toks[2:len(toks)]) AS b,
+         cnt
+  FROM tk{i} WHERE len(toks) > 1
+), pc{i} AS (
+  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS c FROM pr{i} GROUP BY a, b
+), b{i} AS MATERIALIZED (
+  SELECT a, b, c FROM pc{i} ORDER BY c DESC, a ASC, b ASC LIMIT 1
+), st{i} AS MATERIALIZED (
+  SELECT cnt, replace(state,
+    chr(31) || (SELECT a FROM b{i}) || {s2} || (SELECT b FROM b{i}) || chr(31),
+    chr(31) || (SELECT a FROM b{i}) || (SELECT b FROM b{i}) || chr(31)
+  ) AS state
+  FROM st{p}
+)""")
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT {i - 1} AS r, a, b, c AS pair_count FROM b{i}"
+        for i in range(1, int(n_merges) + 1))
+    parts.append(f"""
+SELECT CAST(r AS BIGINT) AS r, a, b, pair_count
+FROM ({union})
+ORDER BY r
+""")
+    return "".join(parts)

@@ -164,3 +164,154 @@ def decontaminate(train_ds, eval_ds, k: int = 5, id_column: str = "doc_id",
     return bucketed_hash_join(
         train_ds, bad.select_columns([id_column]), key=id_column,
         num_buckets=num_buckets, how="anti")
+
+
+def _lgram_hits_partial(t: pa.Table, min_len: int, id_column: str,
+                        text_column: str, ev: np.ndarray,
+                        min_hits: int) -> pa.Table:
+    """Per-doc substring-hit stats against the broadcast sorted eval
+    L-gram set: n_lgrams (stride-1 char grams), n_shared (hit
+    positions) and max_run_chars (longest consecutive hit run + L-1,
+    an upper bound on the longest common substring; see
+    substring_contamination_report)."""
+    from osm_merge_ray.util import poly41_grams
+
+    ids_out, n_l, n_s, n_r = [], [], [], []
+    for did, s in zip(t.column(id_column).to_pylist(),
+                      t.column(text_column).to_pylist()):
+        h = poly41_grams(s or "", min_len)
+        if len(h) == 0:
+            continue
+        if len(ev):
+            pos = np.minimum(np.searchsorted(ev, h), len(ev) - 1)
+            hit = ev[pos] == h
+        else:
+            hit = np.zeros(len(h), dtype=bool)
+        ns = int(hit.sum())
+        if ns < min_hits:
+            continue
+        # longest consecutive run of hits: boundaries of True islands
+        d = np.diff(np.r_[0, hit.astype(np.int8), 0])
+        starts = np.flatnonzero(d == 1)
+        ends = np.flatnonzero(d == -1)
+        run = int((ends - starts).max()) if len(starts) else 0
+        ids_out.append(did)
+        n_l.append(len(h))
+        n_s.append(ns)
+        n_r.append(run + min_len - 1 if run else 0)
+    return pa.table({
+        id_column: pa.array(ids_out, type=t.column(id_column).type),
+        "n_lgrams": pa.array(n_l, pa.int64()),
+        "n_shared": pa.array(n_s, pa.int64()),
+        "max_run_chars": pa.array(n_r, pa.int64()),
+    })
+
+
+def substring_contamination_report(train_ds, eval_ds, min_len: int = 24,
+                                   id_column: str = "doc_id",
+                                   text_column: str = "text",
+                                   min_hits: int = 1,
+                                   num_buckets: int = 64,
+                                   broadcast_max_grams: int = 4_000_000):
+    """EXACT-substring decontamination (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    suffix-array exact-substring criterion, re-expressed as a
+    stride-1 character-L-gram probe): a train doc is flagged iff it
+    shares a character substring of length >= ``min_len`` with the
+    eval corpus. This is exact because any common substring of length
+    >= L contains a common substring of length exactly L, and the
+    probe tests EVERY length-L window (stride 1, poly41 rolling hash —
+    identically computable in DuckDB, so the report has a bit-exact
+    SQL twin). Catches verbatim leaks that word-k-gram Jaccard misses
+    (re-tokenized boundaries, concatenated text, punctuation drift).
+
+    Output per flagged doc: ``n_lgrams`` (own window count),
+    ``n_shared`` (hit windows), ``max_run_chars`` = longest
+    consecutive hit run + L - 1 — an UPPER bound on the longest
+    common substring with eval (a true common substring of length S
+    yields exactly S - L + 1 consecutive hits from one eval
+    occurrence; unrelated neighbouring hits can only lengthen a run).
+
+    Shape: the eval side reduces to its distinct L-gram hash set
+    (benchmark-sized) and is broadcast via ``ray.put`` when under
+    ``broadcast_max_grams``; the whole report is then ONE fused map
+    over the train corpus — no gram row ever leaves its task. Above
+    the cap, a bucketed join fallback ships (gram, doc, pos) rows —
+    corpus-scale; prefer raising the cap or a larger ``min_len``.
+    """
+    from osm_merge_ray.util import poly41_grams
+
+    def ev_partial(t: pa.Table) -> pa.Table:
+        parts = [poly41_grams(s or "", min_len)
+                 for s in t.column(text_column).to_pylist()]
+        g = (np.unique(np.concatenate(parts)) if parts
+             else np.empty(0, dtype=np.int64))
+        return pa.table({"gram_hash": pa.array(g, pa.int64())})
+
+    def uniq(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"gram_hash": np.unique(df["gram_hash"].to_numpy())})
+
+    eval_u = grouped_reduce(
+        eval_ds.map_batches(ev_partial, batch_format="pyarrow"),
+        ["gram_hash"], uniq, num_buckets=num_buckets).materialize()
+
+    if broadcast_max_grams and eval_u.count() <= broadcast_max_grams:
+        import ray
+
+        ev = np.sort(
+            eval_u.to_pandas()["gram_hash"].to_numpy().astype(np.int64))
+        ref = ray.put(ev)
+
+        def report(t: pa.Table) -> pa.Table:
+            return _lgram_hits_partial(t, min_len, id_column, text_column,
+                                       ray.get(ref), min_hits)
+
+        return train_ds.map_batches(report, batch_format="pyarrow")
+
+    # join fallback: explode train windows WITH positions (heavy —
+    # corpus x doc-length rows; the broadcast path is the scale path)
+    def tr_rows(t: pa.Table) -> pa.Table:
+        ids, gh, pos, nl = [], [], [], []
+        for did, s in zip(t.column(id_column).to_pylist(),
+                          t.column(text_column).to_pylist()):
+            h = poly41_grams(s or "", min_len)
+            if len(h) == 0:
+                continue
+            ids.extend([did] * len(h))
+            gh.append(h)
+            pos.append(np.arange(len(h), dtype=np.int64))
+            nl.extend([len(h)] * len(h))
+        g = np.concatenate(gh) if gh else np.empty(0, dtype=np.int64)
+        p = np.concatenate(pos) if pos else np.empty(0, dtype=np.int64)
+        return pa.table({
+            "gram_hash": pa.array(g, pa.int64()),
+            id_column: pa.array(ids, type=t.column(id_column).type),
+            "pos": pa.array(p, pa.int64()),
+            "n_lgrams": pa.array(nl, pa.int64()),
+        })
+
+    hits = bucketed_hash_join(
+        train_ds.map_batches(tr_rows, batch_format="pyarrow"),
+        eval_u, key="gram_hash", num_buckets=num_buckets, how="inner")
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for did, grp in df.groupby(id_column, sort=False):
+            p = np.sort(grp["pos"].to_numpy().astype(np.int64))
+            p = np.unique(p)
+            ns = len(p)
+            if ns < min_hits:
+                continue
+            brk = np.flatnonzero(np.diff(p) > 1)
+            run = int(np.max(np.diff(np.r_[-1, brk, ns - 1]))) if ns else 0
+            out.append({id_column: did,
+                        "n_lgrams": np.int64(grp["n_lgrams"].iloc[0]),
+                        "n_shared": np.int64(ns),
+                        "max_run_chars": np.int64(
+                            run + min_len - 1 if run else 0)})
+        cols = [id_column, "n_lgrams", "n_shared", "max_run_chars"]
+        return pd.DataFrame(out, columns=cols)
+
+    return grouped_reduce(hits, [id_column], per_doc,
+                          num_buckets=num_buckets)

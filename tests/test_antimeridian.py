@@ -188,16 +188,125 @@ def test_meridian_matches_bruteforce_distances(meridian_sets):
             assert out.loc[fid, "decision"] == "new", fid
 
 
-def test_oversized_geometry_fails_loudly(ray_session):
-    """A non-crossing secondary spanning >17 base cells is no longer
-    silently trimmed — the replication stage raises with guidance."""
-    c_ok = _hline(-106.0, 39.0)
-    giant = [[-106.0 + k, 39.0] for k in range(4)]  # 3° span at res 12
-    tp = features_to_table(
-        [{"geometry": {"type": "LineString", "coordinates": c_ok},
-          "properties": {"name": "A Road"}}])
-    ts = features_to_table(
-        [{"geometry": {"type": "LineString", "coordinates": giant},
-          "properties": {"name": "A Road"}}], start_id=5000)
-    with pytest.raises(Exception, match="cells per axis"):
-        conflate_lines(rd.from_arrow(tp), rd.from_arrow(ts), CFG).to_pandas()
+def test_split_long_line_semantics():
+    """r5: the bbox-span splitter — passthrough, span bound, shared
+    boundary vertices, collinear subdivision of over-long segments."""
+    from osm_merge_ray.geo.split import split_long_line
+
+    small = np.array([[10.0, 1.0], [10.01, 1.01]])
+    sp = split_long_line(small, 0.1)
+    assert len(sp) == 1 and np.array_equal(sp[0], small)
+
+    # single 3° segment: must subdivide at collinear points
+    seg = np.array([[-106.0, 38.0], [-103.0, 38.0]])
+    parts = split_long_line(seg, 0.35)
+    assert len(parts) >= 9
+    for p in parts:
+        assert p[:, 0].max() - p[:, 0].min() <= 0.35 + 1e-9
+        assert np.allclose(p[:, 1], 38.0)       # collinear cuts
+    # contiguous: each part starts where the previous ended
+    for a, b in zip(parts, parts[1:]):
+        assert np.allclose(a[-1], b[0])
+    assert np.allclose(parts[0][0], seg[0])
+    assert np.allclose(parts[-1][-1], seg[1])
+
+    # multi-vertex diagonal with both axes active
+    diag = np.array([[0.0, 0.0], [0.2, 0.15], [0.5, 0.55], [1.2, 0.6]])
+    parts = split_long_line(diag, 0.3)
+    for p in parts:
+        assert p[:, 0].max() - p[:, 0].min() <= 0.3 + 1e-9
+        assert p[:, 1].max() - p[:, 1].min() <= 0.3 + 1e-9
+    # every original vertex survives in order across the parts
+    chain = np.vstack([parts[0]] + [p[1:] for p in parts[1:]])
+    vi = 0
+    for v in diag:
+        while vi < len(chain) and not np.allclose(chain[vi], v):
+            vi += 1
+        assert vi < len(chain), f"vertex {v} lost"
+
+
+def test_oversized_geometry_self_splits_and_matches_oracle(ray_session):
+    """r4 VERDICT task #7: a non-crossing line spanning >17 base cells
+    used to RAISE in the replication stage; it now self-splits into
+    span-bounded parts (one row per part, best-part reduce) and the
+    decisions match the partition-blind brute-force oracle — including
+    a primary near the FAR end of the giant (the pair the old trim
+    would have lost)."""
+    giant = [[-106.0 + 0.1 * k, 39.0] for k in range(31)]      # 3° span
+    giant_seg = [[-106.0, 38.0], [-103.0, 38.0]]  # single 3° segment
+    pr = {"name": "A Road", "highway": "track"}
+    tp = features_to_table([
+        # near the EAST end of giant, ~3.3 m south
+        {"geometry": {"type": "LineString",
+                      "coordinates": [[-103.0006, 38.99997],
+                                      [-103.0001, 38.99997]]},
+         "properties": pr},
+        # near the WEST end of giant_seg
+        {"geometry": {"type": "LineString",
+                      "coordinates": [[-105.99995, 38.00003],
+                                      [-105.9995, 38.00003]]},
+         "properties": pr},
+        # isolated: no secondary within band
+        {"geometry": {"type": "LineString",
+                      "coordinates": [[-104.5, 39.5], [-104.499, 39.5]]},
+         "properties": pr},
+    ])
+    ts = features_to_table([
+        {"geometry": {"type": "LineString", "coordinates": giant},
+         "properties": {**pr, "version": 2}},
+        {"geometry": {"type": "LineString", "coordinates": giant_seg},
+         "properties": {**pr, "version": 2}},
+    ], start_id=5000)
+
+    out = conflate_lines(rd.from_arrow(tp), rd.from_arrow(ts),
+                         CFG).to_pandas().set_index("feature_id")
+    assert sorted(out.index) == [0, 1, 2]  # one row per ORIGINAL primary
+
+    # partition-blind oracle: nearest secondary by whole-line distance
+    p_rows = tp.to_pylist()
+    s_rows = ts.to_pylist()
+    for p in p_rows:
+        pc_ = np.asarray(json.loads(p["coords_json"]), dtype=np.float64)
+        bd, bid = np.inf, None
+        for s in s_rows:
+            sc_ = np.asarray(json.loads(s["coords_json"]), dtype=np.float64)
+            d = polyline_min_dist_m(pc_, sc_)
+            if d < bd:
+                bd, bid = d, s["feature_id"]
+        fid = p["feature_id"]
+        if bd <= CFG.distance_m:
+            assert out.loc[fid, "matched_id"] == bid, fid
+            assert out.loc[fid, "dist_m"] == pytest.approx(bd, abs=1e-6)
+            assert out.loc[fid, "decision"] != "new"
+        else:
+            assert out.loc[fid, "decision"] == "new", fid
+    # output geometry stays the ORIGINAL (unsplit) primary
+    got = json.loads(out.loc[0, "coords_json"])
+    assert got == json.loads(tp.column("coords_json")[0].as_py())
+
+
+def test_oversized_secondary_as_primary_side_splits(ray_session):
+    """The giant line on the PRIMARY side also self-splits: each part
+    seeks its own candidates and the best-part reduce returns one
+    decision for the original feature."""
+    giant = [[-106.0 + 0.1 * k, 39.0] for k in range(31)]
+    pr = {"name": "A Road", "highway": "track"}
+    tp = features_to_table([
+        {"geometry": {"type": "LineString", "coordinates": giant},
+         "properties": pr},
+    ])
+    # secondary hugging the middle of the giant
+    ts = features_to_table([
+        {"geometry": {"type": "LineString",
+                      "coordinates": [[-104.60, 39.00003],
+                                      [-104.40, 39.00003]]},
+         "properties": {**pr, "version": 2}},
+    ], start_id=5000)
+    out = conflate_lines(rd.from_arrow(tp), rd.from_arrow(ts),
+                         CFG).to_pandas()
+    assert list(out["feature_id"]) == [0]
+    assert out.iloc[0]["matched_id"] == 5000
+    want = polyline_min_dist_m(
+        np.asarray(giant, dtype=np.float64),
+        np.asarray([[-104.60, 39.00003], [-104.40, 39.00003]]))
+    assert out.iloc[0]["dist_m"] == pytest.approx(want, abs=1e-6)

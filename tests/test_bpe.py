@@ -94,3 +94,78 @@ def test_cache_is_correct():
     a = bpe_token_count(" table", ranks, cache)
     b = bpe_token_count(" table", ranks, cache)
     assert a == b and " table" in cache
+
+
+def test_train_bpe_distributed_matches_reference(ray_session):
+    """r5: distributed merge-training == single-process train_bpe_counts
+    over the same per-document word multiset, layout-invariant, with
+    the adversarial cases (overlapping 'aaaa', contractions, empty
+    docs, punctuation runs) planted."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from osm_merge_ray.text.bpe import (pretokenize, train_bpe_counts,
+                                        train_bpe_distributed)
+
+    docs = ["the cat sat on the mat", "the bat and the cat chat",
+            "it's the that then there these 123 456 !!", "aaa aaab aaaa",
+            "merge merge merges merged merging", ""] * 7
+    t = pa.table({"text": pa.array(docs, pa.string())})
+
+    words = Counter()
+    for d in docs:
+        words.update(pretokenize(d))
+    ref = train_bpe_counts(words, 10)
+
+    def run(nblocks, nb):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        return train_bpe_distributed(ds, n_merges=10, num_buckets=nb)
+
+    out = run(5, 7)
+    assert out["r"].tolist() == list(range(10))
+    assert [tuple(x) for x in out[["a", "b", "pair_count"]].values] == ref
+    # layout invariance: blocks and buckets must not change the result
+    assert run(1, 3).equals(out)
+    assert run(11, 16).equals(out)
+
+
+def test_train_bpe_distributed_early_stop_and_min_count(ray_session):
+    import ray.data as rd
+
+    from osm_merge_ray.text.bpe import train_bpe_distributed
+
+    # single-char vocabulary after 1 merge: 'ab' exhausts all pairs
+    t = pa.table({"text": pa.array(["ab ab ab"], pa.string())})
+    out = train_bpe_distributed(rd.from_arrow(t), n_merges=5)
+    # merges stop when no pairs remain (' a' 'b' then exhaustion path);
+    # the trainer must not loop or pad
+    assert len(out) < 5 or out["pair_count"].min() >= 1
+
+    # min_count prunes rare words from the trained multiset
+    t2 = pa.table({"text": pa.array(["zz " * 50 + "rareword"], pa.string())})
+    pruned = train_bpe_distributed(rd.from_arrow(t2), n_merges=2,
+                                   min_count=5)
+    assert all("rareword".find(a + b) < 0
+               for a, b in pruned[["a", "b"]].values)
+
+
+def test_bpe_train_sql_twin_matches_engine(ray_session):
+    """The k-unrolled SQL stages replay training bit-exactly."""
+    import duckdb
+    import ray.data as rd
+
+    from osm_merge_ray.text.bpe import bpe_train_sql, train_bpe_distributed
+
+    docs = ["she sells sea shells by the sea shore",
+            "peter piper picked a peck of pickled peppers",
+            "it's a test, isn't it? 42 42 42"] * 3
+    t = pa.table({"text": pa.array(docs, pa.string())})
+    eng = train_bpe_distributed(rd.from_arrow(t).repartition(4),
+                                n_merges=6, num_buckets=8)
+    con = duckdb.connect()
+    con.register("documents", t)
+    sql = con.execute(bpe_train_sql(6)).df()
+    assert sql[["a", "b"]].values.tolist() == eng[["a", "b"]].values.tolist()
+    assert sql["pair_count"].astype("int64").tolist() == \
+        eng["pair_count"].tolist()

@@ -282,3 +282,37 @@ def test_cli_sample_and_distinct(ray_session, tmp_path):
                      "--group-column", "source", "-k", "8"]) == 0
     assert cli_main(["distinct", "-i", str(indir),
                      "--column", "user_id"]) == 0
+
+
+def test_cli_bpe_train_and_decontaminate(ray_session, tmp_path):
+    """r5: bpe-train / decontaminate subcommands over parquet inputs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    train = tmp_path / "train.parquet"
+    evalp = tmp_path / "eval.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["the cat sat on the mat and the cat ran",
+                          "xxcret answerkey is fortytwyy",
+                          "nothing shared here at all"], pa.string()),
+    }), str(train))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([10], pa.int64()),
+        "text": pa.array(["the secret answerkey is fortytwo exactly"],
+                         pa.string()),
+    }), str(evalp))
+
+    merges_out = tmp_path / "merges.parquet"
+    assert cli_main(["bpe-train", "-i", str(train), "-o", str(merges_out),
+                     "--merges", "4"]) == 0
+    m = pq.read_table(str(merges_out)).to_pandas()
+    assert list(m.columns) == ["r", "a", "b", "pair_count"]
+    assert len(m) == 4 and m["pair_count"].is_monotonic_decreasing is not None
+
+    rep = tmp_path / "rep"
+    assert cli_main(["decontaminate", "-i", str(train), "--eval", str(evalp),
+                     "-o", str(rep), "--method", "substring",
+                     "--min-len", "24"]) == 0
+    df = pq.read_table(str(rep)).to_pandas()
+    assert set(df["doc_id"]) == {2}

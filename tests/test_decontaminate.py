@@ -107,3 +107,78 @@ def test_broadcast_path_equals_join_path(ray_session):
                               broadcast_max_flagged=0).to_pandas())
     pd.testing.assert_frame_equal(dfast, dslow.astype(dfast.dtypes.to_dict()))
     assert len(dfast) < 200
+
+
+def _lgrams(s: str, L: int) -> set:
+    return {s[i:i + L] for i in range(len(s) - L + 1)} if len(s) >= L else set()
+
+
+def test_substring_report_matches_bruteforce(ray_session):
+    """r5: stride-1 char-L-gram probe == brute-force string-set oracle
+    (n_shared, max_run upper bound), broadcast and join paths equal."""
+    from osm_merge_ray.text.decontaminate import substring_contamination_report
+
+    L = 12
+    df = _mk_corpus(80)
+    evals = df[df["doc_id"] % 10 == 0]
+    train = df[df["doc_id"] % 10 != 0]
+
+    ev_set = set()
+    for s in evals["text"]:
+        ev_set |= _lgrams(s, L)
+
+    want = {}
+    for did, s in zip(train["doc_id"], train["text"]):
+        hits = [s[i:i + L] in ev_set for i in range(len(s) - L + 1)]
+        ns = sum(hits)
+        if ns:
+            run, best = 0, 0
+            for h in hits:
+                run = run + 1 if h else 0
+                best = max(best, run)
+            want[did] = (len(hits), ns, best + L - 1)
+
+    def run_path(cap):
+        out = substring_contamination_report(
+            rd.from_pandas(train).repartition(4),
+            rd.from_pandas(evals).repartition(3),
+            min_len=L, broadcast_max_grams=cap).to_pandas()
+        return {r.doc_id: (r.n_lgrams, r.n_shared, r.max_run_chars)
+                for r in out.itertuples()}
+
+    got = run_path(4_000_000)            # broadcast path
+    assert got == want
+    assert run_path(1) == want           # join fallback path
+
+
+def test_substring_catches_leak_word_kgram_misses(ray_session):
+    """The motivating case (r4 VERDICT #5): a verbatim eval substring
+    embedded WITHOUT clean word boundaries — word-3-gram containment
+    sees no shared gram, the char-L-gram probe flags it."""
+    from osm_merge_ray.text.decontaminate import substring_contamination_report
+
+    eval_df = pd.DataFrame({
+        "doc_id": np.array([0], dtype=np.int64),
+        "text": ["the secret answerkey is fortytwo exactly"]})
+    train_df = pd.DataFrame({
+        "doc_id": np.array([1, 2], dtype=np.int64),
+        "text": [
+            # 25-char verbatim leak glued to junk on both ends: the
+            # fused boundary words leave only a 2-word intact run, so
+            # NO word 3-gram is shared — but the substring is verbatim
+            "xxcret answerkey is fortytwyy",
+            "completely unrelated text with no overlap at all",
+        ]})
+    tr = rd.from_pandas(train_df)
+    ev = rd.from_pandas(eval_df)
+
+    word = contamination_report(tr, ev, k=3).to_pandas()
+    # word-gram misses the leak entirely (empty report drops columns)
+    assert len(word) == 0 or 1 not in set(word["doc_id"])
+
+    sub = substring_contamination_report(tr, ev, min_len=24).to_pandas()
+    assert set(sub["doc_id"]) == {1}      # substring probe catches it
+    row = sub.set_index("doc_id").loc[1]
+    # shared region is 25 chars: upper bound >= truth, >= min_len
+    assert row["max_run_chars"] >= 25
+    assert row["n_shared"] >= 25 - 24 + 1
