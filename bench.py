@@ -54,6 +54,9 @@ def _bench_queries():
         "dedup_phash_hamming", "text_inverted_index",
         "multimodal_integrity", "text_pii_redact", "text_lm_score",
         "image_dedup_clusters",
+        # r5 additions: distributed BPE merge-training, exact-substring
+        # decontamination, vectorized langid
+        "text_bpe_train", "text_substring_decontaminate", "text_langid",
     ]
     return [(n, lambda n=n: consume(Q.QUERIES[n](SF_DIR))) for n in names]
 
