@@ -57,6 +57,7 @@ def _bench_queries():
         # r5 additions: distributed BPE merge-training, exact-substring
         # decontamination, vectorized langid
         "text_bpe_train", "text_substring_decontaminate", "text_langid",
+        "text_chunk_plan",
     ]
     return [(n, lambda n=n: consume(Q.QUERIES[n](SF_DIR))) for n in names]
 

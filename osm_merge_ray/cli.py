@@ -433,6 +433,24 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_chunk(args) -> int:
+    """Sliding-window chunk plan over a parquet corpus: one integer row
+    per (doc, chunk) — chunk_idx/start_tok/n_toks (text/chunking.py)."""
+    _ray()
+    import ray.data as rd
+
+    from osm_merge_ray.text.chunking import chunk_plan
+
+    ds = rd.read_parquet(args.infile,
+                         columns=[args.id_column, args.text_column])
+    chunk_plan(ds, window=args.window, overlap=args.overlap,
+               id_column=args.id_column,
+               text_column=args.text_column).write_parquet(args.outdir)
+    print(f"wrote chunk plan (window={args.window}, "
+          f"overlap={args.overlap}) to {args.outdir}")
+    return 0
+
+
 def cmd_bpe_train(args) -> int:
     """Distributed BPE merge-training over a parquet corpus: learn the
     top-k merge table (text/bpe.py train_bpe_distributed) and write it
@@ -716,6 +734,16 @@ def main(argv=None) -> int:
                    help="PII-redact before curating (survivors + plan "
                         "see redacted text)")
     c.set_defaults(fn=cmd_curate)
+
+    c = sub.add_parser("chunk", help="sliding-window chunk plan "
+                                     "(doc_id, chunk_idx, start_tok, n_toks)")
+    c.add_argument("-i", "--infile", required=True)
+    c.add_argument("-o", "--outdir", required=True)
+    c.add_argument("--window", type=int, default=256)
+    c.add_argument("--overlap", type=int, default=32)
+    c.add_argument("--id-column", default="doc_id")
+    c.add_argument("--text-column", default="text")
+    c.set_defaults(fn=cmd_chunk)
 
     c = sub.add_parser("bpe-train",
                        help="distributed BPE merge-training (learned "

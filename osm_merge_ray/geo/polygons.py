@@ -66,3 +66,38 @@ def intersection_area(a: np.ndarray, b: np.ndarray) -> float:
 def bbox_of(poly: np.ndarray) -> tuple[float, float, float, float]:
     p = np.asarray(poly, dtype=np.float64)
     return float(p[:, 0].min()), float(p[:, 1].min()), float(p[:, 0].max()), float(p[:, 1].max())
+
+
+def split_polygon_span(ring: np.ndarray,
+                       max_span_deg: float) -> list[np.ndarray]:
+    """Slice a CONVEX ring into convex pieces whose bboxes span at most
+    ``max_span_deg`` per axis, by clipping against an axis-aligned grid
+    of boxes (Sutherland–Hodgman with a rectangle clip window — each
+    piece stays convex). Pieces PARTITION the polygon (disjoint
+    interiors, union = original), so intersection areas over the
+    pieces SUM exactly to the whole-polygon intersection area — the
+    invariant the oversized-polygon conflation path relies on
+    (stages/overlap.py, r5). Within-span inputs return ``[ring]``
+    unchanged; a degenerate (zero-area) oversized ring also returns
+    ``[ring]`` so the caller's raise-not-truncate contract still
+    fires."""
+    ring = ensure_ccw(np.asarray(ring, dtype=np.float64))
+    if max_span_deg <= 0:
+        raise ValueError("max_span_deg must be positive")
+    x0, y0, x1, y1 = bbox_of(ring)
+    if (x1 - x0) <= max_span_deg and (y1 - y0) <= max_span_deg:
+        return [ring]
+    nx = int(np.ceil((x1 - x0) / max_span_deg))
+    ny = int(np.ceil((y1 - y0) / max_span_deg))
+    out: list[np.ndarray] = []
+    for i in range(nx):
+        bx0 = x0 + i * max_span_deg
+        bx1 = min(bx0 + max_span_deg, x1)
+        for j in range(ny):
+            by0 = y0 + j * max_span_deg
+            by1 = min(by0 + max_span_deg, y1)
+            box = np.array([[bx0, by0], [bx1, by0], [bx1, by1], [bx0, by1]])
+            piece = convex_clip(ring, box)
+            if len(piece) >= 3 and abs(shoelace_area(piece)) > 0.0:
+                out.append(piece)
+    return out if out else [ring]

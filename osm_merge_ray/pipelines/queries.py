@@ -993,6 +993,35 @@ def text_decontaminate_q(sf_dir: str):
     return out.select_columns(["doc_id", "n_grams", "n_shared"])
 
 
+def text_chunk_plan_q(sf_dir: str, window: int = 32, overlap: int = 8):
+    """Sliding-window chunk plan (r5, text/chunking.py): one integer
+    row per (doc, chunk) — chunk_idx, start_tok, n_toks over the
+    space-split token stream; window 32 / overlap 8 so sf-scale docs
+    (~50-90 tokens) produce multi-chunk plans. Shuffle-free fused map;
+    twin is a generate_series explode with the identical ceil-div."""
+    from osm_merge_ray.text.chunking import chunk_plan
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_plan(ds, window=window, overlap=overlap).select_columns(
+        ["doc_id", "chunk_idx", "start_tok", "n_toks"])
+
+
+SQL_CHUNK_PLAN = """
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+), c AS (
+  SELECT doc_id, n,
+         CAST(1 + (greatest(n - 32, 0) + 23) // 24 AS BIGINT) AS n_chunks
+  FROM d
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * 24 AS BIGINT) AS start_tok,
+       CAST(least(i * 24 + 32, n) - i * 24 AS BIGINT) AS n_toks
+FROM c, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+"""
+
+
 def text_substring_decontaminate_q(sf_dir: str, min_len: int = 24):
     """EXACT-substring decontamination (r5): flag every train doc
     (doc_id % 20 != 0) sharing a character substring of length >=
@@ -4434,6 +4463,7 @@ QUERIES = {
     # --- r5 additions (new this round, never driver-hashed) ---
     "text_bpe_train": text_bpe_train_q,
     "text_substring_decontaminate": text_substring_decontaminate_q,
+    "text_chunk_plan": text_chunk_plan_q,
     # --- touched by r5 fixes ---
     "events_distinct_sketch": events_distinct_sketch_q,
     "events_group_distinct": events_group_distinct_q,
@@ -4615,6 +4645,7 @@ def _bpe_train_sql() -> str:
 
 ORACLE_SQL["text_bpe_train"] = _bpe_train_sql()
 ORACLE_SQL["text_substring_decontaminate"] = SQL_SUBSTR_DECONTAMINATE
+ORACLE_SQL["text_chunk_plan"] = SQL_CHUNK_PLAN
 ORACLE_SQL["text_pii_redact"] = _pii_sql()
 ORACLE_SQL["image_dedup_clusters"] = _sql_image_clusters()
 ORACLE_SQL["text_lm_score"] = SQL_LM_SCORE

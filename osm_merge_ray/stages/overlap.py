@@ -32,22 +32,48 @@ from osm_merge_ray.stages import partition as P
 
 def _prep_polygons(t: pa.Table, cfg: ConflationConfig, side: int) -> pa.Table:
     """feature table (coords_json rings) → light polygon rows with
-    centroid cell + bbox; polygons stay as JSON (small rings)."""
-    ids = t.column("feature_id").to_numpy()
+    centroid cell + bbox; polygons stay as JSON (small rings).
+
+    Oversized rings (bbox beyond AXIS_CAP/2 base cells per axis, the
+    same bound as the r5 line splitter) emit one row PER GRID PIECE
+    (geo/polygons.split_polygon_span): pieces partition the polygon, so
+    per-piece intersection areas SUM exactly to the whole-pair area —
+    the matcher emits piece partials and ``polygon_overlap_pairs``
+    reduces them per (id_a, id_b). ``area_full`` carries the whole
+    ring's area for the min-area ratio."""
+    from osm_merge_ray.geo.polygons import split_polygon_span
+
+    span_limit = 0.5 * P.AXIS_CAP * C.cell_edge_deg(cfg.cell_res)
     coords = t.column("coords_json").to_pylist()
-    n = len(ids)
-    cx = np.empty(n)
-    cy = np.empty(n)
-    bbox = np.empty((n, 4))
+    take: list[int] = []
+    part_json: list[str] = []
+    cx_l: list[float] = []
+    cy_l: list[float] = []
+    bb: list[tuple] = []
+    area_l: list[float] = []
     for i, cj in enumerate(coords):
         ring = np.asarray(json.loads(cj), dtype=np.float64).reshape(-1, 2)
-        cx[i] = ring[:, 0].mean()
-        cy[i] = ring[:, 1].mean()
-        bbox[i] = bbox_of(ring)
+        area_full = abs(shoelace_area(ring))
+        parts = split_polygon_span(ring, span_limit)
+        whole = len(parts) == 1
+        for pr in parts:
+            take.append(i)
+            part_json.append("" if whole else json.dumps(pr.tolist()))
+            cx_l.append(float(pr[:, 0].mean()))
+            cy_l.append(float(pr[:, 1].mean()))
+            bb.append(bbox_of(pr))
+            area_l.append(area_full)
+    cx = np.asarray(cx_l)
+    cy = np.asarray(cy_l)
+    bbox = np.asarray(bb, dtype=np.float64).reshape(-1, 4)
     cell = C.lonlat_to_cell(cx, cy, cfg.cell_res)
+    t = t.take(np.asarray(take, dtype=np.int64))
+    n = len(take)
     return pa.table({
-        "feature_id": pa.array(ids, pa.int64()),
+        "feature_id": t.column("feature_id").cast(pa.int64()),
         "coords_json": t.column("coords_json"),
+        "part_json": pa.array(part_json, pa.string()),
+        "area_full": pa.array(area_l, pa.float64()),
         "lon": pa.array(cx, pa.float64()),
         "lat": pa.array(cy, pa.float64()),
         "x0": pa.array(bbox[:, 0], pa.float64()),
@@ -70,10 +96,25 @@ def polygon_overlap_pairs(primary_ds, secondary_ds, cfg: ConflationConfig | None
     p = primary_ds.map_batches(lambda t: _prep_polygons(t, cfg, 0), batch_format="pyarrow")
     s = secondary_ds.map_batches(lambda t: _prep_polygons(t, cfg, 1), batch_format="pyarrow")
 
+    def count_parts(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = int(pc.sum(pc.cast(pc.not_equal(t.column("part_json"), ""),
+                               pa.int64())).as_py() or 0)
+        return pa.table({"k": pa.array([k], pa.int64())})
+
+    def probe(light) -> bool:
+        return int(light.map_batches(count_parts, batch_format="pyarrow")
+                   .to_pandas()["k"].sum()) > 0
+
     def match(df: pd.DataFrame) -> pd.DataFrame:
+        """Piece-level pair PARTIALS: (id_a, id_b, part_area, area_a,
+        area_b). Unsplit inputs emit exactly one partial per pair, so
+        the finalize step below is a no-op reduction for them."""
         prim = df[df["side"] == 0]
         sec = df[df["side"] == 1]
-        cols = {"id_a": [], "id_b": [], "overlap_area": []}
+        cols = {"id_a": [], "id_b": [], "part_area": [],
+                "area_a": [], "area_b": []}
         if len(prim) and len(sec):
             pb = prim[["x0", "y0", "x1", "y1"]].to_numpy()
             sb = sec[["x0", "y0", "x1", "y1"]].to_numpy()
@@ -92,31 +133,61 @@ def polygon_overlap_pairs(primary_ds, secondary_ds, cfg: ConflationConfig | None
                       & (pb[pi, 1] <= sb[si, 3]) & (sb[si, 1] <= pb[pi, 3]))
                 pi, si = pi[ok], si[ok]
             if len(pi):
-                p_rings = [np.asarray(json.loads(c), dtype=np.float64).reshape(-1, 2)
-                           for c in prim["coords_json"]]
-                s_rings = [np.asarray(json.loads(c), dtype=np.float64).reshape(-1, 2)
-                           for c in sec["coords_json"]]
+                def rings(side_df: pd.DataFrame) -> list[np.ndarray]:
+                    # clip the PIECE when present, the full ring otherwise
+                    return [np.asarray(json.loads(pj or cj),
+                                       dtype=np.float64).reshape(-1, 2)
+                            for pj, cj in zip(side_df["part_json"],
+                                              side_df["coords_json"])]
+
+                p_rings = rings(prim)
+                s_rings = rings(sec)
                 p_ids = prim["feature_id"].to_numpy()
                 s_ids = sec["feature_id"].to_numpy()
+                p_area = prim["area_full"].to_numpy()
+                s_area = sec["area_full"].to_numpy()
                 for i, j in zip(pi, si):
                     area = intersection_area(p_rings[i], s_rings[j])
                     if area <= 0:
                         continue
-                    amin = min(abs(shoelace_area(p_rings[i])),
-                               abs(shoelace_area(s_rings[j])))
-                    if amin > 0 and area / amin > min_area_ratio:
-                        cols["id_a"].append(int(p_ids[i]))
-                        cols["id_b"].append(int(s_ids[j]))
-                        cols["overlap_area"].append(area)
+                    cols["id_a"].append(int(p_ids[i]))
+                    cols["id_b"].append(int(s_ids[j]))
+                    cols["part_area"].append(area)
+                    cols["area_a"].append(float(p_area[i]))
+                    cols["area_b"].append(float(s_area[j]))
         return pd.DataFrame({
             "id_a": pd.array(cols["id_a"], dtype=np.int64),
             "id_b": pd.array(cols["id_b"], dtype=np.int64),
-            "overlap_area": pd.array(cols["overlap_area"], dtype=np.float64),
+            "part_area": pd.array(cols["part_area"], dtype=np.float64),
+            "area_a": pd.array(cols["area_a"], dtype=np.float64),
+            "area_b": pd.array(cols["area_b"], dtype=np.float64),
         })
 
-    # primaries live in exactly one (cell, salt) group → every pair is
-    # scored exactly once; no global dedup shuffle needed
-    return P.shuffle_match(p, s, cfg, 0.0, match)
+    # each (piece_a, piece_b) pair is scored in exactly one (cell, salt)
+    # group (the piece centroid keys the primary side), so partials for
+    # one (id_a, id_b) are distinct piece pairs — summing them gives the
+    # exact whole-polygon intersection area (pieces partition the rings)
+    out, has_parts = P.shuffle_match(p, s, cfg, 0.0, match,
+                                     light_probe=probe)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["id_a", "id_b"], as_index=False).agg(
+            overlap_area=("part_area", "sum"),
+            area_a=("area_a", "first"), area_b=("area_b", "first"))
+        amin = np.minimum(g["area_a"].to_numpy(), g["area_b"].to_numpy())
+        keep = (amin > 0) & (g["overlap_area"].to_numpy() / np.maximum(amin, 1e-300)
+                             > min_area_ratio)
+        return g.loc[keep, ["id_a", "id_b", "overlap_area"]]
+
+    if has_parts:
+        from osm_merge_ray.ops import grouped_reduce
+
+        return grouped_reduce(out, ["id_a", "id_b"], finalize,
+                              num_buckets=cfg.num_buckets)
+    # no split pieces anywhere: each pair has exactly one partial row —
+    # threshold map-side, no extra shuffle (the pre-r5 fast path)
+    return out.map_batches(
+        lambda d: finalize(d), batch_format="pandas")
 
 
 def new_buildings(primary_ds, pairs_ds, id_column: str = "feature_id",

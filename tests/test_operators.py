@@ -1083,3 +1083,48 @@ def test_grouped_distinct_sketch_null_group(ray_session):
                   "user_id": pa.array([1, 2, 3], pa.int64())})
     with pytest.raises(Exception, match="null values in group column"):
         grouped_distinct_sketch(rd.from_arrow(t), "event_type", "user_id")
+
+
+def test_chunk_plan_semantics(ray_session):
+    """r5: sliding-window chunk plan — full coverage, exact overlap,
+    short-tail-only-last, single-chunk and empty-text edges, layout
+    invariance."""
+    from osm_merge_ray.text.chunking import chunk_plan
+
+    texts = [
+        " ".join(f"t{i}" for i in range(100)),  # 100 toks: 4 chunks
+        " ".join(f"t{i}" for i in range(32)),   # == window: 1 chunk
+        " ".join(f"t{i}" for i in range(33)),   # window+1: 2 chunks
+        "solo",                                  # 1 token
+        "",                                      # split('') -> [''] (1 tok)
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    W, O = 32, 8
+    S = W - O
+
+    def run(nb):
+        return (chunk_plan(rd.from_arrow(t).repartition(nb), window=W,
+                           overlap=O)
+                .to_pandas().sort_values(["doc_id", "chunk_idx"])
+                .reset_index(drop=True))
+
+    out = run(1)
+    for did, n in [(0, 100), (1, 32), (2, 33), (3, 1), (4, 1)]:
+        g = out[out["doc_id"] == did]
+        want_chunks = 1 + max(0, -(-(n - W) // S)) if n > W else 1
+        assert len(g) == want_chunks, (did, len(g))
+        assert list(g["chunk_idx"]) == list(range(want_chunks))
+        assert list(g["start_tok"]) == [k * S for k in range(want_chunks)]
+        # all but the last chunk are full; coverage is exact
+        assert (g["n_toks"].iloc[:-1] == W).all()
+        last = g.iloc[-1]
+        assert last["start_tok"] + last["n_toks"] == n   # covers the tail
+        if want_chunks > 1:  # consecutive chunks share exactly O tokens
+            s0 = g["start_tok"].to_numpy()
+            e0 = s0 + g["n_toks"].to_numpy()
+            assert ((e0[:-1] - s0[1:]) == O).all()
+    assert run(4).equals(out)
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_plan(rd.from_arrow(t), window=8, overlap=8)

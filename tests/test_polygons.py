@@ -87,3 +87,64 @@ def test_polygon_overlap_join_and_anti_join(building_sets):
         rd.from_arrow(tp), rd.from_arrow(pa.Table.from_pandas(pairs))
     ).to_pandas()
     assert sorted(survivors["feature_id"]) == list(range(10, 30))
+
+
+def test_oversized_polygon_self_splits_exact_areas(ray_session):
+    """r5: a convex polygon spanning ~3 degrees (the pre-r5 replicate
+    RAISE path) now self-splits into grid pieces; per-pair overlap
+    areas equal the direct whole-ring intersection_area because the
+    pieces partition the ring."""
+    ang = np.linspace(0, 2 * np.pi, 9)[:-1]
+    giant = np.c_[1.5 * np.cos(ang) - 105.0, 1.2 * np.sin(ang) + 39.0]
+    prim = [{"geometry": {"type": "Polygon",
+                          "coordinates": giant.tolist()},
+             "properties": {"building": "yes"}}]
+    # small probes: one near the giant's east edge (partial overlap),
+    # one inside, one far outside
+    probes, want = [], {}
+    for k, (lon, lat) in enumerate([(-103.6, 39.0), (-105.0, 39.0),
+                                    (-101.0, 45.0)]):
+        w = 0.3
+        ring = [[lon, lat], [lon + w, lat], [lon + w, lat + w],
+                [lon, lat + w]]
+        probes.append({"geometry": {"type": "Polygon",
+                                    "coordinates": ring},
+                       "properties": {"building": "yes"}})
+        want[1000 + k] = intersection_area(
+            giant, np.asarray(ring, dtype=np.float64))
+    tp = features_to_table(prim)
+    ts = features_to_table(probes, start_id=1000)
+    cfg = ConflationConfig(cell_res=12, num_buckets=8)
+    pairs = polygon_overlap_pairs(rd.from_arrow(tp), rd.from_arrow(ts),
+                                  cfg).to_pandas()
+    got = dict(zip(pairs["id_b"], pairs["overlap_area"]))
+    for sid, area in want.items():
+        if area > 1e-12:
+            assert got[sid] == pytest.approx(area, rel=1e-9), sid
+        else:
+            assert sid not in got
+    # and the reverse orientation: giant on the SECONDARY side
+    pairs2 = polygon_overlap_pairs(rd.from_arrow(ts), rd.from_arrow(tp),
+                                   cfg).to_pandas()
+    got2 = dict(zip(pairs2["id_a"], pairs2["overlap_area"]))
+    for sid, area in want.items():
+        if area > 1e-12:
+            assert got2[sid] == pytest.approx(area, rel=1e-9), sid
+
+
+def test_polygon_split_path_equals_fast_path(building_sets):
+    """Forcing every footprint through the split path (coarse grid =>
+    tiny span limit) must reproduce the unsplit results exactly."""
+    tp, ts = building_sets
+    base = polygon_overlap_pairs(
+        rd.from_arrow(tp), rd.from_arrow(ts),
+        ConflationConfig(cell_res=12, num_buckets=8)).to_pandas()
+    # cell_res 22: span_limit ~ 4 * 360/2^22 deg ~ 0.0003 deg < footprint
+    # width * 2 -> every ring splits into multiple pieces
+    forced = polygon_overlap_pairs(
+        rd.from_arrow(tp), rd.from_arrow(ts),
+        ConflationConfig(cell_res=22, num_buckets=8)).to_pandas()
+    k = lambda d: d.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b, f = k(base), k(forced)
+    assert b[["id_a", "id_b"]].equals(f[["id_a", "id_b"]])
+    assert np.allclose(b["overlap_area"], f["overlap_area"], rtol=1e-9)
