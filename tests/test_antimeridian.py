@@ -310,3 +310,43 @@ def test_oversized_secondary_as_primary_side_splits(ray_session):
         np.asarray(giant, dtype=np.float64),
         np.asarray([[-104.60, 39.00003], [-104.40, 39.00003]]))
     assert out.iloc[0]["dist_m"] == pytest.approx(want, abs=1e-6)
+
+
+def test_split_long_line_properties_random():
+    """Property sweep (deterministic rng): span bound holds, parts are
+    contiguous (shared boundary points), every original vertex appears
+    in order, and all cut points are collinear with some original
+    segment."""
+    from osm_merge_ray.geo.split import split_long_line
+
+    rng = np.random.default_rng(42)
+    for trial in range(40):
+        n = int(rng.integers(2, 20))
+        # random walk with occasionally huge steps
+        steps = rng.normal(0, 0.2, size=(n - 1, 2))
+        big = rng.random(n - 1) < 0.2
+        steps[big] *= 30.0
+        coords = np.vstack([[0.0, 0.0], np.cumsum(steps, axis=0)])
+        lim = float(rng.uniform(0.05, 2.0))
+        parts = split_long_line(coords, lim)
+        assert np.allclose(parts[0][0], coords[0])
+        assert np.allclose(parts[-1][-1], coords[-1])
+        for p in parts:
+            assert len(p) >= 2
+            assert p[:, 0].max() - p[:, 0].min() <= lim + 1e-6
+            assert p[:, 1].max() - p[:, 1].min() <= lim + 1e-6
+        for a, b in zip(parts, parts[1:]):
+            assert np.allclose(a[-1], b[0])
+        # original vertices survive in order
+        chain = np.vstack([parts[0]] + [p[1:] for p in parts[1:]])
+        vi = 0
+        for v in coords:
+            while vi < len(chain) and not np.allclose(chain[vi], v,
+                                                      atol=1e-9):
+                vi += 1
+            assert vi < len(chain), f"trial {trial}: vertex lost"
+        # total ground length preserved (collinear subdivision only)
+        def ln(p):
+            return float(np.hypot(*np.diff(p, axis=0).T).sum())
+        assert sum(ln(p) for p in parts) == pytest.approx(ln(coords),
+                                                          rel=1e-9)

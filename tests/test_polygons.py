@@ -148,3 +148,33 @@ def test_polygon_split_path_equals_fast_path(building_sets):
     b, f = k(base), k(forced)
     assert b[["id_a", "id_b"]].equals(f[["id_a", "id_b"]])
     assert np.allclose(b["overlap_area"], f["overlap_area"], rtol=1e-9)
+
+
+def test_split_polygon_span_properties_random():
+    """Property sweep: pieces respect the span bound, areas sum to the
+    whole, and piece-pair intersections with a random probe sum to the
+    whole-pair intersection (the partition invariant overlap.py needs)."""
+    from osm_merge_ray.geo.polygons import split_polygon_span
+
+    rng = np.random.default_rng(7)
+    for trial in range(30):
+        k = int(rng.integers(3, 10))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        if len(np.unique(np.round(ang, 6))) < 3:
+            continue
+        rx = float(rng.uniform(0.1, 3.0))
+        ry = float(rng.uniform(0.1, 3.0))
+        ring = np.c_[rx * np.cos(ang), ry * np.sin(ang)]  # convex
+        lim = float(rng.uniform(0.2, 1.5))
+        parts = split_polygon_span(ring, lim)
+        whole = abs(shoelace_area(ring))
+        assert sum(abs(shoelace_area(p)) for p in parts) == \
+            pytest.approx(whole, rel=1e-9, abs=1e-12)
+        for p in parts:
+            assert p[:, 0].max() - p[:, 0].min() <= lim + 1e-9
+            assert p[:, 1].max() - p[:, 1].min() <= lim + 1e-9
+        probe = _rect(float(rng.uniform(-2, 0)), float(rng.uniform(-2, 0)),
+                      float(rng.uniform(0, 2)), float(rng.uniform(0, 2)))
+        direct = intersection_area(ring, probe)
+        summed = sum(intersection_area(p, probe) for p in parts)
+        assert summed == pytest.approx(direct, rel=1e-9, abs=1e-12)
