@@ -428,7 +428,7 @@ def cmd_curate(args) -> int:
         rd.read_parquet(args.eval, columns=cols),
         args.outdir, resume=args.resume, max_len=args.max_len,
         id_column=args.id_column, text_column=args.text_column,
-        redact=args.redact)
+        redact=args.redact, substring_min_len=args.substring_min_len)
     print(json.dumps(m))
     return 0
 
@@ -733,6 +733,10 @@ def main(argv=None) -> int:
     c.add_argument("--redact", action="store_true",
                    help="PII-redact before curating (survivors + plan "
                         "see redacted text)")
+    c.add_argument("--substring-min-len", type=int, default=None,
+                   help="also remove docs sharing a verbatim eval "
+                        "substring of at least this many chars "
+                        "(exact-substring decontamination)")
     c.set_defaults(fn=cmd_curate)
 
     c = sub.add_parser("chunk", help="sliding-window chunk plan "

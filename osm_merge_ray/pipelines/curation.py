@@ -29,12 +29,17 @@ import pyarrow as pa
 
 def _survivors(train_ds, eval_ds, jaccard_k: int, jaccard_threshold: float,
                decontam_k: int, id_column: str, text_column: str,
-               num_buckets: int, redact: bool = False):
+               num_buckets: int, redact: bool = False,
+               substring_min_len: int | None = None):
     """Stages 1-4 (quality -> near-dup cluster -> representative keep ->
     decontaminate): the curated (id, text) document set. ``redact``
     prepends PII redaction (text/redact.py) so every downstream stage —
     including the packed output — sees tokenized PII, the real-world
-    ordering (redact before the corpus is deduped or published)."""
+    ordering (redact before the corpus is deduped or published).
+    ``substring_min_len`` (r5) appends the EXACT-substring remover after
+    the word-gram pass — catches boundary-fused verbatim eval leaks the
+    k-gram containment misses; None (the default, and the oracle-parity
+    query's setting) keeps the word-gram-only semantics."""
     import pyarrow.compute as pc
 
     from osm_merge_ray.dedup.cluster import (cluster_representatives,
@@ -82,25 +87,35 @@ def _survivors(train_ds, eval_ds, jaccard_k: int, jaccard_threshold: float,
     survivors = bucketed_hash_join(kept, rep_ids, key=id_column,
                                    num_buckets=num_buckets, how="inner")
 
-    return decontaminate(survivors, eval_ds, k=decontam_k,
-                         id_column=id_column, text_column=text_column,
-                         num_buckets=num_buckets)
+    clean = decontaminate(survivors, eval_ds, k=decontam_k,
+                          id_column=id_column, text_column=text_column,
+                          num_buckets=num_buckets)
+    if substring_min_len is not None:
+        from osm_merge_ray.text.decontaminate import substring_decontaminate
+
+        clean = substring_decontaminate(
+            clean, eval_ds, min_len=substring_min_len,
+            id_column=id_column, text_column=text_column,
+            num_buckets=num_buckets)
+    return clean
 
 
 def curate_corpus(train_ds, eval_ds, max_len: int = 2048,
                   jaccard_k: int = 3, jaccard_threshold: float = 0.2,
                   decontam_k: int = 3, id_column: str = "doc_id",
                   text_column: str = "text", num_buckets: int = 64,
-                  redact: bool = False):
+                  redact: bool = False,
+                  substring_min_len: int | None = None):
     """(id, n_tokens, start_tok, win_first, win_last) for every
     document that survives curation; offsets are over the id-ordered
     concatenation of the survivors only. ``redact=True`` prepends PII
-    redaction, so offsets count the REDACTED token stream."""
+    redaction, so offsets count the REDACTED token stream;
+    ``substring_min_len`` appends exact-substring decontamination."""
     from osm_merge_ray.text.packing import pack_sequences
 
     clean = _survivors(train_ds, eval_ds, jaccard_k, jaccard_threshold,
                        decontam_k, id_column, text_column, num_buckets,
-                       redact=redact)
+                       redact=redact, substring_min_len=substring_min_len)
     return pack_sequences(clean, max_len=max_len, id_column=id_column,
                           text_column=text_column, num_buckets=num_buckets)
 
@@ -149,7 +164,8 @@ def run_curation_checkpointed(train_ds, eval_ds, out_dir: str,
                               id_column: str = "doc_id",
                               text_column: str = "text",
                               num_buckets: int = 64,
-                              redact: bool = False) -> dict:
+                              redact: bool = False,
+                              substring_min_len: int | None = None) -> dict:
     """Curation with checkpointing at two granularities (r3 VERDICT #4):
 
     * ``surv_ids`` — the SURVIVOR-ID SET (quality -> near-dup cluster
@@ -199,6 +215,7 @@ def run_curation_checkpointed(train_ds, eval_ds, out_dir: str,
         "num_buckets": num_buckets, "train_rows": train_rows,
         "train_sig": train_sig, "eval_rows": eval_rows,
         "eval_sig": eval_sig, "redact": redact,
+        "substring_min_len": substring_min_len,
     })
     if redact:
         # wrap ONCE, after the content signature (which fingerprints
@@ -261,7 +278,8 @@ def run_curation_checkpointed(train_ds, eval_ds, out_dir: str,
     surv_dir = os.path.join(out_dir, "survivors")
     if not (resume and man.get("surv_ids_done") and os.path.isdir(ids_dir)):
         clean = _survivors(train_ds, eval_ds, jaccard_k, jaccard_threshold,
-                           decontam_k, id_column, text_column, num_buckets)
+                           decontam_k, id_column, text_column, num_buckets,
+                           substring_min_len=substring_min_len)
         ids_only = clean.map_batches(
             lambda t: pa.table(
                 {id_column: t.column(id_column).cast(pa.int64())}),

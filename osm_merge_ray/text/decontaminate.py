@@ -127,8 +127,17 @@ def decontaminate(train_ds, eval_ds, k: int = 5, id_column: str = "doc_id",
     bad = contamination_report(train_ds, eval_ds, k=k, id_column=id_column,
                                text_column=text_column, min_hits=min_hits,
                                num_buckets=num_buckets)
-    # light (id, n_grams, n_shared) rows only — safe to pin once so the
-    # count gate and the collect don't re-execute the report
+    return _remove_flagged(train_ds, bad, id_column, num_buckets,
+                           broadcast_max_flagged)
+
+
+def _remove_flagged(train_ds, bad, id_column: str, num_buckets: int,
+                    broadcast_max_flagged: int):
+    """Drop train rows whose id appears in the (light) flagged set —
+    broadcast sorted-probe when small integer ids, bucketed anti-join
+    otherwise (shared by the word-gram and substring removers)."""
+    # light (id, ...) rows only — safe to pin once so the count gate
+    # and the collect don't re-execute the report
     bad = bad.materialize()
     if bad.count() == 0:
         # nothing flagged: a clean corpus passes through untouched
@@ -164,6 +173,23 @@ def decontaminate(train_ds, eval_ds, k: int = 5, id_column: str = "doc_id",
     return bucketed_hash_join(
         train_ds, bad.select_columns([id_column]), key=id_column,
         num_buckets=num_buckets, how="anti")
+
+
+def substring_decontaminate(train_ds, eval_ds, min_len: int = 24,
+                            id_column: str = "doc_id",
+                            text_column: str = "text", min_hits: int = 1,
+                            num_buckets: int = 64,
+                            broadcast_max_grams: int = 4_000_000,
+                            broadcast_max_flagged: int = 4_000_000):
+    """Train docs sharing a >= ``min_len``-char substring with the eval
+    corpus REMOVED (the removal counterpart of
+    ``substring_contamination_report``, same broadcast discipline)."""
+    bad = substring_contamination_report(
+        train_ds, eval_ds, min_len=min_len, id_column=id_column,
+        text_column=text_column, min_hits=min_hits,
+        num_buckets=num_buckets, broadcast_max_grams=broadcast_max_grams)
+    return _remove_flagged(train_ds, bad, id_column, num_buckets,
+                           broadcast_max_flagged)
 
 
 def _lgram_hits_partial(t: pa.Table, min_len: int, id_column: str,

@@ -182,3 +182,52 @@ def test_substring_catches_leak_word_kgram_misses(ray_session):
     # shared region is 25 chars: upper bound >= truth, >= min_len
     assert row["max_run_chars"] >= 25
     assert row["n_shared"] >= 25 - 24 + 1
+
+
+def test_curation_substring_stage_removes_fused_leak(ray_session):
+    """r5: curate_corpus(substring_min_len=...) drops a boundary-fused
+    verbatim eval leak that the default word-gram pass keeps; all other
+    survivors are unchanged."""
+    from osm_merge_ray.pipelines.curation import curate_corpus
+
+    leak = "xxcret answerkey is fortytwyy glued into a longer document"
+    train = pd.DataFrame({
+        "doc_id": np.arange(20, dtype=np.int64),
+        "text": [f"ordinary training document number {i} with plenty of "
+                 f"unique words w{i}a w{i}b w{i}c w{i}d" for i in range(19)]
+                + [leak]})
+    evals = pd.DataFrame({
+        "doc_id": np.array([1000], dtype=np.int64),
+        "text": ["the secret answerkey is fortytwo exactly"]})
+
+    base = curate_corpus(rd.from_pandas(train), rd.from_pandas(evals),
+                         max_len=64).to_pandas()
+    assert 19 in set(base["doc_id"])     # word-gram pass keeps the leak
+
+    strict = curate_corpus(rd.from_pandas(train), rd.from_pandas(evals),
+                           max_len=64, substring_min_len=24).to_pandas()
+    assert 19 not in set(strict["doc_id"])
+    assert set(strict["doc_id"]) == set(base["doc_id"]) - {19}
+
+
+def test_checkpointed_curation_substring_fingerprint(ray_session, tmp_path):
+    """substring_min_len participates in the resume fingerprint: a
+    resume under a different value must refuse."""
+    from osm_merge_ray.pipelines.curation import run_curation_checkpointed
+
+    train = pd.DataFrame({
+        "doc_id": np.arange(12, dtype=np.int64),
+        "text": [f"document {i} alpha beta gamma w{i}x w{i}y w{i}z"
+                 for i in range(12)]})
+    evals = pd.DataFrame({
+        "doc_id": np.array([500], dtype=np.int64),
+        "text": ["held out evaluation text nothing shared"]})
+    out = str(tmp_path / "cur")
+    m = run_curation_checkpointed(rd.from_pandas(train),
+                                  rd.from_pandas(evals), out,
+                                  substring_min_len=24)
+    assert m["survivors"] > 0
+    with pytest.raises(ValueError, match="fingerprint"):
+        run_curation_checkpointed(rd.from_pandas(train),
+                                  rd.from_pandas(evals), out,
+                                  substring_min_len=32)
