@@ -433,6 +433,32 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_bpe_count(args) -> int:
+    """Per-document BPE token counts: embedded vocabulary by default,
+    or a trained merge table (`bpe-train` output parquet) via
+    --merges — the train→apply loop closed."""
+    _ray()
+    import ray.data as rd
+
+    from osm_merge_ray.text.bpe import BpeTokenCounter
+
+    table = None
+    if args.merges:
+        import pyarrow.parquet as pq
+
+        m = pq.read_table(args.merges).to_pandas().sort_values("r")
+        table = list(zip(m["a"], m["b"]))
+    ds = rd.read_parquet(args.infile,
+                         columns=[args.id_column, args.text_column])
+    counter = BpeTokenCounter(merge_table=table)  # instance: read-fused
+    out = ds.map_batches(counter, batch_format="pyarrow") \
+            .select_columns([args.id_column, "n_bpe_tokens"])
+    out.write_parquet(args.outdir)
+    print(f"wrote BPE token counts "
+          f"({'trained' if table else 'embedded'} vocab) to {args.outdir}")
+    return 0
+
+
 def cmd_chunk(args) -> int:
     """Sliding-window chunk plan over a parquet corpus: one integer row
     per (doc, chunk) — chunk_idx/start_tok/n_toks (text/chunking.py)."""
@@ -738,6 +764,17 @@ def main(argv=None) -> int:
                         "substring of at least this many chars "
                         "(exact-substring decontamination)")
     c.set_defaults(fn=cmd_curate)
+
+    c = sub.add_parser("bpe-count", help="per-doc BPE token counts "
+                                         "(embedded or trained vocab)")
+    c.add_argument("-i", "--infile", required=True)
+    c.add_argument("-o", "--outdir", required=True)
+    c.add_argument("--merges", default=None,
+                   help="bpe-train output parquet (r, a, b, pair_count); "
+                        "omit for the embedded vocabulary")
+    c.add_argument("--id-column", default="doc_id")
+    c.add_argument("--text-column", default="text")
+    c.set_defaults(fn=cmd_bpe_count)
 
     c = sub.add_parser("chunk", help="sliding-window chunk plan "
                                      "(doc_id, chunk_idx, start_tok, n_toks)")

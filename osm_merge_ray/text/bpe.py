@@ -136,10 +136,17 @@ def bpe_token_count(word: str, ranks: dict[tuple[str, str], int],
 class BpeTokenCounter:
     """Actor-pool ``map_batches`` stage: ranks table built once per
     actor in ``__init__`` (VERDICT r2 #2), per-actor word→count cache,
-    emits ``n_bpe_tokens`` per document."""
+    emits ``n_bpe_tokens`` per document.
 
-    def __init__(self, n_merges: int = N_MERGES):
-        ms = merges()[:n_merges]
+    ``merge_table`` (r5) applies a TRAINED vocabulary instead of the
+    embedded one: a list of (a, b) pairs in rank order — e.g. the
+    (a, b) columns of ``train_bpe_distributed``'s output — closing the
+    train→apply loop (`graft bpe-train` → `graft bpe-count --merges`)."""
+
+    def __init__(self, n_merges: int = N_MERGES,
+                 merge_table: list[tuple[str, str]] | None = None):
+        ms = (tuple(tuple(p) for p in merge_table) if merge_table is not None
+              else merges()[:n_merges])
         self.ranks = {pair: r for r, pair in enumerate(ms)}
         self.cache: dict[str, int] = {}
 

@@ -169,3 +169,42 @@ def test_bpe_train_sql_twin_matches_engine(ray_session):
     assert sql[["a", "b"]].values.tolist() == eng[["a", "b"]].values.tolist()
     assert sql["pair_count"].astype("int64").tolist() == \
         eng["pair_count"].tolist()
+
+
+def test_trained_vocab_counts_and_cli_loop(ray_session, tmp_path):
+    """r5: train -> apply loop — BpeTokenCounter(merge_table=...) uses
+    the learned merges, and the bpe-train -> bpe-count CLI composition
+    reproduces a hand-replayed count."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from osm_merge_ray.cli import main as cli_main
+    from osm_merge_ray.text.bpe import (BpeTokenCounter, bpe_token_count,
+                                        pretokenize, train_bpe_distributed)
+
+    docs = ["aaa bbb aaa bbb ccc", "aaa aaa aaa", "bbb ccc bbb"]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    learned = train_bpe_distributed(rd.from_arrow(t), n_merges=4)
+    table = list(zip(learned["a"], learned["b"]))
+
+    counted = BpeTokenCounter(merge_table=table)(t)
+    ranks = {p: r for r, p in enumerate(table)}
+    for i, s in enumerate(docs):
+        cache: dict = {}
+        want = sum(bpe_token_count(w, ranks, cache) for w in pretokenize(s))
+        assert counted["n_bpe_tokens"][i].as_py() == want
+    # trained merges actually fire (counts < raw char counts)
+    assert counted["n_bpe_tokens"][1].as_py() < len(docs[1])
+
+    # CLI loop
+    corpus = tmp_path / "corpus.parquet"
+    pq.write_table(t, str(corpus))
+    merges_p = tmp_path / "merges.parquet"
+    assert cli_main(["bpe-train", "-i", str(corpus), "-o", str(merges_p),
+                     "--merges", "4"]) == 0
+    out = tmp_path / "counts"
+    assert cli_main(["bpe-count", "-i", str(corpus), "-o", str(out),
+                     "--merges", str(merges_p)]) == 0
+    got = pq.read_table(str(out)).to_pandas().set_index("doc_id")
+    assert got.loc[1, "n_bpe_tokens"] == counted["n_bpe_tokens"][1].as_py()
