@@ -450,7 +450,8 @@ def cmd_bpe_count(args) -> int:
         table = list(zip(m["a"], m["b"]))
     ds = rd.read_parquet(args.infile,
                          columns=[args.id_column, args.text_column])
-    counter = BpeTokenCounter(merge_table=table)  # instance: read-fused
+    counter = BpeTokenCounter(merge_table=table,  # instance: read-fused
+                              text_column=args.text_column)
     out = ds.map_batches(counter, batch_format="pyarrow") \
             .select_columns([args.id_column, "n_bpe_tokens"])
     out.write_parquet(args.outdir)

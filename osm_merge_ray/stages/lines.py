@@ -116,7 +116,7 @@ def _line_prepare(t: pa.Table, cfg: ConflationConfig, side: int) -> pa.Table:
     from osm_merge_ray.geo.antimeridian import crosses_antimeridian, split_antimeridian
     from osm_merge_ray.geo.split import split_long_line
 
-    span_limit = 0.5 * P.AXIS_CAP * C.cell_edge_deg(cfg.cell_res)
+    span_limit = P.split_span_limit(cfg)
     coords = t.column("coords_json").to_pylist()
     take: list[int] = []
     part_json: list[str] = []
@@ -182,25 +182,14 @@ def conflate_lines(primary_ds, secondary_ds, cfg: ConflationConfig | None = None
     s = secondary_ds.map_batches(lambda t: _line_prepare(t, cfg, 1),
                                  batch_format="pyarrow")
 
-    def count_parts(t: pa.Table) -> pa.Table:
-        k = int(pc.sum(pc.cast(pc.not_equal(t.column("part_json"), ""),
-                               pa.int64())).as_py() or 0)
-        return pa.table({"k": pa.array([k], pa.int64())})
-
-    def probe(light) -> bool:
-        # runs over shuffle_match's own materialized union: both sides
-        # streamed exactly once, no extra barrier (r3 perf fix — an
-        # earlier version materialized p separately, serializing the
-        # two prepare stages and re-reading heavy rows)
-        return int(light.map_batches(count_parts, batch_format="pyarrow")
-                   .to_pandas()["k"].sum()) > 0
-
     def match(df: pd.DataFrame) -> pd.DataFrame:
         return match_lines_group(df, cfg)
 
+    # probe runs over shuffle_match's own materialized union: both
+    # sides streamed exactly once, no extra barrier (r3 perf fix)
     out, has_parts = P.shuffle_match(p, s, cfg, cfg.distance_m, match,
                                      skew_salting=skew_salting,
-                                     light_probe=probe)
+                                     light_probe=P.has_split_parts)
     if has_parts:
         # a split primary produced one decision row per part (parts land
         # in different cells); keep the best per feature — matched

@@ -43,7 +43,7 @@ def _prep_polygons(t: pa.Table, cfg: ConflationConfig, side: int) -> pa.Table:
     ring's area for the min-area ratio."""
     from osm_merge_ray.geo.polygons import split_polygon_span
 
-    span_limit = 0.5 * P.AXIS_CAP * C.cell_edge_deg(cfg.cell_res)
+    span_limit = P.split_span_limit(cfg)
     coords = t.column("coords_json").to_pylist()
     take: list[int] = []
     part_json: list[str] = []
@@ -95,17 +95,6 @@ def polygon_overlap_pairs(primary_ds, secondary_ds, cfg: ConflationConfig | None
 
     p = primary_ds.map_batches(lambda t: _prep_polygons(t, cfg, 0), batch_format="pyarrow")
     s = secondary_ds.map_batches(lambda t: _prep_polygons(t, cfg, 1), batch_format="pyarrow")
-
-    def count_parts(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        k = int(pc.sum(pc.cast(pc.not_equal(t.column("part_json"), ""),
-                               pa.int64())).as_py() or 0)
-        return pa.table({"k": pa.array([k], pa.int64())})
-
-    def probe(light) -> bool:
-        return int(light.map_batches(count_parts, batch_format="pyarrow")
-                   .to_pandas()["k"].sum()) > 0
 
     def match(df: pd.DataFrame) -> pd.DataFrame:
         """Piece-level pair PARTIALS: (id_a, id_b, part_area, area_a,
@@ -168,7 +157,7 @@ def polygon_overlap_pairs(primary_ds, secondary_ds, cfg: ConflationConfig | None
     # one (id_a, id_b) are distinct piece pairs — summing them gives the
     # exact whole-polygon intersection area (pieces partition the rings)
     out, has_parts = P.shuffle_match(p, s, cfg, 0.0, match,
-                                     light_probe=probe)
+                                     light_probe=P.has_split_parts)
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["id_a", "id_b"], as_index=False).agg(

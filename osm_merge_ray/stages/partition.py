@@ -37,6 +37,30 @@ from osm_merge_ray.util import splitmix64
 AXIS_CAP = 8
 
 
+def split_span_limit(cfg: ConflationConfig) -> float:
+    """Max bbox span (degrees) for a prepared geometry PART — AXIS_CAP/2
+    base cells per axis, so part span + 2 x band (which includes the max
+    primary PART reach ~ span/sqrt(2)) stays inside the replicate
+    stage's 2*AXIS_CAP+1 raise bound. Load-bearing invariant shared by
+    the line splitter (stages/lines.py) and the polygon splitter
+    (stages/overlap.py) — retune it HERE, not per geometry type."""
+    return 0.5 * AXIS_CAP * C.cell_edge_deg(cfg.cell_res)
+
+
+def has_split_parts(light) -> bool:
+    """True iff any prepared light row is a split part (``part_json``
+    non-empty). Run it over ``shuffle_match``'s already-materialized
+    union (its ``light_probe`` hook) — zero extra passes over lazy
+    inputs."""
+    def count_parts(t: pa.Table) -> pa.Table:
+        k = int(pc.sum(pc.cast(pc.not_equal(t.column("part_json"), ""),
+                               pa.int64())).as_py() or 0)
+        return pa.table({"k": pa.array([k], pa.int64())})
+
+    return int(light.map_batches(count_parts, batch_format="pyarrow")
+               .to_pandas()["k"].sum()) > 0
+
+
 def fine_res_of(cfg: ConflationConfig) -> int:
     """Hot-cell refinement resolution: at most 3 levels below base (8x
     finer per axis) so one base-cell-spanning feature covers <= ~8 fine

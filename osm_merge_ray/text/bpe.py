@@ -144,14 +144,16 @@ class BpeTokenCounter:
     train→apply loop (`graft bpe-train` → `graft bpe-count --merges`)."""
 
     def __init__(self, n_merges: int = N_MERGES,
-                 merge_table: list[tuple[str, str]] | None = None):
+                 merge_table: list[tuple[str, str]] | None = None,
+                 text_column: str = "text"):
         ms = (tuple(tuple(p) for p in merge_table) if merge_table is not None
               else merges()[:n_merges])
         self.ranks = {pair: r for r, pair in enumerate(ms)}
         self.cache: dict[str, int] = {}
+        self.text_column = text_column
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
+        texts = t.column(self.text_column).to_pylist()
         out = np.empty(len(texts), dtype=np.int64)
         for i, s in enumerate(texts):
             out[i] = sum(bpe_token_count(w, self.ranks, self.cache)
@@ -252,7 +254,18 @@ def bpe_word_states(ds, text_column: str = "text", num_buckets: int = 64,
     def add_state(t: pa.Table) -> pa.Table:
         if lim > 1:
             t = t.filter(pa.compute.greater_equal(t.column("cnt"), lim))
-        states = [_delimit(w) for w in t.column("w").to_pylist()]
+        words = t.column("w").to_pylist()
+        bad = [w for w in words if _SEP in w]
+        if bad:
+            # a symbol containing the state delimiter would collide
+            # with it in the trim/split and SILENTLY corrupt pair
+            # counts (and the chr(31)-delimited SQL twin identically) —
+            # raise-not-truncate, the engine's contract
+            raise ValueError(
+                f"train_bpe_distributed: {len(bad)} pretoken(s) contain "
+                f"the U+001F state delimiter (e.g. {bad[0]!r}); strip "
+                "control characters from the corpus before training")
+        states = [_delimit(w) for w in words]
         return t.append_column("state", pa.array(states, pa.string()))
 
     return wt.map_batches(add_state, batch_format="pyarrow")

@@ -208,3 +208,41 @@ def test_trained_vocab_counts_and_cli_loop(ray_session, tmp_path):
                      "--merges", str(merges_p)]) == 0
     got = pq.read_table(str(out)).to_pandas().set_index("doc_id")
     assert got.loc[1, "n_bpe_tokens"] == counted["n_bpe_tokens"][1].as_py()
+
+
+def test_train_raises_on_delimiter_pretokens(ray_session):
+    """r5 review: a pretoken containing U+001F would collide with the
+    state delimiter and silently corrupt pair counts — the trainer
+    must raise instead (same raise-not-truncate contract as the
+    partition cover)."""
+    import ray
+    import ray.data as rd
+
+    from osm_merge_ray.text.bpe import train_bpe_distributed
+
+    t = pa.table({"text": pa.array(["ab ab \x1f! \x1f! \x1f! \x1f!"],
+                                   pa.string())})
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError),
+                       match="state delimiter"):
+        train_bpe_distributed(rd.from_arrow(t), n_merges=2)
+
+
+def test_bpe_count_custom_text_column(ray_session, tmp_path):
+    """r5 review: bpe-count --text-column must reach the counter (it
+    previously hardcoded 'text' and crashed)."""
+    import pyarrow.parquet as pq
+
+    from osm_merge_ray.cli import main as cli_main
+    from osm_merge_ray.text.bpe import BpeTokenCounter
+
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "body": pa.array(["the fast scan"], pa.string())})
+    want = BpeTokenCounter()(t.rename_columns(["doc_id", "text"]))[
+        "n_bpe_tokens"][0].as_py()
+    corpus = tmp_path / "c.parquet"
+    pq.write_table(t, str(corpus))
+    out = tmp_path / "counts"
+    assert cli_main(["bpe-count", "-i", str(corpus), "-o", str(out),
+                     "--text-column", "body"]) == 0
+    got = pq.read_table(str(out)).to_pandas()
+    assert got["n_bpe_tokens"].tolist() == [want]
