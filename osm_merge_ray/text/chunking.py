@@ -38,7 +38,8 @@ def chunk_plan(ds, window: int = 256, overlap: int = 32,
     stride = window - overlap
 
     def plan(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t.column(text_column), " ")
+        toks = pc.split_pattern(
+            pc.fill_null(t.column(text_column), ""), " ")
         n = np.asarray(pc.list_value_length(toks)).astype(np.int64)
         # ceil-div on non-negative operands only (// parity invariant)
         extra = np.maximum(n - window, 0)
