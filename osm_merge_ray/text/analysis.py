@@ -204,17 +204,20 @@ def tfidf_top_terms(ds, k: int = 3, id_column: str = "doc_id",
         n_docs = ds.count()
 
     def df_partial(t: pa.Table) -> pa.Table:
-        terms: list[str] = []
-        counts: list[int] = []
-        agg: dict[str, int] = {}
-        for s in t.column(text_column).to_pylist():
-            for w in set((s or "").split(" ")):
-                agg[w] = agg.get(w, 0) + 1
-        for w, c in agg.items():
-            terms.append(w)
-            counts.append(c)
-        return pa.table({"term": pa.array(terms, pa.string()),
-                         "df": pa.array(counts, pa.int64())})
+        # vectorized (r5): one Arrow split + flatten, distinct (doc,
+        # term) via drop_duplicates, then a C-speed groupby size — no
+        # per-token Python loop. Identical counts to the old per-doc
+        # set() fold (distinct terms per doc, summed over docs).
+        lists = pc.split_pattern(
+            pc.fill_null(t.column(text_column), ""), " ")
+        offs = np.asarray(pc.list_value_length(lists)).astype(np.int64)
+        d = pd.DataFrame({
+            "d": np.repeat(np.arange(len(offs)), offs),
+            "term": pc.list_flatten(lists).to_pandas(),
+        }).drop_duplicates()
+        agg = d.groupby("term", sort=False).size()
+        return pa.table({"term": pa.array(agg.index, pa.string()),
+                         "df": pa.array(agg.to_numpy(np.int64), pa.int64())})
 
     df_ds = grouped_reduce(
         ds.map_batches(df_partial, batch_format="pyarrow"),
