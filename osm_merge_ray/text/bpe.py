@@ -311,25 +311,63 @@ def _pair_top1(df: pd.DataFrame) -> pd.DataFrame:
                          kind="mergesort").head(1)
 
 
+def _train_rounds_local(wt_df: pd.DataFrame, n_merges: int) -> pd.DataFrame:
+    """The k training rounds on an IN-MEMORY word table, using the
+    IDENTICAL vectorized kernels as the distributed rounds
+    (``_pair_partial`` for counts, the same delimited-string replace
+    for the merge) — so the result is bit-identical to both the
+    distributed path and ``train_bpe_counts``, without k x 2 Ray
+    round-trips. This is how production tokenizer training actually
+    runs: word counts aggregate distributed, the merge loop iterates a
+    memory-resident vocabulary table."""
+    import pyarrow.compute as pc
+
+    t = pa.Table.from_pandas(wt_df, preserve_index=False)
+    rows = []
+    for r in range(int(n_merges)):
+        pairs = _pair_partial(t).to_pandas()
+        if pairs.empty:
+            break
+        best = pairs.sort_values(["c", "a", "b"],
+                                 ascending=[False, True, True],
+                                 kind="mergesort").iloc[0]
+        a, b = str(best["a"]), str(best["b"])
+        rows.append({"r": r, "a": a, "b": b,
+                     "pair_count": np.int64(best["c"])})
+        st = pc.replace_substring(
+            t.column("state"), pattern=_SEP + a + _SEP + _SEP + b + _SEP,
+            replacement=_SEP + a + b + _SEP)
+        t = t.set_column(t.column_names.index("state"), "state", st)
+    out = pd.DataFrame(rows, columns=["r", "a", "b", "pair_count"])
+    return out.astype({"r": np.int64, "pair_count": np.int64})
+
+
 def train_bpe_distributed(ds, text_column: str = "text", n_merges: int = 8,
                           num_buckets: int = 32,
-                          min_count: int = 1) -> pd.DataFrame:
+                          min_count: int = 1,
+                          driver_max_words: int = 2_000_000) -> pd.DataFrame:
     """Distributed BPE merge-training: learn the top-``n_merges`` merge
     table from a corpus Dataset, bit-identical to the single-process
     ``train_bpe_counts`` over the same word multiset.
 
     Shape (designed for 100 TB): the corpus is scanned ONCE to build
     the bucketed word-count table (vocabulary-sized, light rows — this
-    is what the merge loop iterates on, never the corpus). Each of the
-    k rounds is then (a) a vectorized pair-count partial per word-table
-    block, (b) a bucketed grouped sum whose combiner emits ONE row per
-    bucket (the driver sees <= num_buckets candidate pairs per round —
-    a fixed-size reduction, not a vocabulary collect), (c) a map-side
+    is what the merge loop iterates on, never the corpus). When that
+    table fits under ``driver_max_words`` (the common case — even
+    web-crawl vocabularies are millions of pretokens, ~100 B each) the
+    k rounds run DRIVER-LOCAL on the collected table with the same
+    vectorized kernels (``_train_rounds_local``) — no per-round Ray
+    barrier. Above the cap, each round runs distributed: (a) a
+    vectorized pair-count partial per word-table block, (b) a bucketed
+    grouped sum whose combiner emits ONE row per bucket (the driver
+    sees <= num_buckets candidate pairs per round — a fixed-size
+    reduction, not a vocabulary collect), (c) a map-side
     delimited-string replace applying the winning merge (identical
     non-overlapping occurrences as ``merge_all``; see module
     docstring). The word table is materialized per round so round k
     doesn't replay rounds 1..k-1 — it is a light projection
     (vocabulary-sized), the documented safe case for materialize().
+    Both paths produce bit-identical tables (pinned in tests).
 
     Returns one row per learned merge: (r, a, b, pair_count).
     """
@@ -339,6 +377,9 @@ def train_bpe_distributed(ds, text_column: str = "text", n_merges: int = 8,
                          num_buckets=num_buckets,
                          min_count=min_count).materialize()
     from osm_merge_ray.ops import grouped_reduce
+
+    if driver_max_words and wt.count() <= driver_max_words:
+        return _train_rounds_local(wt.to_pandas(), n_merges)
 
     rows = []
     for r in range(int(n_merges)):

@@ -246,3 +246,21 @@ def test_bpe_count_custom_text_column(ray_session, tmp_path):
                      "--text-column", "body"]) == 0
     got = pq.read_table(str(out)).to_pandas()
     assert got["n_bpe_tokens"].tolist() == [want]
+
+
+def test_local_and_distributed_training_paths_identical(ray_session):
+    """r5: the driver-local round loop (vocab under driver_max_words)
+    and the distributed rounds (cap=0 forces them) produce the same
+    merge table bit for bit."""
+    import ray.data as rd
+
+    from osm_merge_ray.text.bpe import train_bpe_distributed
+
+    docs = ["the cat sat on the mat", "aaa aaab aaaa",
+            "it's the that then 42 42", ""] * 5
+    t = pa.table({"text": pa.array(docs, pa.string())})
+    ds = rd.from_arrow(t).repartition(4)
+    local = train_bpe_distributed(ds, n_merges=8, num_buckets=8)
+    dist = train_bpe_distributed(ds, n_merges=8, num_buckets=8,
+                                 driver_max_words=0)
+    assert local.equals(dist)

@@ -66,9 +66,17 @@ def main():
     t0 = time.time()
     merges = train_bpe_distributed(docs, n_merges=10, num_buckets=64)
     t_bpe = time.time() - t0
-    print(f"bpe_train n={n} k=10: {t_bpe:.1f}s ({n / t_bpe:,.0f} docs/s), "
-          f"merges={len(merges)}, top=({merges.iloc[0]['a']!r},"
-          f"{merges.iloc[0]['b']!r}) x{merges.iloc[0]['pair_count']}")
+    print(f"bpe_train n={n} k=10 (local rounds): {t_bpe:.1f}s "
+          f"({n / t_bpe:,.0f} docs/s), merges={len(merges)}, "
+          f"top=({merges.iloc[0]['a']!r},{merges.iloc[0]['b']!r}) "
+          f"x{merges.iloc[0]['pair_count']}")
+    t0 = time.time()
+    m2 = train_bpe_distributed(docs, n_merges=10, num_buckets=64,
+                               driver_max_words=0)  # force distributed
+    t_bpe2 = time.time() - t0
+    assert m2.equals(merges)
+    print(f"bpe_train n={n} k=10 (distributed rounds): {t_bpe2:.1f}s "
+          f"({n / t_bpe2:,.0f} docs/s), identical table")
 
     # --- table_profile at 2M rows -------------------------------------
     t0 = time.time()
