@@ -68,6 +68,29 @@ def bbox_of(poly: np.ndarray) -> tuple[float, float, float, float]:
     return float(p[:, 0].min()), float(p[:, 1].min()), float(p[:, 0].max()), float(p[:, 1].max())
 
 
+def is_convex(ring: np.ndarray) -> bool:
+    """Convexity check via a cross-product sign sweep over consecutive
+    edges (collinear vertices allowed). O(n)."""
+    r = np.asarray(ring, dtype=np.float64)
+    if len(r) < 3:
+        return True
+    a = np.diff(np.vstack([r, r[:1]]), axis=0)          # edge vectors
+    cross = a[:-1, 0] * a[1:, 1] - a[:-1, 1] * a[1:, 0]
+    # wrap-around corner (last edge x first edge)
+    wrap = a[-1, 0] * a[0, 1] - a[-1, 1] * a[0, 0]
+    cross = np.append(cross, wrap)
+    pos = cross > 1e-30
+    neg = cross < -1e-30
+    return not (pos.any() and neg.any())
+
+
+#: max grid pieces one ring may split into — beyond this the pre-r5
+#: raise fires (the AXIS_CAP philosophy: a ~360-degree corrupt bbox at
+#: fine resolutions would otherwise mean millions-to-trillions of
+#: Sutherland-Hodgman clips inside one map task, a silent near-hang)
+MAX_SPLIT_PIECES = 4096
+
+
 def split_polygon_span(ring: np.ndarray,
                        max_span_deg: float) -> list[np.ndarray]:
     """Slice a CONVEX ring into convex pieces whose bboxes span at most
@@ -87,8 +110,23 @@ def split_polygon_span(ring: np.ndarray,
     x0, y0, x1, y1 = bbox_of(ring)
     if (x1 - x0) <= max_span_deg and (y1 - y0) <= max_span_deg:
         return [ring]
+    if not is_convex(ring):
+        # S-H pieces only PARTITION convex rings — a non-convex
+        # oversized ring must keep the pre-r5 raise contract instead
+        # of silently drifting the piece-area sum (review r5)
+        raise ValueError(
+            "split_polygon_span: oversized NON-convex ring (bbox "
+            f"{x1 - x0:.3f} x {y1 - y0:.3f} deg > {max_span_deg:.3f}); "
+            "convex decomposition is not supported — split the geometry "
+            "upstream or use a coarser cell_res")
     nx = int(np.ceil((x1 - x0) / max_span_deg))
     ny = int(np.ceil((y1 - y0) / max_span_deg))
+    if nx * ny > MAX_SPLIT_PIECES:
+        raise ValueError(
+            f"split_polygon_span: ring would split into {nx}x{ny} "
+            f"pieces (> {MAX_SPLIT_PIECES}) at span {max_span_deg:.4f} "
+            "deg — likely a corrupt bbox or a too-fine cell_res; "
+            "raise-not-hang (the pre-r5 cover contract)")
     out: list[np.ndarray] = []
     for i in range(nx):
         bx0 = x0 + i * max_span_deg

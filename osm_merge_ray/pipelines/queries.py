@@ -1008,7 +1008,8 @@ def text_chunk_plan_q(sf_dir: str, window: int = 32, overlap: int = 8):
 
 SQL_CHUNK_PLAN = """
 WITH d AS (
-  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  SELECT doc_id,
+         CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n
   FROM documents
 ), c AS (
   SELECT doc_id, n,

@@ -59,6 +59,9 @@ def _prep_polygons(t: pa.Table, cfg: ConflationConfig, side: int) -> pa.Table:
         for pr in parts:
             take.append(i)
             part_json.append("" if whole else json.dumps(pr.tolist()))
+            # (split rows blank coords_json below: the matcher always
+            # clips the PIECE, so shipping ~80 copies of the full ring
+            # through the shuffle would be dead weight — review r5)
             cx_l.append(float(pr[:, 0].mean()))
             cy_l.append(float(pr[:, 1].mean()))
             bb.append(bbox_of(pr))
@@ -69,9 +72,16 @@ def _prep_polygons(t: pa.Table, cfg: ConflationConfig, side: int) -> pa.Table:
     cell = C.lonlat_to_cell(cx, cy, cfg.cell_res)
     t = t.take(np.asarray(take, dtype=np.int64))
     n = len(take)
+    # split rows carry the piece geometry ONLY (coords_json blanked):
+    # the matcher clips part_json when present, so replicating the
+    # full original ring onto every piece row is pure shuffle weight
+    cj = pa.array(
+        ["" if pj else c for pj, c in
+         zip(part_json, t.column("coords_json").to_pylist())],
+        pa.string())
     return pa.table({
         "feature_id": t.column("feature_id").cast(pa.int64()),
-        "coords_json": t.column("coords_json"),
+        "coords_json": cj,
         "part_json": pa.array(part_json, pa.string()),
         "area_full": pa.array(area_l, pa.float64()),
         "lon": pa.array(cx, pa.float64()),

@@ -46,7 +46,10 @@ def chunk_plan(ds, window: int = 256, overlap: int = 32,
         n_chunks = 1 + (extra + stride - 1) // stride
         total = int(n_chunks.sum())
         rows = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
-        offs = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+        # cumsum-minus-counts start offsets: length-correct even for a
+        # ZERO-ROW block (the [0]+cumsum[:-1] idiom broadcasts (1,)
+        # against (0,) and crashes — review r5)
+        offs = np.cumsum(n_chunks) - n_chunks
         cidx = np.arange(total, dtype=np.int64) - np.repeat(offs, n_chunks)
         start = cidx * stride
         length = np.minimum(start + window, n[rows]) - start

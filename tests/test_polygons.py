@@ -178,3 +178,41 @@ def test_split_polygon_span_properties_random():
         direct = intersection_area(ring, probe)
         summed = sum(intersection_area(p, probe) for p in parts)
         assert summed == pytest.approx(direct, rel=1e-9, abs=1e-12)
+
+
+def test_split_polygon_guards(ray_session):
+    """r5 review: non-convex oversized rings and absurd piece counts
+    RAISE (pre-r5 cover contract) instead of silently drifting areas
+    or near-hanging; small non-convex rings pass through untouched."""
+    from osm_merge_ray.geo.polygons import is_convex, split_polygon_span
+
+    # L-shape, 3-degree bbox: non-convex AND oversized -> raise
+    ell = np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 1.0], [1.0, 1.0],
+                    [1.0, 3.0], [0.0, 3.0]])
+    assert not is_convex(ell)
+    with pytest.raises(ValueError, match="NON-convex"):
+        split_polygon_span(ell, 0.35)
+    # small non-convex ring: within span, passes through unchanged
+    small_ell = ell * 0.01
+    assert len(split_polygon_span(small_ell, 0.35)) == 1
+    # corrupt world-spanning bbox at a fine span -> piece-count raise
+    giant = np.array([[-180.0, -60.0], [180.0, -60.0], [180.0, 60.0],
+                      [-180.0, 60.0]])
+    with pytest.raises(ValueError, match="pieces"):
+        split_polygon_span(giant, 0.01)
+    # convex check sanity
+    assert is_convex(np.array([[0, 0], [1, 0], [1, 1], [0, 1.0]]))
+
+
+def test_chunk_plan_empty_block(ray_session):
+    """r5 review: zero-row blocks (empty parquet partitions, sparse
+    repartition) must not crash the chunk planner."""
+    import pyarrow as pa
+
+    from osm_merge_ray.text.chunking import chunk_plan
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["a b c", "d e"], pa.string())})
+    ds = rd.from_arrow(t).union(rd.from_arrow(t.slice(0, 0)))
+    out = chunk_plan(ds, window=4, overlap=1).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2]
