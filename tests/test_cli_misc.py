@@ -316,3 +316,35 @@ def test_cli_bpe_train_and_decontaminate(ray_session, tmp_path):
                      "--min-len", "24"]) == 0
     df = pq.read_table(str(rep)).to_pandas()
     assert set(df["doc_id"]) == {2}
+
+
+def test_cli_chunk_and_kgram_decontaminate(ray_session, tmp_path):
+    """r5: chunk subcommand writes a correct plan; decontaminate
+    default (kgram) method flags word-gram overlap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus = tmp_path / "docs.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([" ".join(f"t{i}" for i in range(50)),
+                          "short doc"], pa.string()),
+    }), str(corpus))
+
+    plan = tmp_path / "plan"
+    assert cli_main(["chunk", "-i", str(corpus), "-o", str(plan),
+                     "--window", "32", "--overlap", "8"]) == 0
+    df = pq.read_table(str(plan)).to_pandas()
+    assert len(df[df["doc_id"] == 0]) == 2   # 50 toks @ W32/S24
+    assert len(df[df["doc_id"] == 1]) == 1
+
+    evalp = tmp_path / "eval.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array(["t10 t11 t12 nothing else"], pa.string()),
+    }), str(evalp))
+    rep = tmp_path / "rep"
+    assert cli_main(["decontaminate", "-i", str(corpus), "--eval",
+                     str(evalp), "-o", str(rep), "-k", "3"]) == 0
+    got = pq.read_table(str(rep)).to_pandas()
+    assert set(got["doc_id"]) == {0}          # shares gram t10 t11 t12
