@@ -433,6 +433,25 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_aspect_bucket(args) -> int:
+    """Aspect-ratio bucket assignment over a parquet table with
+    integer w/h columns (image/aspect.py) — the training-batch
+    resolution-bucketing plan."""
+    _ray()
+    import ray.data as rd
+
+    from osm_merge_ray.image.aspect import aspect_bucket_assign
+
+    ds = rd.read_parquet(args.infile,
+                         columns=[args.id_column, args.w_column,
+                                  args.h_column])
+    aspect_bucket_assign(ds, id_column=args.id_column,
+                         w_column=args.w_column,
+                         h_column=args.h_column).write_parquet(args.outdir)
+    print(f"wrote aspect-bucket plan to {args.outdir}")
+    return 0
+
+
 def cmd_bpe_count(args) -> int:
     """Per-document BPE token counts: embedded vocabulary by default,
     or a trained merge table (`bpe-train` output parquet) via
@@ -765,6 +784,16 @@ def main(argv=None) -> int:
                         "substring of at least this many chars "
                         "(exact-substring decontamination)")
     c.set_defaults(fn=cmd_curate)
+
+    c = sub.add_parser("aspect-bucket",
+                       help="aspect-ratio resolution-bucket plan "
+                            "(image_id, bucket_id, bucket_w, bucket_h)")
+    c.add_argument("-i", "--infile", required=True)
+    c.add_argument("-o", "--outdir", required=True)
+    c.add_argument("--id-column", default="image_id")
+    c.add_argument("--w-column", default="w")
+    c.add_argument("--h-column", default="h")
+    c.set_defaults(fn=cmd_aspect_bucket)
 
     c = sub.add_parser("bpe-count", help="per-doc BPE token counts "
                                          "(embedded or trained vocab)")

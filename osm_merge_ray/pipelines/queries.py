@@ -4191,6 +4191,53 @@ def text_bpe_train_q(sf_dir: str, k: int = 8):
     return train_bpe_distributed(ds, n_merges=k, num_buckets=32)
 
 
+def image_aspect_bucket_q(sf_dir: str, n: int = 400):
+    """Aspect-ratio bucketing (r5, image/aspect.py): assign each image
+    to the resolution bucket with the closest aspect ratio under the
+    integer-exact Q20 metric. Parametric fixture (dims derived from
+    the row index, the fmt_cycle pattern) so the twin re-derives the
+    inputs; the assignment itself — the operator under test — is the
+    same argmin both sides."""
+    import ray.data as rd
+
+    from osm_merge_ray.image.aspect import aspect_bucket_assign
+
+    sz = np.array([320, 512, 640, 960], dtype=np.int64)
+    i = np.arange(n, dtype=np.int64)
+    t = pa.table({
+        "image_id": pa.array(i, pa.int64()),
+        "w": pa.array(sz[i % 4], pa.int64()),
+        "h": pa.array(sz[(i // 4) % 4], pa.int64()),
+    })
+    return aspect_bucket_assign(rd.from_arrow(t))
+
+
+def _aspect_sql(n: int = 400) -> str:
+    from osm_merge_ray.image.aspect import buckets_sql_values
+
+    return f"""
+WITH bt(bucket_id, bw, bh) AS (VALUES {buckets_sql_values()}),
+img AS (
+  SELECT i AS image_id,
+         CAST(CASE i % 4 WHEN 0 THEN 320 WHEN 1 THEN 512
+                         WHEN 2 THEN 640 ELSE 960 END AS BIGINT) AS w,
+         CAST(CASE (i // 4) % 4 WHEN 0 THEN 320 WHEN 1 THEN 512
+                                WHEN 2 THEN 640 ELSE 960 END AS BIGINT) AS h
+  FROM range({n}) t(i)
+), m AS (
+  SELECT image_id, w, h, bucket_id, bw, bh,
+         (abs(w * CAST(bh AS BIGINT) - h * CAST(bw AS BIGINT))
+          * CAST(1048576 AS BIGINT)) // (h * CAST(bh AS BIGINT)) AS m
+  FROM img, bt
+)
+SELECT CAST(image_id AS BIGINT) AS image_id, CAST(w AS BIGINT) AS w,
+       CAST(h AS BIGINT) AS h, CAST(bucket_id AS BIGINT) AS bucket_id,
+       CAST(bw AS BIGINT) AS bucket_w, CAST(bh AS BIGINT) AS bucket_h
+FROM m
+QUALIFY row_number() OVER (PARTITION BY image_id ORDER BY m, bucket_id) = 1
+"""
+
+
 def text_token_count_bpe_q(sf_dir: str):
     """REAL BPE token counts: regex pretokenize + the full merge loop
     over the fixed embedded vocabulary (text/bpe.py), ranks table built
@@ -4465,6 +4512,7 @@ QUERIES = {
     "text_bpe_train": text_bpe_train_q,
     "text_substring_decontaminate": text_substring_decontaminate_q,
     "text_chunk_plan": text_chunk_plan_q,
+    "image_aspect_bucket": image_aspect_bucket_q,
     # --- touched by r5 fixes ---
     "events_distinct_sketch": events_distinct_sketch_q,
     "events_group_distinct": events_group_distinct_q,
@@ -4498,7 +4546,6 @@ QUERIES = {
     "events_asof_join": events_asof_join,
     "events_quantiles": events_quantiles_q,
     "events_late_data": events_late_data_q,
-    "events_retention": events_retention_q,
     # --- r4-green, kept inside the cap (regression-sensitive core) ---
     "spatial_conflate_flagship": spatial_conflate_flagship,
     "spatial_conflate": spatial_conflate,
@@ -4517,7 +4564,9 @@ QUERIES = {
     "text_pack_sequences": text_pack_sequences_q,
     "text_decontaminate": text_decontaminate_q,
     # ---------------- past the 50-query cap from here ----------------
-    # (all r4-driver-green AND unchanged in r5)
+    # (all r4-driver-green AND unchanged in r5; events_retention
+    # yielded its cap slot to the new image_aspect_bucket)
+    "events_retention": events_retention_q,
     "text_inverted_index": text_inverted_index_q,
     "image_decode_stats": image_decode_stats_q,
     "image_pixel_embed": image_pixel_embed_q,
@@ -4647,6 +4696,7 @@ def _bpe_train_sql() -> str:
 ORACLE_SQL["text_bpe_train"] = _bpe_train_sql()
 ORACLE_SQL["text_substring_decontaminate"] = SQL_SUBSTR_DECONTAMINATE
 ORACLE_SQL["text_chunk_plan"] = SQL_CHUNK_PLAN
+ORACLE_SQL["image_aspect_bucket"] = _aspect_sql()
 ORACLE_SQL["text_pii_redact"] = _pii_sql()
 ORACLE_SQL["image_dedup_clusters"] = _sql_image_clusters()
 ORACLE_SQL["text_lm_score"] = SQL_LM_SCORE

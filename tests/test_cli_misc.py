@@ -348,3 +348,19 @@ def test_cli_chunk_and_kgram_decontaminate(ray_session, tmp_path):
                      str(evalp), "-o", str(rep), "-k", "3"]) == 0
     got = pq.read_table(str(rep)).to_pandas()
     assert set(got["doc_id"]) == {0}          # shares gram t10 t11 t12
+
+
+def test_cli_aspect_bucket(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"image_id": pa.array([1, 2], pa.int64()),
+                  "w": pa.array([512, 320], pa.int64()),
+                  "h": pa.array([512, 900], pa.int64())})
+    src = tmp_path / "imgs.parquet"
+    pq.write_table(t, str(src))
+    out = tmp_path / "buckets"
+    assert cli_main(["aspect-bucket", "-i", str(src), "-o", str(out)]) == 0
+    df = pq.read_table(str(out)).to_pandas().set_index("image_id")
+    assert (df.loc[1, "bucket_w"], df.loc[1, "bucket_h"]) == (512, 512)
+    assert df.loc[2, "bucket_h"] > df.loc[2, "bucket_w"]

@@ -1128,3 +1128,40 @@ def test_chunk_plan_semantics(ray_session):
 
     with pytest.raises(ValueError, match="overlap"):
         chunk_plan(rd.from_arrow(t), window=8, overlap=8)
+
+
+def test_aspect_bucket_assign(ray_session):
+    """r5: integer-Q20 aspect bucketing — squares to (512,512), tall
+    to tall buckets, extreme ARs to the edge buckets, ties to the
+    lowest bucket id, and agreement with a float argmin oracle
+    wherever the float metric is unambiguous."""
+    from osm_merge_ray.image.aspect import (DEFAULT_BUCKETS,
+                                            aspect_bucket_assign)
+
+    cases = pa.table({
+        "image_id": pa.array(range(6), pa.int64()),
+        "w": pa.array([512, 700, 300, 1024, 320, 500], pa.int64()),
+        "h": pa.array([512, 700, 600, 256, 832, 640], pa.int64()),
+    })
+    out = aspect_bucket_assign(rd.from_arrow(cases)).to_pandas() \
+        .set_index("image_id")
+    assert (out.loc[0, "bucket_w"], out.loc[0, "bucket_h"]) == (512, 512)
+    assert (out.loc[1, "bucket_w"], out.loc[1, "bucket_h"]) == (512, 512)
+    assert out.loc[2, "bucket_h"] > out.loc[2, "bucket_w"]   # tall
+    assert (out.loc[4, "bucket_w"], out.loc[4, "bucket_h"]) == (320, 832)
+    # float-oracle agreement on a random sweep (metric gaps >> Q20 eps)
+    rng = np.random.default_rng(3)
+    w = rng.integers(200, 1200, 300).astype(np.int64)
+    h = rng.integers(200, 1200, 300).astype(np.int64)
+    t = pa.table({"image_id": pa.array(range(300), pa.int64()),
+                  "w": pa.array(w, pa.int64()),
+                  "h": pa.array(h, pa.int64())})
+    got = aspect_bucket_assign(rd.from_arrow(t)).to_pandas() \
+        .sort_values("image_id")["bucket_id"].to_numpy()
+    bw = np.array([b[0] for b in DEFAULT_BUCKETS], dtype=np.float64)
+    bh = np.array([b[1] for b in DEFAULT_BUCKETS], dtype=np.float64)
+    fm = np.abs(w[:, None] / h[:, None] - bw[None, :] / bh[None, :])
+    want = fm.argmin(axis=1)
+    srt = np.sort(fm, axis=1)
+    clear = (srt[:, 1] - srt[:, 0]) > 1e-5   # skip float-ambiguous rows
+    assert (got[clear] == want[clear]).all()
