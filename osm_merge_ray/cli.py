@@ -440,15 +440,24 @@ def cmd_aspect_bucket(args) -> int:
     _ray()
     import ray.data as rd
 
-    from osm_merge_ray.image.aspect import aspect_bucket_assign
+    from osm_merge_ray.image.aspect import (aspect_bucket_assign,
+                                             bucket_batch_plan)
 
     ds = rd.read_parquet(args.infile,
                          columns=[args.id_column, args.w_column,
                                   args.h_column])
-    aspect_bucket_assign(ds, id_column=args.id_column,
-                         w_column=args.w_column,
-                         h_column=args.h_column).write_parquet(args.outdir)
-    print(f"wrote aspect-bucket plan to {args.outdir}")
+    if args.batch_size:
+        out = bucket_batch_plan(ds, batch_size=args.batch_size,
+                                id_column=args.id_column,
+                                w_column=args.w_column,
+                                h_column=args.h_column)
+    else:
+        out = aspect_bucket_assign(ds, id_column=args.id_column,
+                                   w_column=args.w_column,
+                                   h_column=args.h_column)
+    out.write_parquet(args.outdir)
+    print(f"wrote aspect-bucket {'batch ' if args.batch_size else ''}"
+          f"plan to {args.outdir}")
     return 0
 
 
@@ -793,6 +802,9 @@ def main(argv=None) -> int:
     c.add_argument("--id-column", default="image_id")
     c.add_argument("--w-column", default="w")
     c.add_argument("--h-column", default="h")
+    c.add_argument("--batch-size", type=int, default=None,
+                   help="also cut per-bucket hash-order batches "
+                        "(adds rank + batch_idx columns)")
     c.set_defaults(fn=cmd_aspect_bucket)
 
     c = sub.add_parser("bpe-count", help="per-doc BPE token counts "

@@ -66,3 +66,56 @@ def buckets_sql_values(buckets=DEFAULT_BUCKETS) -> str:
     """The bucket table as SQL VALUES rows (bucket_id, bw, bh)."""
     return ", ".join(f"({i}, {w}, {h})"
                      for i, (w, h) in enumerate(buckets))
+
+
+def bucket_batch_plan(ds, batch_size: int, buckets=DEFAULT_BUCKETS,
+                      id_column: str = "image_id",
+                      w_column: str = "w", h_column: str = "h",
+                      num_buckets: int = 64):
+    """Deterministic per-bucket training-batch plan: assign aspect
+    buckets, order each bucket's images by mixed id hash (layout-
+    independent — never by block arrival), and cut batches of
+    ``batch_size``. Output: (id, bucket_id, bucket_w, bucket_h, rank,
+    batch_idx) — rank is the 0-based hash-order position within the
+    bucket, batch_idx = rank // batch_size (non-negative ``//``, so the
+    SQL twin agrees bit-for-bit).
+
+    Shape: the aspect assignment is a fused map; the global rank is ONE
+    bucketed reduce over light integer rows (all rows of one aspect
+    bucket co-locate — there are only len(buckets) aspect buckets, so
+    the reduce is as skewed as the corpus's aspect distribution; with
+    7 buckets this is a deliberate small-domain grouping, the same cost
+    class as the tile-pyramid mosaic)."""
+    import pandas as pd
+
+    from osm_merge_ray.ops import grouped_reduce
+    from osm_merge_ray.sketch import kmv_mix
+
+    bs = int(batch_size)
+    if bs <= 0:
+        raise ValueError("batch_size must be positive")
+    assigned = aspect_bucket_assign(ds, buckets=buckets,
+                                    id_column=id_column,
+                                    w_column=w_column, h_column=h_column)
+
+    def add_mix(t: pa.Table) -> pa.Table:
+        ids = t.column(id_column).to_numpy().astype(np.int64)
+        return t.append_column(
+            "h_mix", pa.array(kmv_mix(ids), pa.int64()))
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for bid, grp in df.groupby("bucket_id", sort=False):
+            g = grp.sort_values(["h_mix", id_column], kind="mergesort")
+            r = np.arange(len(g), dtype=np.int64)
+            g = g.assign(rank=r, batch_idx=r // bs)
+            out.append(g)
+        res = pd.concat(out) if out else df.assign(
+            rank=pd.Series(dtype=np.int64),
+            batch_idx=pd.Series(dtype=np.int64))
+        return res.drop(columns=["h_mix"])
+
+    return grouped_reduce(assigned.map_batches(add_mix,
+                                               batch_format="pyarrow"),
+                          ["bucket_id"], per_bucket,
+                          num_buckets=num_buckets)

@@ -4238,6 +4238,46 @@ QUALIFY row_number() OVER (PARTITION BY image_id ORDER BY m, bucket_id) = 1
 """
 
 
+def image_batch_plan_q(sf_dir: str, n: int = 400, batch_size: int = 16):
+    """Per-aspect-bucket training-batch plan (r5, image/aspect.py
+    bucket_batch_plan): hash-order rank within each bucket (layout-
+    independent), batch_idx = rank // batch_size. Twin: the aspect
+    assignment SQL extended with ROW_NUMBER over the same kmv_mix
+    ordering."""
+    import ray.data as rd
+
+    from osm_merge_ray.image.aspect import bucket_batch_plan
+
+    sz = np.array([320, 512, 640, 960], dtype=np.int64)
+    i = np.arange(n, dtype=np.int64)
+    t = pa.table({
+        "image_id": pa.array(i, pa.int64()),
+        "w": pa.array(sz[i % 4], pa.int64()),
+        "h": pa.array(sz[(i // 4) % 4], pa.int64()),
+    })
+    out = bucket_batch_plan(rd.from_arrow(t), batch_size=batch_size)
+    return out.select_columns(["image_id", "bucket_id", "rank",
+                               "batch_idx"])
+
+
+def _batch_plan_sql(n: int = 400, batch_size: int = 16) -> str:
+    aspect = _aspect_sql(n).strip().rstrip()
+    return f"""
+WITH a AS ({aspect}
+), r AS (
+  SELECT image_id, bucket_id,
+         row_number() OVER (
+           PARTITION BY bucket_id
+           ORDER BY {_KMV_MIX.format(x='image_id')}, image_id) - 1
+           AS rank
+  FROM a
+)
+SELECT image_id, bucket_id, CAST(rank AS BIGINT) AS rank,
+       CAST(rank // {batch_size} AS BIGINT) AS batch_idx
+FROM r
+"""
+
+
 def text_token_count_bpe_q(sf_dir: str):
     """REAL BPE token counts: regex pretokenize + the full merge loop
     over the fixed embedded vocabulary (text/bpe.py), ranks table built
@@ -4513,6 +4553,7 @@ QUERIES = {
     "text_substring_decontaminate": text_substring_decontaminate_q,
     "text_chunk_plan": text_chunk_plan_q,
     "image_aspect_bucket": image_aspect_bucket_q,
+    "image_batch_plan": image_batch_plan_q,
     # --- touched by r5 fixes ---
     "events_distinct_sketch": events_distinct_sketch_q,
     "events_group_distinct": events_group_distinct_q,
@@ -4545,7 +4586,6 @@ QUERIES = {
     "events_heavy_hitters": events_heavy_hitters,
     "events_asof_join": events_asof_join,
     "events_quantiles": events_quantiles_q,
-    "events_late_data": events_late_data_q,
     # --- r4-green, kept inside the cap (regression-sensitive core) ---
     "spatial_conflate_flagship": spatial_conflate_flagship,
     "spatial_conflate": spatial_conflate,
@@ -4564,9 +4604,11 @@ QUERIES = {
     "text_pack_sequences": text_pack_sequences_q,
     "text_decontaminate": text_decontaminate_q,
     # ---------------- past the 50-query cap from here ----------------
-    # (all r4-driver-green AND unchanged in r5; events_retention
-    # yielded its cap slot to the new image_aspect_bucket)
+    # (all r4-driver-green AND unchanged in r5; events_retention and
+    # events_late_data yielded their cap slots to the new
+    # image_aspect_bucket / image_batch_plan)
     "events_retention": events_retention_q,
+    "events_late_data": events_late_data_q,
     "text_inverted_index": text_inverted_index_q,
     "image_decode_stats": image_decode_stats_q,
     "image_pixel_embed": image_pixel_embed_q,
@@ -4697,6 +4739,7 @@ ORACLE_SQL["text_bpe_train"] = _bpe_train_sql()
 ORACLE_SQL["text_substring_decontaminate"] = SQL_SUBSTR_DECONTAMINATE
 ORACLE_SQL["text_chunk_plan"] = SQL_CHUNK_PLAN
 ORACLE_SQL["image_aspect_bucket"] = _aspect_sql()
+ORACLE_SQL["image_batch_plan"] = _batch_plan_sql()
 ORACLE_SQL["text_pii_redact"] = _pii_sql()
 ORACLE_SQL["image_dedup_clusters"] = _sql_image_clusters()
 ORACLE_SQL["text_lm_score"] = SQL_LM_SCORE

@@ -364,3 +364,21 @@ def test_cli_aspect_bucket(ray_session, tmp_path):
     df = pq.read_table(str(out)).to_pandas().set_index("image_id")
     assert (df.loc[1, "bucket_w"], df.loc[1, "bucket_h"]) == (512, 512)
     assert df.loc[2, "bucket_h"] > df.loc[2, "bucket_w"]
+
+
+def test_cli_aspect_batch_plan(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 40
+    t = pa.table({"image_id": pa.array(range(n), pa.int64()),
+                  "w": pa.array([512] * n, pa.int64()),
+                  "h": pa.array([512] * n, pa.int64())})
+    src = tmp_path / "imgs.parquet"
+    pq.write_table(t, str(src))
+    out = tmp_path / "plan"
+    assert cli_main(["aspect-bucket", "-i", str(src), "-o", str(out),
+                     "--batch-size", "16"]) == 0
+    df = pq.read_table(str(out)).to_pandas()
+    assert set(df["batch_idx"]) == {0, 1, 2}   # 16+16+8
+    assert df["bucket_id"].nunique() == 1

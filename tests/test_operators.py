@@ -1165,3 +1165,34 @@ def test_aspect_bucket_assign(ray_session):
     srt = np.sort(fm, axis=1)
     clear = (srt[:, 1] - srt[:, 0]) > 1e-5   # skip float-ambiguous rows
     assert (got[clear] == want[clear]).all()
+
+
+def test_bucket_batch_plan(ray_session):
+    """r5: per-bucket hash-order batch plan — contiguous ranks per
+    bucket, full batches except the tail, layout invariance, and the
+    ordering is the kmv_mix hash order (not block arrival)."""
+    from osm_merge_ray.image.aspect import bucket_batch_plan
+    from osm_merge_ray.sketch import kmv_mix
+
+    n = 200
+    i = np.arange(n, dtype=np.int64)
+    sz = np.array([320, 512, 640, 960], dtype=np.int64)
+    t = pa.table({"image_id": pa.array(i, pa.int64()),
+                  "w": pa.array(sz[i % 4], pa.int64()),
+                  "h": pa.array(sz[(i // 4) % 4], pa.int64())})
+
+    def run(nb):
+        return (bucket_batch_plan(rd.from_arrow(t).repartition(nb),
+                                  batch_size=8)
+                .to_pandas().sort_values(["bucket_id", "rank"])
+                .reset_index(drop=True))
+
+    out = run(1)
+    assert len(out) == n
+    for bid, g in out.groupby("bucket_id"):
+        assert list(g["rank"]) == list(range(len(g)))
+        assert (g["batch_idx"] == g["rank"] // 8).all()
+        # hash order: ranks sorted by kmv_mix(image_id)
+        mixed = kmv_mix(g["image_id"].to_numpy().astype(np.int64))
+        assert (np.diff(mixed) > 0).all()
+    assert run(7).equals(out)
