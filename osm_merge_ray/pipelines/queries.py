@@ -4554,6 +4554,10 @@ QUERIES = {
     "text_chunk_plan": text_chunk_plan_q,
     "image_aspect_bucket": image_aspect_bucket_q,
     "image_batch_plan": image_batch_plan_q,
+    # --- r5-touched implementations (overlap piece partials; BPE
+    # counter class gained merge_table/text_column params) ---
+    "spatial_polygon_overlap": spatial_polygon_overlap,
+    "text_token_count_bpe": text_token_count_bpe_q,
     # --- touched by r5 fixes ---
     "events_distinct_sketch": events_distinct_sketch_q,
     "events_group_distinct": events_group_distinct_q,
@@ -4578,9 +4582,7 @@ QUERIES = {
     "text_token_count": text_token_count_q,
     "text_quality_score": text_quality_q,
     "text_normalize": text_normalize_q,
-    "q1_pricing_summary": q1_pricing_summary,
     "top_orders_by_revenue": top_orders_by_revenue,
-    "nation_revenue": nation_revenue,
     "events_window": events_window,
     "events_sliding_window": events_sliding_window,
     "events_heavy_hitters": events_heavy_hitters,
@@ -4609,12 +4611,13 @@ QUERIES = {
     # image_aspect_bucket / image_batch_plan)
     "events_retention": events_retention_q,
     "events_late_data": events_late_data_q,
+    "q1_pricing_summary": q1_pricing_summary,
+    "nation_revenue": nation_revenue,
     "text_inverted_index": text_inverted_index_q,
     "image_decode_stats": image_decode_stats_q,
     "image_pixel_embed": image_pixel_embed_q,
     "video_frame_sample": video_frame_sample_q,
     "audio_decode_stats": audio_decode_stats_q,
-    "text_token_count_bpe": text_token_count_bpe_q,
     "events_funnel": events_funnel_q,
     "orders_upsert": orders_upsert_q,
     "source_weighted_sample": source_weighted_sample_q,
@@ -4631,7 +4634,6 @@ QUERIES = {
     "spatial_tile_assign": spatial_tile_assign,
     "spatial_tile_pyramid": spatial_tile_pyramid_q,
     "spatial_point_in_polygon": spatial_point_in_polygon,
-    "spatial_polygon_overlap": spatial_polygon_overlap,
     "dedup_exact": dedup_exact_q,
     "dedup_ngram_jaccard": dedup_jaccard_q,
     "dedup_winnow": dedup_winnow_q,
