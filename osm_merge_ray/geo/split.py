@@ -22,6 +22,12 @@ from __future__ import annotations
 
 import numpy as np
 
+#: max parts one polyline may split into — beyond this the splitter
+#: RAISES (same philosophy as polygons.MAX_SPLIT_PIECES); below it the
+#: cut parameter t >= span/L1 >= 1/MAX_SPLIT_PARTS > the 1e-9 progress
+#: epsilon, so the cut loop provably terminates
+MAX_SPLIT_PARTS = 4096
+
 
 def split_long_line(coords: np.ndarray,
                     max_span_deg: float) -> list[np.ndarray]:
@@ -43,6 +49,18 @@ def split_long_line(coords: np.ndarray,
     if (x.max() - x.min()) <= max_span_deg and \
             (y.max() - y.min()) <= max_span_deg:
         return [coords]
+    # part-count cap (review r5, mirrors polygons.MAX_SPLIT_PIECES): a
+    # corrupt coordinate (e.g. a 4e8-degree jump) would otherwise emit
+    # millions of parts — or, past float resolution, spin the cut loop
+    # forever. Parts needed >= L1 path length / span.
+    est_parts = float((np.abs(np.diff(x)).sum()
+                       + np.abs(np.diff(y)).sum()) / max_span_deg)
+    if est_parts > MAX_SPLIT_PARTS:
+        raise ValueError(
+            f"split_long_line: polyline needs ~{est_parts:.0f} parts "
+            f"(> {MAX_SPLIT_PARTS}) at span {max_span_deg:.4f} deg — "
+            "likely a corrupt coordinate or a too-fine cell_res; "
+            "raise-not-hang (the pre-r5 cover contract)")
 
     parts: list[np.ndarray] = []
     cur: list[list[float]] = [[float(x[0]), float(y[0])]]

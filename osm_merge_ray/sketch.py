@@ -208,7 +208,13 @@ def grouped_distinct_sketch(ds, group_col: str, key_col: str, k: int = 64,
         pos = np.arange(len(sc)) - np.repeat(starts, run_len)
         sel = pos < k
         return pa.table({
-            group_col: pa.array(np.asarray(uniq)[sc[sel]]),
+            # cast to the INPUT column's Arrow type: a pandas-inferred
+            # type (plain string) unioned with an empty block's verbatim
+            # type (e.g. large_string from polars-written parquet) would
+            # feed Ray's sort groupby a mixed schema (review r5; the
+            # CLAUDE.md pad-both-sides invariant)
+            group_col: pa.array(np.asarray(uniq)[sc[sel]]).cast(
+                t.column(group_col).type),
             "h": pa.array(sh[sel], pa.int64()),
         })
 
@@ -247,7 +253,8 @@ def grouped_distinct_sketch(ds, group_col: str, key_col: str, k: int = 64,
         sc, sx = codes[order], x[order]
         first = np.r_[True, (sc[1:] != sc[:-1]) | (sx[1:] != sx[:-1])]
         return pa.table({
-            group_col: pa.array(np.asarray(uniq)[sc[first]]),
+            group_col: pa.array(np.asarray(uniq)[sc[first]]).cast(
+                t.column(group_col).type),
             "u": pa.array(sx[first], pa.int64()),
         })
 

@@ -170,6 +170,12 @@ def polygon_overlap_pairs(primary_ds, secondary_ds, cfg: ConflationConfig | None
                                      light_probe=P.has_split_parts)
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        # sort partials before the float sum: block-arrival order is
+        # nondeterministic, and float addition is order-sensitive —
+        # a fixed addend order keeps overlap_area bit-stable run to
+        # run (review r5; every other combiner is order-insensitive)
+        df = df.sort_values(["id_a", "id_b", "part_area"],
+                            kind="mergesort")
         g = df.groupby(["id_a", "id_b"], as_index=False).agg(
             overlap_area=("part_area", "sum"),
             area_a=("area_a", "first"), area_b=("area_b", "first"))

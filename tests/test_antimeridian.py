@@ -350,3 +350,17 @@ def test_split_long_line_properties_random():
             return float(np.hypot(*np.diff(p, axis=0).T).sum())
         assert sum(ln(p) for p in parts) == pytest.approx(ln(coords),
                                                           rel=1e-9)
+
+
+def test_split_long_line_corrupt_span_raises():
+    """r5 review: absurd spans RAISE (part-count cap) instead of
+    hanging the cut loop or emitting millions of parts."""
+    from osm_merge_ray.geo.split import split_long_line
+
+    with pytest.raises(ValueError, match="parts"):
+        split_long_line(np.array([[0.0, 0.0], [4.0e8, 0.0]]), 0.35)
+    with pytest.raises(ValueError, match="parts"):
+        split_long_line(np.array([[0.0, 0.0], [1.0e6, 0.0]]), 0.35)
+    # just-under-cap inputs still split fine
+    parts = split_long_line(np.array([[0.0, 0.0], [100.0, 0.0]]), 0.35)
+    assert 280 <= len(parts) <= 300

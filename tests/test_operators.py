@@ -1196,3 +1196,21 @@ def test_bucket_batch_plan(ray_session):
         mixed = kmv_mix(g["image_id"].to_numpy().astype(np.int64))
         assert (np.diff(mixed) > 0).all()
     assert run(7).equals(out)
+
+
+def test_grouped_distinct_sketch_large_string_group(ray_session):
+    """r5 review: a large_string group column (polars-written parquet)
+    with an empty block present must not feed mixed schemas into the
+    groupby — partials cast to the input column's own type."""
+    from osm_merge_ray.sketch import grouped_distinct_sketch
+
+    t = pa.table({
+        "event_type": pa.array(["a"] * 30 + ["b"] * 10,
+                               pa.large_string()),
+        "user_id": pa.array(np.arange(40) % 7, pa.int64()),
+    })
+    ds = rd.from_arrow(t).union(rd.from_arrow(t.slice(0, 0)))
+    out = grouped_distinct_sketch(ds, "event_type", "user_id", k=16,
+                                  include_exact=True)
+    assert out.set_index("event_type")["n_distinct"].to_dict() == \
+        {"a": 7, "b": 7}
