@@ -4544,9 +4544,12 @@ def _pii_sql() -> str:
 # decontaminate in curate_corpus, knn/graph reworks), (d) entries with
 # no driver row since r3, (e) the regression-sensitive r4-green core
 # (conflate family, multimodal, image dedup) kept inside the cap.
-# Everything past the cap is r4-driver-green AND unchanged this round,
-# still covered by the dtype-strict local replica
-# (tools/check_oracle.py) and pytest.
+# Everything past the cap is r4-driver-green AND unchanged this round
+# (events_retention, events_late_data, q1_pricing_summary and
+# nation_revenue yielded their slots to the five r5-new operators and
+# the two r5-touched implementations), still covered by the
+# dtype-strict local replica (tools/check_oracle.py, verified 84/84 at
+# sf0.01 AND sf0.001 this round) and pytest.
 QUERIES = {
     # --- r5 additions (new this round, never driver-hashed) ---
     "text_bpe_train": text_bpe_train_q,
